@@ -1,0 +1,73 @@
+"""Conv2d for the TPU.
+
+The reference implements conv as zero-copy im2col + one BLAS dot
+(reference: numpy_quant/numpy_helper.py:18-92). The TPU-native float
+path is a single lax.conv_general_dilated, which XLA lowers straight to
+MXU convolution. An im2col helper is also provided for the quantized
+integer conv path (parity-plus; the reference runs quantized-graph Conv
+in float, SURVEY.md §3.4).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import config
+
+
+def conv2d_nchw(x, w, b, pads, strides):
+    """x: [B, C, H, W]; w: [O, C, KH, KW]; b: [O] or None.
+    pads: ONNX order (PH0, PW0, PH1, PW1); strides: (SH, SW)."""
+    ph0, pw0, ph1, pw1 = (int(p) for p in pads)
+    sh, sw = (int(s) for s in strides)
+    y = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(sh, sw),
+        padding=((ph0, ph1), (pw0, pw1)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=config.float_matmul_precision,
+    )
+    if b is not None:
+        y = y + b.reshape(1, -1, 1, 1)
+    return y
+
+
+def extract_sliding_windows_nhwc(x, ksize, pads, strides):
+    """im2col patches: x [B, H, W, C] -> [B, OH, OW, KH*KW*C].
+
+    Static-shape equivalent of the reference's stride-trick window
+    extraction (numpy_quant/numpy_helper.py:18-70), built from
+    conv_general_dilated_patches so XLA can fuse it.
+    """
+    kh, kw = ksize
+    ph0, pw0, ph1, pw1 = (int(p) for p in pads)
+    sh, sw = (int(s) for s in strides)
+    x_nchw = jnp.transpose(x, (0, 3, 1, 2))
+    patches = jax.lax.conv_general_dilated_patches(
+        x_nchw,
+        filter_shape=(kh, kw),
+        window_strides=(sh, sw),
+        padding=((ph0, ph1), (pw0, pw1)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )  # [B, C*KH*KW, OH, OW]
+    b, ckk, oh, ow = patches.shape
+    c = x.shape[3]
+    # conv_general_dilated_patches returns channel-major (C, KH, KW);
+    # reorder to the (KH, KW, C) layout the im2col matmul expects.
+    patches = patches.reshape(b, c, kh * kw, oh, ow)
+    patches = jnp.transpose(patches, (0, 3, 4, 2, 1))  # [B, OH, OW, KH*KW, C]
+    return patches.reshape(b, oh, ow, kh * kw * c)
+
+
+def conv2d_im2col(x, w, pads, strides, matmul):
+    """Conv via im2col + caller-supplied matmul (used by the integer path).
+
+    x: [B, H, W, C]; w: [KH, KW, C, O]. Returns [B, OH, OW, O].
+    ``matmul(patches_2d, w_2d)`` performs the contraction -- the integer
+    path passes a quantized matmul here.
+    """
+    kh, kw, c, o = w.shape
+    patches = extract_sliding_windows_nhwc(x, (kh, kw), pads, strides)
+    b, oh, ow, _ = patches.shape
+    y = matmul(patches.reshape(b * oh * ow, kh * kw * c), w.reshape(kh * kw * c, o))
+    return y.reshape(b, oh, ow, o)

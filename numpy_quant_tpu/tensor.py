@@ -1,0 +1,354 @@
+"""Tensor layer: FTensor / ITensor / QTensor and class-preserving helpers.
+
+Same capability surface as the reference tensor layer
+(reference: numpy_quant/tensor.py:12-264) redesigned for XLA tracing:
+
+* ``ITensor`` holds a **host numpy int64 array**. Every integer/shape-
+  domain op (Shape, Gather-on-shapes, Concat, Equal, Mul, Reshape, ...)
+  executes eagerly on the host. Because graph lowering runs under
+  ``jax.jit`` tracing, this makes the whole ONNX shape-computation
+  subgraph (Shape -> Gather -> Unsqueeze -> Concat -> Reshape chains)
+  constant-fold into static shapes -- exactly what XLA requires.
+* ``FTensor`` wraps a float32 JAX array (traced on device).
+* ``QTensor`` wraps an integer-container JAX array plus static
+  (bit_width, scale) and a zero_point that is None, a host scalar, or a
+  traced correction tensor (matmul output case).
+
+The float matmul accumulates at Precision.HIGHEST so the float path
+holds the reference's f32 tolerances on the MXU.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import config
+from .ops.erf import erf as _erf
+from .ops.conv import conv2d_nchw
+from .quantization import (
+    dequantize as _dequantize,
+    q_matmul,
+    quant_parameters,
+    quantize as _quantize,
+    requantize as _requantize,
+)
+
+
+class ITensor:
+    """Integer/shape-domain tensor. Host-resident and therefore static
+    under jit tracing. reference: numpy_quant/tensor.py:12-44."""
+
+    def __init__(self, data):
+        self._data = np.asarray(data, dtype=np.int64)
+
+    @property
+    def data(self) -> np.ndarray:
+        return self._data
+
+    @property
+    def shape(self) -> "ITensor":
+        return ITensor(np.array(self._data.shape, dtype=np.int64))
+
+    @property
+    def size(self) -> int:
+        return self._data.size
+
+    def copy(self) -> "ITensor":
+        return ITensor(self._data.copy())
+
+    def expand_dims(self, axis: "ITensor") -> "ITensor":
+        return ITensor(np.expand_dims(self._data, axis=tuple(axis.data)))
+
+    def __eq__(self, other: "ITensor"):
+        return ITensor(np.array(self._data == other.data, np.int64))
+
+    def __getitem__(self, ind):
+        return ITensor(self._data.__getitem__(ind))
+
+    def __add__(self, other: "ITensor"):
+        return ITensor(self._data + other.data)
+
+    def __mul__(self, other: "ITensor"):
+        return ITensor(self._data * other.data)
+
+    def reshape(self, shape: "ITensor"):
+        return ITensor(self._data.reshape(tuple(shape.data)))
+
+    def take(self, indices: "ITensor", axis: int):
+        # Spec-correct ONNX Gather: a rank-0 index removes the axis.
+        # (The reference keeps rank via np.atleast_1d -- a quirk that is
+        # cancelled by its Unsqueeze bug; see SURVEY.md §5.5.)
+        return ITensor(self._data.take(indices.data, axis))
+
+    def transpose(self, axes=None):
+        return ITensor(self._data.transpose(axes))
+
+    def __repr__(self):
+        return f"ITensor({self._data!r})"
+
+
+def _as_f32(x) -> jax.Array:
+    arr = jnp.asarray(x)
+    if arr.dtype != jnp.float32:
+        raise ValueError("Use float32 for FTensor")
+    return arr
+
+
+class FTensor:
+    """float32 device tensor. reference: numpy_quant/tensor.py:47-152."""
+
+    def __init__(self, data):
+        self._data = _as_f32(data)
+
+    @property
+    def data(self) -> jax.Array:
+        return self._data
+
+    @property
+    def shape(self) -> ITensor:
+        return ITensor(np.array(self._data.shape, dtype=np.int64))
+
+    @property
+    def T(self) -> "FTensor":
+        return FTensor(self._data.T)
+
+    def copy(self) -> "FTensor":
+        return FTensor(self._data)
+
+    def reshape(self, shape: ITensor) -> "FTensor":
+        return FTensor(self._data.reshape(tuple(shape.data)))
+
+    def take(self, indices: ITensor, axis: int) -> "FTensor":
+        return FTensor(jnp.take(self._data, indices.data, axis=axis))
+
+    def transpose(self, *axes) -> "FTensor":
+        return FTensor(self._data.transpose(*axes))
+
+    def __neg__(self) -> "FTensor":
+        return FTensor(-self._data)
+
+    def __mul__(self, other: "FTensor") -> "FTensor":
+        if isinstance(other, FTensor):
+            return FTensor(self._data * other.data)
+        raise ValueError(f"Value of type {type(other)} cannot be multiplied")
+
+    def __add__(self, other) -> "FTensor":
+        if isinstance(other, FTensor):
+            return FTensor(self._data + other.data)
+        if isinstance(other, float):
+            return FTensor(self._data + jnp.float32(other))
+        raise ValueError(f"Value of type {type(other)} cannot be added")
+
+    def __radd__(self, other) -> "FTensor":
+        return self.__add__(other)
+
+    def __getitem__(self, ind) -> "FTensor":
+        return FTensor(self._data.__getitem__(ind))
+
+    def matmul(self, other: "FTensor") -> "FTensor":
+        return FTensor(jnp.matmul(self._data, other.data,
+                                  precision=config.float_matmul_precision))
+
+    def div(self, other: "FTensor") -> "FTensor":
+        return FTensor(self._data / other.data)
+
+    def erf(self) -> "FTensor":
+        return FTensor(_erf(self._data))
+
+    def exp(self) -> "FTensor":
+        return FTensor(jnp.exp(self._data))
+
+    def expand(self, shape: ITensor) -> "FTensor":
+        # ONNX Expand: target dims of 1 keep the (larger) current dim.
+        # reference: numpy_quant/tensor.py:112-119.
+        curr_shape = np.array(self._data.shape, dtype=np.int64)
+        new_shape = np.array(shape.data, copy=True)
+        if new_shape.size < curr_shape.size:
+            new_shape = np.concatenate(
+                [curr_shape[:curr_shape.size - new_shape.size], new_shape])
+        pad = new_shape.size - curr_shape.size
+        curr_padded = np.concatenate([np.ones(pad, dtype=np.int64), curr_shape])
+        adjust = np.logical_and(new_shape < curr_padded, new_shape == 1)
+        new_shape[adjust] = curr_padded[adjust]
+        return FTensor(jnp.broadcast_to(self._data, tuple(int(d) for d in new_shape)))
+
+    def inv(self) -> "FTensor":
+        return FTensor(1 / self._data)
+
+    def max(self, axis: int, keepdims: bool) -> "FTensor":
+        return FTensor(self._data.max(axis=axis, keepdims=keepdims))
+
+    def mean(self, axis, keepdims: bool) -> "FTensor":
+        axis = tuple(axis) if isinstance(axis, (list, tuple)) else axis
+        return FTensor(self._data.mean(axis=axis, keepdims=keepdims))
+
+    def relu(self) -> "FTensor":
+        return FTensor((self._data > 0) * self._data)
+
+    def sigmoid(self) -> "FTensor":
+        return (1.0 + (-self).exp()).inv()
+
+    def sum(self, axis: int, keepdims: bool) -> "FTensor":
+        return FTensor(self._data.sum(axis=axis, keepdims=keepdims))
+
+    def softmax(self, axis: int) -> "FTensor":
+        # Max-subtracted, same composition as the reference
+        # (numpy_quant/tensor.py:139-146).
+        m = self + (-(self.max(axis=axis, keepdims=True)))
+        e = m.exp()
+        return e.div(e.sum(axis=axis, keepdims=True))
+
+    def sqrt(self) -> "FTensor":
+        return FTensor(jnp.sqrt(self._data))
+
+    def tanh(self) -> "FTensor":
+        return FTensor(jnp.tanh(self._data))
+
+    def __repr__(self):
+        return f"FTensor(shape={tuple(self._data.shape)})"
+
+
+class QTensor:
+    """Quantized tensor: integer-container data + (bit_width, scale,
+    zero_point). reference: numpy_quant/tensor.py:155-221.
+
+    data dtype is int32 (int64 in exact/x64 mode; float32 carrier only on
+    the TPU >8-bit compatibility path). scale is a static host scalar.
+    zero_point is None, a host int scalar, or a traced correction tensor.
+    """
+
+    def __init__(self, data, bit_width: int, scale,
+                 zero_point: Optional[Any] = None):
+        self._data = jnp.asarray(data)
+        self.bit_width = int(bit_width)
+        self.scale = scale
+        self.zero_point = zero_point
+
+    @property
+    def data(self) -> jax.Array:
+        return self._data
+
+    @property
+    def shape(self):
+        return tuple(self._data.shape)
+
+    @property
+    def T(self) -> "QTensor":
+        zp = self.zero_point
+        if zp is not None and hasattr(zp, "T"):
+            zp = zp.T
+        return QTensor(self._data.T, self.bit_width, self.scale, zp)
+
+    def copy(self) -> "QTensor":
+        return QTensor(self._data, self.bit_width, self.scale, self.zero_point)
+
+    def reshape(self, shape: ITensor) -> "QTensor":
+        return QTensor(self._data.reshape(tuple(shape.data)),
+                       self.bit_width, self.scale, self.zero_point)
+
+    def transpose(self, *axes) -> "QTensor":
+        zp = self.zero_point
+        if zp is not None and hasattr(zp, "ndim") and getattr(zp, "ndim", 0) > 0:
+            zp = jnp.transpose(zp, *axes)
+        return QTensor(self._data.transpose(*axes),
+                       self.bit_width, self.scale, zp)
+
+    def __add__(self, other: "QTensor") -> "QTensor":
+        if isinstance(other, QTensor):
+            return QTensor(self._data + other.data, self.bit_width,
+                           self.scale, self.zero_point)
+        raise ValueError(f"Cannot add QTensor with {other.__class__}")
+
+    def dequantize(self) -> FTensor:
+        return FTensor(_dequantize(self._data, self.scale, self.zero_point))
+
+    def requantize(self, bit_width: int, scale, zero_point) -> "QTensor":
+        qdata = _requantize(self._data, self.scale, self.zero_point,
+                            res_scale=scale, res_zero_point=zero_point,
+                            bit_width=bit_width)
+        return QTensor(qdata, bit_width, scale, zero_point)
+
+    def matmul(self, other: "QTensor") -> "QTensor":
+        assert self.bit_width == other.bit_width, \
+            f"{self.bit_width} != {other.bit_width}"
+        bit_width = self.bit_width
+        y, scale, zero_point = q_matmul(
+            self._data, self.scale, self.zero_point,
+            other._data, other.scale, other.zero_point,
+            bit_width=bit_width)
+        # int8 -> int32 accumulator modelling (reference: tensor.py:210).
+        return QTensor(y, 4 * bit_width, scale, zero_point)
+
+    def relu(self) -> "QTensor":
+        zp = 0 if self.zero_point is None else self.zero_point
+        zp = jnp.asarray(zp, self._data.dtype)
+        return QTensor(jnp.maximum(self._data, zp), self.bit_width,
+                       self.scale, self.zero_point)
+
+    def sigmoid(self) -> "QTensor":
+        # Dequant -> float sigmoid -> requant with the SAME parameters
+        # (reference: tensor.py:217-221).
+        activations = self.dequantize().sigmoid()
+        qact = _quantize(activations.data, self.bit_width, self.scale,
+                         self.zero_point)
+        return QTensor(qact, self.bit_width, self.scale, self.zero_point)
+
+    def __repr__(self):
+        return (f"QTensor(shape={self.shape}, bit_width={self.bit_width}, "
+                f"scale={self.scale})")
+
+
+Tensor = Union[ITensor, FTensor, QTensor]
+
+
+def quantize_tensor(tensor: FTensor, bit_width: int, scale, zero_point) -> QTensor:
+    qdata = _quantize(tensor.data, bit_width, scale, zero_point)
+    return QTensor(qdata, bit_width, scale=scale, zero_point=zero_point)
+
+
+def tensor_min_max(tensor: Tensor):
+    """Global min/max clamped to include 0.
+    reference: numpy_quant/tensor.py:232-236."""
+    data = tensor.data
+    zero = np.float32(0.0)
+    if isinstance(data, np.ndarray):
+        return (np.minimum(data.min(), zero).astype(np.float32),
+                np.maximum(data.max(), zero).astype(np.float32))
+    return (np.float32(jnp.minimum(data.min(), zero)),
+            np.float32(jnp.maximum(data.max(), zero)))
+
+
+def quantize_tensor_min_max(tensor: Tensor, bit_width: int, asymmetric: bool) -> QTensor:
+    min_val, max_val = tensor_min_max(tensor)
+    scale, zero_point = quant_parameters(min_val, max_val, bit_width, asymmetric)
+    return quantize_tensor(tensor, bit_width, scale, zero_point)
+
+
+def concat(x_list: list, axis: int):
+    assert all(x.__class__ == x_list[0].__class__ for x in x_list), (
+        f"types {[x.__class__ for x in x_list]} of x_list entries do not match")
+    first = x_list[0]
+    if isinstance(first, ITensor):
+        return ITensor(np.concatenate([x.data for x in x_list], axis=axis))
+    if isinstance(first, FTensor):
+        return FTensor(jnp.concatenate([x.data for x in x_list], axis=axis))
+    raise ValueError(f"concat of {type(first)} not supported")
+
+
+def where(condition: ITensor, a: Tensor, b: Tensor):
+    assert a.__class__ == b.__class__, \
+        f"types {a.__class__} and {b.__class__} do not match"
+    if isinstance(a, ITensor):
+        return ITensor(np.where(condition.data, a.data, b.data))
+    if isinstance(a, FTensor):
+        return FTensor(jnp.where(jnp.asarray(condition.data != 0), a.data, b.data))
+    raise ValueError(f"where of {type(a)} not supported")
+
+
+def fconv2d(x: FTensor, w: FTensor, b: FTensor, pads, strides) -> FTensor:
+    """Float conv2d on NCHW input (reference: numpy_quant/tensor.py:256-264
+    + numpy_helper.py:73-92), lowered to lax.conv_general_dilated."""
+    return FTensor(conv2d_nchw(x.data, w.data, b.data, pads, strides))
