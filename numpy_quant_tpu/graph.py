@@ -1,0 +1,134 @@
+"""Graph IR and ONNX importer.
+
+Same observable structure as the reference graph layer
+(reference: numpy_quant/model.py:17-54,249-292): doubly-linked
+Constant/Variable/Node objects in ONNX graph order. The importer
+classifies initializers by dtype -- float32 payloads become device
+FTensors, int64 payloads become host ITensors so shape-domain
+computation constant-folds at trace time (see tensor.py).
+"""
+from __future__ import annotations
+
+from typing import Any, List, Union
+
+import numpy as np
+
+from . import onnx as onnx_lib
+from .tensor import FTensor, ITensor, Tensor
+
+
+class Constant:
+    """reference: numpy_quant/model.py:17-24"""
+
+    def __init__(self, name: str, outputs: List["Node"], data: Tensor = None):
+        self.name = name
+        self.outputs = outputs
+        self.data = data
+
+    def __repr__(self):
+        return f"Constant({self.name})"
+
+
+class Variable:
+    """reference: numpy_quant/model.py:27-35"""
+
+    def __init__(self, name: str, inputs: List["Node"], outputs: List["Node"],
+                 data: Tensor = None):
+        self.name = name
+        self.inputs = inputs
+        self.outputs = outputs
+        self.data = data
+
+    def __repr__(self):
+        return f"Variable({self.name})"
+
+
+Value = Union[Constant, Variable]
+
+
+class Node:
+    """reference: numpy_quant/model.py:41-54"""
+
+    def __init__(self, name: str, op: str, attrs: dict[str, Any],
+                 inputs: List[Value], outputs: List[Value]):
+        self.name = name
+        self.op = op
+        self.attrs = attrs
+        self.inputs = inputs
+        self.outputs = outputs
+
+    def __repr__(self):
+        return f"Node({self.name})"
+
+
+def attribute_to_python(attr) -> Any:
+    """ONNX attribute -> python/numpy value
+    (reference: numpy_quant/model.py:57-62)."""
+    value = onnx_lib.get_attribute_value(attr)
+    if isinstance(value, onnx_lib.TensorProto):
+        return onnx_lib.to_array(value)
+    return value
+
+
+def wrap_array(arr: np.ndarray) -> Tensor:
+    """Classify a host array into the tensor layer."""
+    arr = np.asarray(arr)
+    if arr.dtype == np.float32:
+        return FTensor(arr)
+    if arr.dtype in (np.int64, np.int32, np.bool_):
+        return ITensor(arr.astype(np.int64))
+    raise ValueError(f"Array dtype {arr.dtype} not supported")
+
+
+def import_onnx(onnx_model: onnx_lib.ModelProto):
+    """Build (nodes, values, inputs, outputs) from a ModelProto.
+
+    Mirrors reference: numpy_quant/model.py:249-292 with one spec fix:
+    a graph input that is also an initializer stays a Constant.
+    """
+    graph = onnx_model.graph
+
+    value_dict: dict[str, Value] = {}
+    initializer_names = set()
+    for onnx_tensor in graph.initializer:
+        arr = onnx_lib.to_array(onnx_tensor)
+        value_dict[onnx_tensor.name] = Constant(onnx_tensor.name, outputs=[],
+                                                data=wrap_array(arr))
+        initializer_names.add(onnx_tensor.name)
+
+    inputs: List[Variable] = []
+    for onnx_vi in graph.input:
+        if onnx_vi.name in initializer_names:
+            continue
+        value_dict[onnx_vi.name] = Variable(onnx_vi.name, inputs=[], outputs=[])
+        inputs.append(value_dict[onnx_vi.name])
+
+    nodes: dict[str, Node] = {}
+    for i, onnx_node in enumerate(graph.node):
+        name = onnx_node.name or f"{onnx_node.op_type}_{i}"
+        for input_name in onnx_node.input:
+            if input_name and input_name not in value_dict:
+                value_dict[input_name] = Variable(input_name, inputs=[], outputs=[])
+        node = Node(
+            name=name,
+            op=onnx_node.op_type,
+            attrs={a.name: attribute_to_python(a) for a in onnx_node.attribute},
+            inputs=[value_dict[n] for n in onnx_node.input if n],
+            outputs=[],
+        )
+        for input_name in onnx_node.input:
+            if not input_name:
+                continue
+            value_dict[input_name].outputs.append(node)
+        for output_name in onnx_node.output:
+            if output_name not in value_dict:
+                value_dict[output_name] = Variable(output_name, inputs=[node],
+                                                   outputs=[])
+            else:
+                value_dict[output_name].inputs.append(node)
+        node.outputs = [value_dict[n] for n in onnx_node.output]
+        nodes[name] = node
+
+    outputs: List[Value] = [value_dict[vi.name] for vi in graph.output]
+
+    return list(nodes.values()), list(value_dict.values()), inputs, outputs

@@ -1,0 +1,445 @@
+"""Model / QModel: ONNX graph import, execution, calibration and PTQ.
+
+Capability-parity with the reference graph layer
+(reference: numpy_quant/model.py:216-565), redesigned for XLA:
+
+* ``Model.from_onnx`` imports the graph once; ``__call__`` lowers the
+  whole node walk into ONE jitted function per input signature (shapes
+  are static, shape-domain values constant-fold via host ITensors) --
+  instead of the reference's per-node interpreter loop.
+* ``profile=True`` / ``record=True`` run the same node walk eagerly,
+  populating per-op-type wall times and per-value ``.data`` exactly like
+  the reference executors (model.py:294-326, 486-565).
+* ``Model.quantize`` runs a single jitted calibration pass that returns
+  global min/max for every value (on device), then applies the
+  reference's per-node parameter strategy (model.py:328-442).
+* ``QModel.__call__`` quantizes float inputs of MatMul/Gemm on the fly
+  ("TinyqQuant"), dequantizes quantized inputs of every other op
+  ("TinyqDequant"), requantizes Gemm outputs, and dequantizes quantized
+  graph outputs (model.py:486-565) -- all inside one jitted function on
+  the fast path, leaving XLA to fuse the boundary conversions into the
+  int8 MXU matmuls.
+"""
+from __future__ import annotations
+
+from time import time
+from typing import Any, List, Union
+
+import jax
+import numpy as np
+
+from . import onnx as onnx_lib
+from .graph import Constant, Node, Value, Variable, import_onnx
+from .ops.registry import onnx_operator_implementation
+from .quantization import quant_parameters
+from .tensor import (
+    FTensor,
+    ITensor,
+    QTensor,
+    Tensor,
+    quantize_tensor,
+)
+
+
+class QuantizationParams:
+    """(scale, zero_point) record. reference: numpy_quant/model.py:445-451."""
+
+    def __init__(self, scale, zero_point):
+        self.scale = scale
+        self.zero_point = zero_point
+
+    def __repr__(self):
+        return f"QuantizationParams(scale={self.scale}, zero_point={self.zero_point})"
+
+
+def _static_key(arr: np.ndarray) -> tuple:
+    return (arr.shape, arr.tobytes())
+
+
+class Model:
+    def __init__(self, nodes: list[Node], values: list[Value],
+                 inputs: List[Variable], outputs: List[Value]):
+        self.nodes = nodes
+        self.values = values
+        self.inputs = inputs
+        self.outputs = outputs
+        self._jit_cache: dict = {}
+
+    def __repr__(self):
+        return (f"{type(self).__name__}(nodes={self.nodes}, values={self.values}, "
+                f"inputs={self.inputs}, outputs={self.outputs})")
+
+    def __del__(self):
+        # Break node<->value links so large arrays free without waiting
+        # for the cycle collector (reference: numpy_quant/model.py:236-247).
+        for node in getattr(self, "nodes", []):
+            node.inputs = []
+            node.outputs = []
+        for value in getattr(self, "values", []):
+            if isinstance(value, Variable):
+                value.inputs = []
+            value.outputs = []
+
+    @classmethod
+    def from_onnx(cls, onnx_model: onnx_lib.ModelProto) -> "Model":
+        nodes, values, inputs, outputs = import_onnx(onnx_model)
+        return cls(nodes, values, inputs, outputs)
+
+    # ------------------------------------------------------------------
+    # Input/constant wrapping (overridden by QModel)
+    # ------------------------------------------------------------------
+
+    def _wrap_input(self, array: np.ndarray, variable: Variable) -> Tensor:
+        if array.dtype == np.float32:
+            return FTensor(jax.numpy.asarray(array))
+        if array.dtype == np.int64:
+            return ITensor(array)
+        raise ValueError(f"Array dtype {array.dtype} not supported")
+
+    def _device_params(self) -> dict[str, Any]:
+        """Device-resident constant payloads, passed as a jit argument so
+        weights are not baked into the compiled HLO as literals."""
+        params = {}
+        for value in self.values:
+            if isinstance(value, Constant) and isinstance(value.data, (FTensor, QTensor)):
+                params[value.name] = value.data.data
+        return params
+
+    def _wrap_constant(self, value: Constant, params: dict[str, Any]) -> Tensor:
+        data = value.data
+        if isinstance(data, FTensor):
+            return FTensor(params[value.name])
+        if isinstance(data, QTensor):
+            return QTensor(params[value.name], data.bit_width, data.scale,
+                           data.zero_point)
+        return data  # host ITensor
+
+    # ------------------------------------------------------------------
+    # Node walk (shared by tracing and eager execution)
+    # ------------------------------------------------------------------
+
+    def _node_inputs(self, node: Node, data: dict[str, Tensor],
+                     timings) -> list[Tensor]:
+        return [data[v.name] for v in node.inputs]
+
+    def _post_node(self, node: Node, outputs: list[Tensor]) -> list[Tensor]:
+        return outputs
+
+    def _profile_buckets(self) -> dict[str, float]:
+        return {op: 0.0 for op in {n.op for n in self.nodes}}
+
+    def _forward(self, input_tensors: dict[str, Tensor], params: dict[str, Any],
+                 timings=None, record: bool = False) -> dict[str, Tensor]:
+        data: dict[str, Tensor] = {}
+        for value in self.values:
+            if isinstance(value, Constant):
+                data[value.name] = self._wrap_constant(value, params)
+        data.update(input_tensors)
+
+        for node in self.nodes:
+            ins = self._node_inputs(node, data, timings)
+            if timings is not None:
+                stime = time()
+                outs = onnx_operator_implementation(node.op, ins, node.attrs)
+                outs = self._post_node(node, outs)
+                jax.block_until_ready([t.data for t in outs])
+                timings[node.op] += time() - stime
+            else:
+                outs = onnx_operator_implementation(node.op, ins, node.attrs)
+                outs = self._post_node(node, outs)
+            for o, tensor in zip(node.outputs, outs):
+                data[o.name] = tensor
+                if record:
+                    o.data = tensor
+        if record:
+            for variable in self.inputs:
+                variable.data = input_tensors.get(variable.name, variable.data)
+        return data
+
+    # ------------------------------------------------------------------
+    # Output conversion (overridden by QModel)
+    # ------------------------------------------------------------------
+
+    def _finalize_output(self, tensor: Tensor):
+        return tensor.data
+
+    # ------------------------------------------------------------------
+    # Execution
+    # ------------------------------------------------------------------
+
+    def __call__(self, inputs: List[np.ndarray], profile: bool = False,
+                 record: bool = False):
+        """Run the model. Fast path is one jitted function per input
+        signature. ``profile=True`` runs eagerly and returns
+        (outputs, per-op-type seconds) like the reference executors;
+        ``record=True`` also populates ``value.data`` on the graph."""
+        arrays = [np.asarray(a) for a in inputs]
+
+        if profile or record:
+            input_tensors = {v.name: self._wrap_input(a, v)
+                             for a, v in zip(arrays, self.inputs)}
+            timings = self._profile_buckets() if profile else None
+            data = self._forward(input_tensors, self._device_params(),
+                                 timings=timings, record=record)
+            outs = [np.asarray(self._finalize_output(data[o.name]))
+                    for o in self.outputs]
+            if profile:
+                return outs, timings
+            return outs
+
+        float_idx = [i for i, a in enumerate(arrays) if a.dtype != np.int64]
+        int_idx = [i for i, a in enumerate(arrays) if a.dtype == np.int64]
+        key = (
+            tuple((i, arrays[i].shape, str(arrays[i].dtype)) for i in float_idx),
+            tuple((i, _static_key(arrays[i])) for i in int_idx),
+            bool(jax.config.jax_enable_x64),
+        )
+        if key not in self._jit_cache:
+            int_consts = {i: arrays[i].copy() for i in int_idx}
+            # weakref: the cached closure must not keep the model alive,
+            # so __del__'s link-breaking still runs without the cycle
+            # collector (reference: numpy_quant/model.py:236-247).
+            import weakref
+            model = weakref.proxy(self)
+
+            def fn(float_args: list, params: dict[str, Any]):
+                input_tensors = {}
+                fa = iter(float_args)
+                for i, variable in enumerate(model.inputs):
+                    if i in int_consts:
+                        input_tensors[variable.name] = ITensor(int_consts[i])
+                    else:
+                        input_tensors[variable.name] = model._wrap_input_traced(
+                            next(fa), variable)
+                data = model._forward(input_tensors, params)
+                return [model._finalize_output(data[o.name]) for o in model.outputs]
+
+            self._jit_cache[key] = jax.jit(fn)
+        outs = self._jit_cache[key]([arrays[i] for i in float_idx],
+                                    self._device_params())
+        return [np.asarray(o) for o in outs]
+
+    def _wrap_input_traced(self, array, variable: Variable) -> Tensor:
+        return self._wrap_input(array, variable)
+
+    # ------------------------------------------------------------------
+    # Calibration + PTQ pass
+    # ------------------------------------------------------------------
+
+    def calibration_stats(self, inputs: List[np.ndarray]):
+        """Global min/max per value name, computed on device in one jitted
+        pass (the reference runs a full float forward and reduces on host,
+        numpy_quant/model.py:329-336; same semantics: GLOBAL reduction)."""
+        arrays = [np.asarray(a) for a in inputs]
+        device_names: list[str] = []
+        host_stats: dict[str, tuple[float, float]] = {}
+
+        def fn(float_args: list, params: dict[str, Any]):
+            input_tensors = {}
+            fa = iter(float_args)
+            for a, variable in zip(arrays, self.inputs):
+                if a.dtype == np.int64:
+                    input_tensors[variable.name] = ITensor(a)
+                else:
+                    input_tensors[variable.name] = FTensor(next(fa))
+            data = self._forward(input_tensors, params)
+            mins, maxs = [], []
+            device_names.clear()
+            host_stats.clear()
+            for name, tensor in data.items():
+                if isinstance(tensor, ITensor):
+                    host_stats[name] = (float(tensor.data.min()),
+                                        float(tensor.data.max()))
+                else:
+                    device_names.append(name)
+                    mins.append(jax.numpy.min(tensor.data))
+                    maxs.append(jax.numpy.max(tensor.data))
+            return jax.numpy.stack(mins), jax.numpy.stack(maxs)
+
+        float_args = [a for a in arrays if a.dtype != np.int64]
+        mins, maxs = jax.jit(fn)(float_args, self._device_params())
+        mins = np.asarray(mins)
+        maxs = np.asarray(maxs)
+        stats = {name: (np.float32(mins[i]), np.float32(maxs[i]))
+                 for i, name in enumerate(device_names)}
+        stats.update({k: (np.float32(v[0]), np.float32(v[1]))
+                      for k, v in host_stats.items()})
+        return stats
+
+    def quantize(self, calibration_inputs: list[np.ndarray], bit_width: int = 8
+                 ) -> "QModel":
+        """Post-training quantization. Per-node parameter strategy follows
+        reference: numpy_quant/model.py:328-442."""
+        stats = self.calibration_stats(calibration_inputs)
+        node_dict = {node.name: node for node in self.nodes}
+        value_dict = {value.name: value for value in self.values}
+
+        def qparams_for(name: str, asymmetric: bool) -> QuantizationParams:
+            mn, mx = stats[name]
+            scale, zero_point = quant_parameters(mn, mx, bit_width=bit_width,
+                                                 asymmetric=asymmetric)
+            return QuantizationParams(scale, zero_point)
+
+        qnodes_dict: dict[str, Node] = {}
+        qvalues_dict: dict[str, Value] = {}
+        qparams_per_value: dict[str, QuantizationParams] = {}
+
+        # Graph inputs: asymmetric (reference: model.py:349-355).
+        for value in self.inputs:
+            qvalues_dict[value.name] = Variable(value.name, [], [], None)
+            qparams_per_value[value.name] = qparams_for(
+                value.name, isinstance(value, Variable))
+
+        # Constants: symmetric per-tensor (reference: model.py:357-365).
+        for value in self.values:
+            if isinstance(value, Constant):
+                if isinstance(value.data, ITensor):
+                    qvalues_dict[value.name] = Constant(value.name, [],
+                                                        value.data.copy())
+                    continue
+                qp = qparams_for(value.name, asymmetric=False)
+                qvalues_dict[value.name] = Constant(
+                    value.name, [],
+                    quantize_tensor(value.data, bit_width, qp.scale, qp.zero_point))
+                qparams_per_value[value.name] = qp
+
+        # Per-node strategy (reference: model.py:367-425).
+        for node in self.nodes:
+            def register_out_asym():
+                out_val = node.outputs[0]
+                qvalues_dict[out_val.name] = Variable(out_val.name, [], [], None)
+                qparams_per_value[out_val.name] = qparams_for(out_val.name, True)
+                qnodes_dict[node.name] = Node(node.name, node.op, node.attrs, [], [])
+
+            if node.op == "MatMul":
+                register_out_asym()
+            elif node.op == "Gemm":
+                for input_value in node.inputs[:2]:
+                    if isinstance(input_value, Variable):
+                        qvalues_dict[input_value.name] = Variable(
+                            input_value.name, [], [], None)
+                        qparams_per_value[input_value.name] = qparams_for(
+                            input_value.name, isinstance(input_value, Variable))
+                # Bias: symmetric at scale s1*s2, 4x bit width
+                # (int32 accumulator modelling; reference: model.py:383-389).
+                if len(node.inputs) > 2:
+                    bias = node.inputs[2]
+                    qparams1 = qparams_per_value[node.inputs[0].name]
+                    qparams2 = qparams_per_value[node.inputs[1].name]
+                    bias_scale = qparams1.scale * qparams2.scale
+                    qparams_per_value[bias.name] = QuantizationParams(bias_scale, None)
+                    qbias = quantize_tensor(value_dict[bias.name].data,
+                                            4 * bit_width, bias_scale, None)
+                    qvalues_dict[bias.name] = Constant(bias.name, [], qbias)
+                register_out_asym()
+            elif node.op == "Add" and (isinstance(node.inputs[0], Constant)
+                                       or isinstance(node.inputs[1], Constant)):
+                bias_ind = 0 if isinstance(node.inputs[0], Constant) else 1
+                x_ind = 1 - bias_ind
+                x_name = node.inputs[x_ind].name
+                bias_name = node.inputs[bias_ind].name
+                bias_data = value_dict[bias_name].data
+                bias_scale = qparams_per_value[x_name].scale
+                qbias = quantize_tensor(bias_data, 4 * bit_width, bias_scale, None)
+                qvalues_dict[bias_name] = Constant(bias_name, [], qbias)
+                qparams_per_value[bias_name] = QuantizationParams(bias_scale, None)
+                register_out_asym()
+            elif node.op in ("Identity", "Relu"):
+                out_val = node.outputs[0]
+                qvalues_dict[out_val.name] = Variable(out_val.name, [], [], None)
+                qparams_per_value[out_val.name] = \
+                    qparams_per_value[node.inputs[0].name]
+                qnodes_dict[node.name] = Node(node.name, node.op, node.attrs, [], [])
+            else:
+                out_val = node.outputs[0]
+                qvalues_dict[out_val.name] = Variable(out_val.name, [], [], None)
+                if out_val.name in stats:
+                    qparams_per_value[out_val.name] = qparams_for(out_val.name, True)
+                qnodes_dict[node.name] = Node(node.name, node.op, node.attrs, [], [])
+
+        # Re-link the cloned graph (reference: model.py:427-436).
+        for name, qnode in qnodes_dict.items():
+            qnode.inputs = [qvalues_dict[i.name] for i in node_dict[name].inputs]
+            qnode.outputs = [qvalues_dict[o.name] for o in node_dict[name].outputs]
+        for name, qvalue in qvalues_dict.items():
+            if isinstance(qvalue, Variable):
+                qvalue.inputs = [qnodes_dict[i.name] for i in value_dict[name].inputs]
+            qvalue.outputs = [qnodes_dict[o.name] for o in value_dict[name].outputs]
+
+        qoutputs = [qvalues_dict[o.name] for o in self.outputs]
+        qinputs = [qvalues_dict[i.name] for i in self.inputs]
+
+        return QModel(list(qnodes_dict.values()), list(qvalues_dict.values()),
+                      qinputs, qoutputs, bit_width, qparams_per_value)
+
+
+class QModel(Model):
+    """Quantized executor. reference: numpy_quant/model.py:454-565."""
+
+    def __init__(self, nodes, values, inputs, outputs, bit_width: int,
+                 quant_params: dict[str, QuantizationParams]):
+        super().__init__(nodes, values, inputs, outputs)
+        self.bit_width = bit_width
+        self.quant_params = quant_params
+
+    def _wrap_input(self, array: np.ndarray, variable: Variable) -> Tensor:
+        if array.dtype == np.float32:
+            qp = self.quant_params[variable.name]
+            return quantize_tensor(FTensor(jax.numpy.asarray(array)),
+                                   self.bit_width, qp.scale, qp.zero_point)
+        if array.dtype == np.int64:
+            return ITensor(array)
+        raise ValueError(f"Array dtype {array.dtype} not supported")
+
+    def _profile_buckets(self) -> dict[str, float]:
+        buckets = super()._profile_buckets()
+        buckets["TinyqQuant"] = 0.0
+        buckets["TinyqDequant"] = 0.0
+        return buckets
+
+    def _node_inputs(self, node: Node, data: dict[str, Tensor],
+                     timings) -> list[Tensor]:
+        ins = []
+        if node.op in ("MatMul", "Gemm"):
+            # Quantize any float inputs on the fly ("TinyqQuant",
+            # reference: model.py:503-527).
+            for v in node.inputs:
+                t = data[v.name]
+                if isinstance(t, FTensor):
+                    qp = self.quant_params[v.name]
+                    stime = time()
+                    t = quantize_tensor(t, self.bit_width, qp.scale, qp.zero_point)
+                    if timings is not None:
+                        jax.block_until_ready(t.data)
+                        timings["TinyqQuant"] += time() - stime
+                ins.append(t)
+        else:
+            # Dequantize quantized inputs ("TinyqDequant",
+            # reference: model.py:528-538).
+            for v in node.inputs:
+                t = data[v.name]
+                if isinstance(t, QTensor):
+                    stime = time()
+                    t = t.dequantize()
+                    if timings is not None:
+                        jax.block_until_ready(t.data)
+                        timings["TinyqDequant"] += time() - stime
+                ins.append(t)
+        return ins
+
+    def _post_node(self, node: Node, outputs: list[Tensor]) -> list[Tensor]:
+        if node.op == "Gemm":
+            # Gemm outputs requantize to the model bit width; MatMul
+            # outputs stay 4x-bit-width accumulators
+            # (reference: model.py:544-548).
+            qp = self.quant_params[node.outputs[0].name]
+            return [t.requantize(self.bit_width, qp.scale, qp.zero_point)
+                    for t in outputs]
+        return outputs
+
+    def _finalize_output(self, tensor: Tensor):
+        if isinstance(tensor, FTensor):
+            return tensor.data
+        if isinstance(tensor, QTensor):
+            return tensor.dequantize().data
+        raise ValueError(f"Unsupported output tensor {type(tensor)}")

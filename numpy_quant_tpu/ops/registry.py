@@ -1,0 +1,188 @@
+"""ONNX operator implementations over the tensor layer.
+
+Covers the reference's 26-op set (reference: numpy_quant/model.py:65-213)
+plus a handful of common extras. Class-polymorphic: the same code path
+serves FTensor and QTensor where the reference's does. Spec deviations
+of the reference are implemented spec-correct here (SURVEY.md §5.5-5.7):
+Unsqueeze returns a list, Gather removes the axis for rank-0 indices,
+ReduceMean reads ``axes``, Slice honours ``steps``, Gemm honours
+alpha/beta.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..tensor import FTensor, ITensor, QTensor, Tensor, concat, fconv2d, where
+
+
+def _resolve_reshape_shape(x_shape, shape: np.ndarray, allowzero: int) -> tuple:
+    """ONNX Reshape: 0 copies the input dim (unless allowzero), -1 infers."""
+    out = list(int(d) for d in shape)
+    if not allowzero:
+        for i, d in enumerate(out):
+            if d == 0:
+                out[i] = int(x_shape[i])
+    return tuple(out)
+
+
+def onnx_operator_implementation(op: str, inputs: list[Tensor],
+                                 attrs: dict[str, object]) -> list[Tensor]:
+    if op == "Add":
+        return [inputs[0] + inputs[1]]
+    elif op == "Sub":
+        return [inputs[0] + (-inputs[1])]
+    elif op == "Concat":
+        return [concat(list(inputs), axis=attrs["axis"])]
+    elif op == "Constant":
+        value = attrs["value"]
+        if value.dtype == np.float32:
+            return [FTensor(value)]
+        elif value.dtype in (np.int64, np.int32):
+            return [ITensor(value)]
+        raise ValueError(f"Constant value dtype {value.dtype} not supported.")
+    elif op == "ConstantOfShape":
+        shape = inputs[0]
+        value = attrs.get("value")
+        if value is None:
+            value = np.zeros(1, dtype=np.float32)
+        value = np.asarray(value)
+        y = np.full(tuple(int(d) for d in shape.data), fill_value=value.reshape(-1)[0],
+                    dtype=value.dtype)
+        if value.dtype == np.float32:
+            return [FTensor(y)]
+        elif value.dtype == np.int64:
+            return [ITensor(y)]
+        raise ValueError(f"ConstantOfShape dtype {value.dtype} not supported.")
+    elif op == "Conv":
+        x, w = inputs[0], inputs[1]
+        b = inputs[2] if len(inputs) > 2 else None
+        group = int(attrs.get("group", 1))
+        if group != 1:
+            raise ValueError("grouped Conv not supported")
+        kh, kw = w.data.shape[2], w.data.shape[3]
+        pads = tuple(attrs.get("pads", (0, 0, 0, 0)))
+        strides = tuple(attrs.get("strides", (1, 1)))
+        dils = tuple(attrs.get("dilations", (1, 1)))
+        if tuple(dils) != (1, 1):
+            raise ValueError("dilated Conv not supported")
+        return [fconv2d(x, w, b, pads, strides)]
+    elif op == "Div":
+        return [inputs[0].div(inputs[1])]
+    elif op == "Equal":
+        return [inputs[0] == inputs[1]]
+    elif op == "Erf":
+        return [inputs[0].erf()]
+    elif op == "Expand":
+        return [inputs[0].expand(inputs[1])]
+    elif op == "Gather":
+        return [inputs[0].take(inputs[1], axis=int(attrs.get("axis", 0)))]
+    elif op == "Gemm":
+        x, w = inputs[0], inputs[1]
+        b = inputs[2] if len(inputs) > 2 else None
+        alpha = float(attrs.get("alpha", 1.0))
+        beta = float(attrs.get("beta", 1.0))
+        if attrs.get("transA"):
+            x = x.T
+        if attrs.get("transB"):
+            w = w.T
+        y = x.matmul(w)
+        if alpha != 1.0:
+            y = y * FTensor(np.array(alpha, np.float32))  # float path only
+        if b is not None:
+            if beta != 1.0:
+                b = b * FTensor(np.array(beta, np.float32))
+            y = y + b
+        return [y]
+    elif op == "Identity":
+        return [inputs[0].copy()]
+    elif op == "LayerNormalization":
+        # Same decomposition as the reference
+        # (numpy_quant/model.py:134-152) for bit-compatible numerics.
+        x, scale, bias = inputs[0], inputs[1], inputs[2] if len(inputs) > 2 else None
+        axis = int(attrs.get("axis", -1))
+        epsilon = float(attrs.get("epsilon", 1e-5))
+        mean = x.mean(axis=axis, keepdims=True)
+        d = x + (-mean)
+        dd = d * d
+        var = dd.mean(axis=axis, keepdims=True)
+        vareps = var + epsilon
+        stddev = vareps.sqrt()
+        normalized = d * stddev.inv()
+        y = normalized * scale
+        if bias is not None:
+            y = y + bias
+        return [y]
+    elif op == "MatMul":
+        return [inputs[0].matmul(inputs[1])]
+    elif op == "Mul":
+        return [inputs[0] * inputs[1]]
+    elif op == "ReduceMean":
+        x = inputs[0]
+        # opset<18 puts axes in attrs; the reference reads the wrong key
+        # ('axis', numpy_quant/model.py:165) -- we are spec-correct but
+        # accept both spellings.
+        if len(inputs) > 1 and inputs[1] is not None:
+            axes = tuple(int(a) for a in inputs[1].data)
+        elif "axes" in attrs:
+            axes = tuple(int(a) for a in attrs["axes"])
+        elif "axis" in attrs:
+            axes = (int(attrs["axis"]),)
+        else:
+            axes = None
+        keepdims = bool(attrs.get("keepdims", 1))
+        if axes is not None and len(axes) == 1:
+            return [x.mean(axis=axes[0], keepdims=keepdims)]
+        return [x.mean(axis=axes, keepdims=keepdims)]
+    elif op == "Relu":
+        return [inputs[0].relu()]
+    elif op == "Reshape":
+        x, shape = inputs[0], inputs[1]
+        x_shape = tuple(int(d) for d in x.shape.data) if not isinstance(x, QTensor) \
+            else x.shape
+        resolved = _resolve_reshape_shape(x_shape, shape.data,
+                                          int(attrs.get("allowzero", 0)))
+        return [x.reshape(ITensor(np.array(resolved, dtype=np.int64)))]
+    elif op == "Sigmoid":
+        return [inputs[0].sigmoid()]
+    elif op == "Shape":
+        x = inputs[0]
+        if isinstance(x, QTensor):
+            return [ITensor(np.array(x.shape, dtype=np.int64))]
+        return [x.shape]
+    elif op == "Slice":
+        x = inputs[0]
+        starts = inputs[1].data
+        ends = inputs[2].data
+        ndim = x.shape.size if not isinstance(x, QTensor) else len(x.shape)
+        axes = inputs[3].data if len(inputs) > 3 and inputs[3] is not None \
+            else np.arange(len(starts))
+        steps = inputs[4].data if len(inputs) > 4 and inputs[4] is not None \
+            else np.ones(len(starts), dtype=np.int64)
+        slices = [slice(None, None, None)] * ndim
+        for s, e, a, st in zip(starts, ends, axes, steps):
+            slices[int(a)] = slice(int(s), int(e), int(st))
+        return [x.__getitem__(tuple(slices))]
+    elif op == "Softmax":
+        return [inputs[0].softmax(axis=int(attrs.get("axis", -1)))]
+    elif op == "Sqrt":
+        return [inputs[0].sqrt()]
+    elif op == "Tanh":
+        return [inputs[0].tanh()]
+    elif op == "Transpose":
+        x = inputs[0]
+        perm = attrs.get("perm")
+        if perm is None:
+            ndim = x.shape.size if not isinstance(x, QTensor) else len(x.shape)
+            perm = tuple(reversed(range(ndim)))
+        return [x.transpose(tuple(int(p) for p in perm))]
+    elif op == "Unsqueeze":
+        x = inputs[0]
+        if len(inputs) > 1 and inputs[1] is not None:
+            axes = inputs[1]
+        else:
+            axes = ITensor(np.array(attrs["axes"], dtype=np.int64))
+        return [x.expand_dims(axis=axes)]
+    elif op == "Where":
+        return [where(inputs[0], inputs[1], inputs[2])]
+    else:
+        raise ValueError(f"ONNX operator {op} not supported.")

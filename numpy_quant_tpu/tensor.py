@@ -62,6 +62,9 @@ class ITensor:
     def expand_dims(self, axis: "ITensor") -> "ITensor":
         return ITensor(np.expand_dims(self._data, axis=tuple(axis.data)))
 
+    def __neg__(self) -> "ITensor":
+        return ITensor(-self._data)
+
     def __eq__(self, other: "ITensor"):
         return ITensor(np.array(self._data == other.data, np.int64))
 
@@ -147,6 +150,9 @@ class FTensor:
 
     def __getitem__(self, ind) -> "FTensor":
         return FTensor(self._data.__getitem__(ind))
+
+    def expand_dims(self, axis: "ITensor") -> "FTensor":
+        return FTensor(jnp.expand_dims(self._data, axis=tuple(axis.data)))
 
     def matmul(self, other: "FTensor") -> "FTensor":
         return FTensor(jnp.matmul(self._data, other.data,
@@ -261,6 +267,20 @@ class QTensor:
             return QTensor(self._data + other.data, self.bit_width,
                            self.scale, self.zero_point)
         raise ValueError(f"Cannot add QTensor with {other.__class__}")
+
+    def __getitem__(self, ind) -> "QTensor":
+        zp = self.zero_point
+        if zp is not None and getattr(zp, "ndim", 0) > 0:
+            zp = zp.__getitem__(ind)
+        return QTensor(self._data.__getitem__(ind), self.bit_width,
+                       self.scale, zp)
+
+    def expand_dims(self, axis: "ITensor") -> "QTensor":
+        zp = self.zero_point
+        if zp is not None and getattr(zp, "ndim", 0) > 0:
+            zp = jnp.expand_dims(zp, axis=tuple(axis.data))
+        return QTensor(jnp.expand_dims(self._data, axis=tuple(axis.data)),
+                       self.bit_width, self.scale, zp)
 
     def dequantize(self) -> FTensor:
         return FTensor(_dequantize(self._data, self.scale, self.zero_point))
