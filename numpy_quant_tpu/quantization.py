@@ -64,9 +64,13 @@ def quant_parameters(min_val, max_val, bit_width: int, asymmetric: bool):
     max_val = np.float32(max_val)
 
     if asymmetric:
-        scale = (max_val - min_val) / np.float32(max_qval - min_qval)
-        zero_point0 = min_qval - min_val / scale
-        zero_point = np.rint(zero_point0).astype(np.int64)
+        # errstate: constant-valued tensors (e.g. int shape constants the
+        # PTQ pass sweeps over, same as the reference) yield scale == 0;
+        # the resulting qparams are never used.
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scale = (max_val - min_val) / np.float32(max_qval - min_qval)
+            zero_point0 = min_qval - min_val / scale
+            zero_point = np.rint(np.nan_to_num(zero_point0)).astype(np.int64)
     else:
         scale = (np.float32(2.0) * max(max_val, min_val)) / np.float32(max_qval - min_qval)
         zero_point = None

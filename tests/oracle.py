@@ -64,8 +64,11 @@ def onnx_shim():
     import numpy_quant_tpu.onnx as our_onnx
 
     if "onnx" not in sys.modules or not hasattr(sys.modules["onnx"], "_nq_tpu_shim"):
+        import importlib.machinery
         shim = types.ModuleType("onnx")
         shim._nq_tpu_shim = True
+        shim.__spec__ = importlib.machinery.ModuleSpec("onnx", None)
+        shim.__version__ = "1.17.0-nq-tpu-shim"
         for name in ("ModelProto", "GraphProto", "NodeProto", "TensorProto",
                      "AttributeProto", "ValueInfoProto", "load",
                      "load_from_string", "save"):
