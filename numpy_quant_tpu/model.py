@@ -64,6 +64,12 @@ class Model:
         self.inputs = inputs
         self.outputs = outputs
         self._jit_cache: dict = {}
+        # Multi-chip execution (set via parallel.shard_model): mesh +
+        # shardings; XLA GSPMD inserts the collectives.
+        self.mesh = None
+        self.data_axis = None
+        self.parameter_shardings = None
+        self._sharded_param_cache = None
 
     def __repr__(self):
         return (f"{type(self).__name__}(nodes={self.nodes}, values={self.values}, "
@@ -104,6 +110,29 @@ class Model:
             if isinstance(value, Constant) and isinstance(value.data, (FTensor, QTensor)):
                 params[value.name] = value.data.data
         return params
+
+    def _placed_params(self) -> dict[str, Any]:
+        """Device params, placed per parameter_shardings when a mesh is
+        attached (cached: placement happens once)."""
+        if self.mesh is None or self.parameter_shardings is None:
+            return self._device_params()
+        if self._sharded_param_cache is None:
+            self._sharded_param_cache = {
+                name: jax.device_put(arr, self.parameter_shardings[name])
+                for name, arr in self._device_params().items()}
+        return self._sharded_param_cache
+
+    def _place_input(self, array: np.ndarray):
+        """Batch-shard a float input over the mesh data axis."""
+        if self.mesh is None or self.data_axis is None:
+            return array
+        from jax.sharding import NamedSharding, PartitionSpec
+        n = self.mesh.shape[self.data_axis]
+        if array.ndim == 0 or array.shape[0] % n != 0:
+            spec = PartitionSpec()
+        else:
+            spec = PartitionSpec(self.data_axis, *([None] * (array.ndim - 1)))
+        return jax.device_put(array, NamedSharding(self.mesh, spec))
 
     def _wrap_constant(self, value: Constant, params: dict[str, Any]) -> Tensor:
         data = value.data
@@ -215,12 +244,31 @@ class Model:
                 return [model._finalize_output(data[o.name]) for o in model.outputs]
 
             self._jit_cache[key] = jax.jit(fn)
-        outs = self._jit_cache[key]([arrays[i] for i in float_idx],
-                                    self._device_params())
+        outs = self._jit_cache[key](
+            [self._place_input(arrays[i]) for i in float_idx],
+            self._placed_params())
         return [np.asarray(o) for o in outs]
 
     def _wrap_input_traced(self, array, variable: Variable) -> Tensor:
         return self._wrap_input(array, variable)
+
+    def lowered_fn(self):
+        """The model as a pure jittable function
+        ``fn(float_inputs: list, params: dict) -> list`` (float inputs
+        only; int64/shape inputs must be bound via __call__)."""
+        import weakref
+        model = weakref.proxy(self)
+
+        def fn(float_args: list, params: dict[str, Any]):
+            input_tensors = {}
+            fa = iter(float_args)
+            for variable in model.inputs:
+                input_tensors[variable.name] = model._wrap_input_traced(
+                    next(fa), variable)
+            data = model._forward(input_tensors, params)
+            return [model._finalize_output(data[o.name]) for o in model.outputs]
+
+        return fn
 
     # ------------------------------------------------------------------
     # Calibration + PTQ pass
@@ -256,8 +304,9 @@ class Model:
                     maxs.append(jax.numpy.max(tensor.data))
             return jax.numpy.stack(mins), jax.numpy.stack(maxs)
 
-        float_args = [a for a in arrays if a.dtype != np.int64]
-        mins, maxs = jax.jit(fn)(float_args, self._device_params())
+        float_args = [self._place_input(a) for a in arrays
+                      if a.dtype != np.int64]
+        mins, maxs = jax.jit(fn)(float_args, self._placed_params())
         mins = np.asarray(mins)
         maxs = np.asarray(maxs)
         stats = {name: (np.float32(mins[i]), np.float32(maxs[i]))

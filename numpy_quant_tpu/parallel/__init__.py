@@ -1,0 +1,7 @@
+from .mesh import batch_sharded, make_dp_tp_mesh, make_mesh, replicated
+from .sharding import param_shardings, shard_model, vit_tp_rules
+
+__all__ = [
+    "make_mesh", "make_dp_tp_mesh", "replicated", "batch_sharded",
+    "param_shardings", "shard_model", "vit_tp_rules",
+]

@@ -1,0 +1,107 @@
+"""Multi-chip execution on the 8-device virtual CPU mesh: DP-sharded
+inference + calibration, Megatron-style TP for ViT, and DP x TP combined.
+The reference has none of this (SURVEY.md §2.3); collectives are
+XLA-GSPMD-inserted from sharding annotations."""
+import numpy as np
+import pytest
+
+import jax
+
+import numpy_quant_tpu as nq
+from numpy_quant_tpu import parallel as par
+from numpy_quant_tpu.models import vit as V
+
+RNG = np.random.default_rng(0)
+
+requires_8_devices = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+def _small_vit(batch):
+    m = V.vit(batch, 16, 4, 22, 8, 2)
+    return m
+
+
+@requires_8_devices
+def test_dp_inference_matches_single_device():
+    m = _small_vit(8)
+    x = RNG.normal(size=(8, 3, 16, 16)).astype(np.float32)
+    model = nq.Model.from_onnx(m)
+    expected = model([x])[0]
+
+    sharded = nq.Model.from_onnx(m)
+    mesh = par.make_mesh(8, axes=("data",))
+    par.shard_model(sharded, mesh)
+    actual = sharded([x])[0]
+    np.testing.assert_allclose(actual, expected, atol=1e-6)
+
+
+@requires_8_devices
+def test_dp_calibration_matches_single_device():
+    """Min/max stats are associative reductions -> DP sharding changes
+    nothing (SURVEY.md §2.3 disposition)."""
+    m = _small_vit(8)
+    x = RNG.normal(size=(8, 3, 16, 16)).astype(np.float32)
+    model = nq.Model.from_onnx(m)
+    stats = model.calibration_stats([x])
+
+    sharded = nq.Model.from_onnx(m)
+    par.shard_model(sharded, par.make_mesh(8, axes=("data",)))
+    sharded_stats = sharded.calibration_stats([x])
+
+    assert set(stats) == set(sharded_stats)
+    for name in stats:
+        np.testing.assert_allclose(stats[name][0], sharded_stats[name][0],
+                                   atol=1e-6, err_msg=name)
+        np.testing.assert_allclose(stats[name][1], sharded_stats[name][1],
+                                   atol=1e-6, err_msg=name)
+
+
+@requires_8_devices
+def test_tp_inference_matches_single_device():
+    m = V.vit(4, 16, 4, 24, 16, 4)  # head dim divisible by tp
+    x = RNG.normal(size=(4, 3, 16, 16)).astype(np.float32)
+    model = nq.Model.from_onnx(m)
+    expected = model([x])[0]
+
+    sharded = nq.Model.from_onnx(m)
+    mesh = par.make_dp_tp_mesh(8, tp=4)
+    par.shard_model(sharded, mesh, data_axis="data", rules=par.vit_tp_rules)
+    actual = sharded([x])[0]
+    np.testing.assert_allclose(actual, expected, atol=1e-5)
+
+    # TP annotations actually landed on the placed parameters
+    placed = sharded._placed_params()
+    qk = next(n for n in placed if n.endswith(".query.weight_t"))
+    from jax.sharding import PartitionSpec as P
+    assert placed[qk].sharding.spec == P(None, "model")
+
+
+@requires_8_devices
+def test_dp_tp_quantized_inference():
+    m = V.vit(8, 16, 4, 24, 16, 4)
+    x = RNG.normal(size=(8, 3, 16, 16)).astype(np.float32)
+    model = nq.Model.from_onnx(m)
+    qmodel = model.quantize([x], bit_width=8)
+    expected = qmodel([x])[0]
+
+    mesh = par.make_dp_tp_mesh(8, tp=2)
+    par.shard_model(qmodel, mesh, data_axis="data", rules=par.vit_tp_rules)
+    qmodel._jit_cache.clear()
+    actual = qmodel([x])[0]
+    # integer path: sharded result must be bit-comparable to single-dev
+    np.testing.assert_allclose(actual, expected, atol=1e-5)
+
+
+@requires_8_devices
+def test_mlp_dp_quantized():
+    mlp = nq.onnx.load("numpy_quant_tpu/models/mlp.onnx")
+    X = RNG.normal(size=(800, 2)).astype(np.float32)
+    model = nq.Model.from_onnx(mlp)
+    qmodel = model.quantize([X], bit_width=8)
+    expected = qmodel([X])[0]
+
+    par.shard_model(qmodel, par.make_mesh(8, axes=("data",)))
+    qmodel._jit_cache.clear()
+    actual = qmodel([X])[0]
+    np.testing.assert_array_equal(actual, expected)
