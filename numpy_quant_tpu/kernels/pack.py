@@ -1,0 +1,65 @@
+"""Packed sub-byte weight storage (int1..int8).
+
+The reference stores every quantized tensor as int64
+(reference: numpy_quant/tensor.py:158-166) -- 8x the bits of int8 and
+up to 64x those of int1. Here weights live in HBM as BIT-PLANES:
+a [K, N] b-bit tensor becomes uint8[b, K/8, N], exactly b bits per
+value for ANY b in 1..8 (no padding waste for odd widths like 3/5/7,
+unlike nibble packing). Values are stored offset-binary
+(v + 2^(b-1)) so planes are unsigned.
+
+Unpacking is b cheap VPU ops (broadcast, shift, mask, accumulate) and
+runs inside Pallas kernels in VMEM after the HBM->VMEM DMA, so HBM
+traffic is b/8 bytes per weight.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pack_bitplanes(q: np.ndarray, bits: int) -> np.ndarray:
+    """[K, N] signed b-bit integers -> uint8[b, ceil(K/8), N] bit-planes.
+
+    Host-side (numpy): packing happens once at quantization time.
+    """
+    assert 1 <= bits <= 8
+    q = np.asarray(q)
+    assert q.ndim == 2, "pack_bitplanes packs 2-D weights"
+    k, n = q.shape
+    offset = 1 << (bits - 1)
+    u = (q.astype(np.int64) + offset).astype(np.uint8)
+    assert u.max(initial=0) < (1 << bits), "values exceed bit width"
+    k8 = -(-k // 8) * 8
+    if k8 != k:
+        u = np.concatenate([u, np.zeros((k8 - k, n), np.uint8)], axis=0)
+    # [k8, n] -> [k8/8, 8, n]; bit j of each value -> plane j
+    u = u.reshape(k8 // 8, 8, n)
+    planes = np.zeros((bits, k8 // 8, n), dtype=np.uint8)
+    for j in range(bits):
+        bit = (u >> j) & 1  # [k8/8, 8, n]
+        shifts = np.arange(8, dtype=np.uint8).reshape(1, 8, 1)
+        planes[j] = np.sum(bit.astype(np.uint8) << shifts, axis=1,
+                           dtype=np.uint8)
+    return planes
+
+
+def unpack_bitplanes(planes, bits: int, k: int):
+    """uint8[b, K/8, N] bit-planes -> int8[K, N] signed values.
+
+    jnp ops only -- usable inside Pallas kernel bodies (VPU) and under
+    jit on any backend.
+    """
+    kg, n = planes.shape[1], planes.shape[2]
+    # row r of group g has bit (planes[j, g] >> r) & 1
+    p = planes.astype(jnp.int32)  # [b, K/8, N]
+    p = jnp.broadcast_to(p[:, :, None, :], (bits, kg, 8, n))
+    shifts = jax.lax.broadcasted_iota(jnp.int32, (bits, kg, 8, n), 2)
+    bitvals = (p >> shifts) & 1  # [b, K/8, 8, N]
+    weights = (jnp.int32(1) << jax.lax.broadcasted_iota(
+        jnp.int32, (bits, kg, 8, n), 0))
+    vals = jnp.sum(bitvals * weights, axis=0)  # [K/8, 8, N]
+    vals = vals.reshape(kg * 8, n)[:k]
+    offset = 1 << (bits - 1)
+    return (vals - offset).astype(jnp.int8)

@@ -1,0 +1,154 @@
+"""Fused quantized matmul Pallas kernels.
+
+The QModel linear pattern (reference: numpy_quant/model.py:503-548) is
+    quantize(x) -> int matmul -> zero-point correction -> dequantize
+with float32 boundaries on both sides. The XLA path materializes the
+int32 accumulator and correction tensors; this kernel fuses the whole
+chain on-chip:
+
+  * activation tile quantized to int8 in VMEM (VPU)
+  * weights stream from HBM as PACKED BIT-PLANES (b/8 bytes/value,
+    kernels/pack.py) and unpack to int8 in VMEM
+  * int8 x int8 -> int32 on the MXU
+  * epilogue: zero-point correction (precomputed weight column sums),
+    dequantize, optional bias add -- all in registers/VMEM
+
+Weights are symmetric-quantized per the reference's PTQ strategy
+(model.py:357-365), so the only zp-correction term is
+colsum(W) * x_zero_point (reference: numpy_quantization.py:55).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pack import unpack_bitplanes
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _quantize_tile(x, scale, zero_point, bit_width):
+    min_q, max_q = -2.0 ** (bit_width - 1), 2.0 ** (bit_width - 1) - 1.0
+    q = x * (1.0 / scale)
+    if zero_point is not None:
+        q = q + zero_point
+    return jnp.rint(jnp.clip(q, min_q, max_q)).astype(jnp.int8)
+
+
+def _packed_matmul_kernel(x_ref, planes_ref, colsum_ref, bias_ref, o_ref,
+                          acc_ref, *, bits, block_k, x_scale, x_zp,
+                          out_scale, bit_width, has_bias):
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xq = _quantize_tile(x_ref[:], x_scale, x_zp, bit_width)
+    w = unpack_bitplanes(planes_ref[:], bits, block_k)
+    acc_ref[:] += jax.lax.dot_general(
+        xq, w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        acc = acc_ref[:]
+        if x_zp is not None:
+            acc = acc - colsum_ref[:] * np.int32(x_zp)
+        y = acc.astype(jnp.float32) * out_scale
+        if has_bias:
+            y = y + bias_ref[:]
+        o_ref[:] = y
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "bit_width", "x_scale", "x_zp", "w_scale",
+                     "block_m", "block_n", "block_k", "interpret"))
+def packed_qmatmul(x, planes, colsum, bias=None, *, bits: int,
+                   bit_width: int, x_scale: float, x_zp: int | None,
+                   w_scale: float, block_m: int = 256, block_n: int = 256,
+                   block_k: int = 512, interpret: bool = False):
+    """y = dequant( quant(x) @ unpack(planes) ) + bias.
+
+    x: [M, K] float32. planes: uint8[bits, K/8, N] (pack_bitplanes of the
+    symmetric-quantized weight). colsum: int32[1, N] column sums of the
+    quantized weight. bias: optional float32[1, N].
+    Returns float32[M, N].
+    """
+    m, k = x.shape
+    n = planes.shape[2]
+    assert planes.shape[1] * 8 >= k, (planes.shape, k)
+
+    block_m = min(block_m, _round_up(m, 8))
+    block_n = min(block_n, _round_up(n, 128))
+    block_k = min(block_k, _round_up(k, 128))
+
+    # pad to block multiples (XLA pads are fused, weights pre-padded)
+    mp, kp, np_ = _round_up(m, block_m), _round_up(k, block_k), _round_up(n, block_n)
+    if (mp, kp) != (m, k):
+        x = jnp.pad(x, ((0, mp - m), (0, kp - k)))
+    if planes.shape[1] * 8 != kp or planes.shape[2] != np_:
+        planes = jnp.pad(planes, ((0, 0), (0, kp // 8 - planes.shape[1]),
+                                  (0, np_ - n)))
+    if colsum.shape[1] != np_:
+        colsum = jnp.pad(colsum, ((0, 0), (0, np_ - n)))
+    has_bias = bias is not None
+    if has_bias and bias.shape[1] != np_:
+        bias = jnp.pad(bias, ((0, 0), (0, np_ - bias.shape[1])))
+
+    grid = (mp // block_m, np_ // block_n, kp // block_k)
+    out_scale = np.float32(x_scale) * np.float32(w_scale)
+
+    kernel = functools.partial(
+        _packed_matmul_kernel, bits=bits, block_k=block_k,
+        x_scale=np.float32(x_scale),
+        x_zp=None if x_zp is None else int(x_zp),
+        out_scale=out_scale, bit_width=bit_width, has_bias=has_bias)
+
+    in_specs = [
+        pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bits, block_k // 8, block_n),
+                     lambda i, j, kk: (0, kk, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [x, planes, colsum]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(bias)
+    else:
+        in_specs.append(pl.BlockSpec((1, 128), lambda i, j, kk: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(jnp.zeros((1, 128), jnp.float32))
+
+    flops = 2 * mp * np_ * kp
+    y = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=mp * kp * 4 + bits * kp * np_ // 8 + mp * np_ * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(*inputs)
+    if (mp, np_) != (m, n):
+        y = y[:m, :n]
+    return y

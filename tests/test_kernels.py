@@ -1,0 +1,105 @@
+"""Pallas kernel layer (interpret mode on CPU; the same kernels compile
+for TPU): sub-byte packing, fused packed matmul, elementwise q/dq."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import numpy_quant_tpu.quantization as Q
+from numpy_quant_tpu.kernels import (
+    dequantize_pallas,
+    pack_bitplanes,
+    packed_qmatmul,
+    quantize_pallas,
+    unpack_bitplanes,
+)
+
+RNG = np.random.default_rng(0)
+
+
+@pytest.mark.parametrize("bits", list(range(1, 9)))
+def test_pack_roundtrip(bits):
+    lo, hi = -(2 ** (bits - 1)), 2 ** (bits - 1) - 1
+    q = RNG.integers(lo, hi + 1, size=(37, 19)).astype(np.int32)
+    planes = pack_bitplanes(q, bits)
+    assert planes.dtype == np.uint8
+    assert planes.shape == (bits, 5, 19)  # ceil(37/8) = 5 -> b/8 bytes/value
+    out = np.asarray(unpack_bitplanes(jnp.asarray(planes), bits, 37))
+    np.testing.assert_array_equal(out, q.astype(np.int8))
+
+
+@pytest.mark.parametrize("bits", [2, 3, 4, 7, 8])
+def test_packed_qmatmul_matches_reference_chain(bits):
+    M, K, N = 37, 96, 43
+    x = (RNG.random((M, K)).astype(np.float32) - 0.4) * 3
+    w = (RNG.random((K, N)).astype(np.float32) - 0.5) * 2
+
+    def mm(v):
+        return (np.minimum(v.min(), np.float32(0)),
+                np.maximum(v.max(), np.float32(0)))
+
+    sx, zx = Q.quant_parameters(*mm(x), bits, True)
+    sw, zw = Q.quant_parameters(*mm(w), bits, False)
+    qx = np.asarray(Q.quantize(x, bits, sx, zx))
+    qw = np.asarray(Q.quantize(w, bits, sw, zw))
+    acc, s, zp = Q.q_matmul(qx, sx, zx, qw, sw, zw, bit_width=bits)
+    desired = np.asarray(Q.dequantize(
+        np.asarray(acc), s, None if zp is None else np.asarray(zp)))
+    bias = RNG.random((1, N)).astype(np.float32)
+
+    planes = pack_bitplanes(qw.astype(np.int32), bits)
+    colsum = qw.sum(axis=0, keepdims=True).astype(np.int32)
+    y = np.asarray(packed_qmatmul(
+        jnp.asarray(x), jnp.asarray(planes), jnp.asarray(colsum),
+        jnp.asarray(bias), bits=bits, bit_width=bits,
+        x_scale=float(sx), x_zp=int(zx), w_scale=float(sw),
+        block_m=16, block_n=128, block_k=32, interpret=True))
+    np.testing.assert_allclose(y, desired + bias, atol=5e-5)
+
+
+def test_packed_qmatmul_symmetric_activation():
+    bits = 8
+    M, K, N = 16, 64, 32
+    x = RNG.normal(size=(M, K)).astype(np.float32)
+    w = RNG.normal(size=(K, N)).astype(np.float32)
+
+    def mm(v):
+        return (np.minimum(v.min(), np.float32(0)),
+                np.maximum(v.max(), np.float32(0)))
+
+    sx, _ = Q.quant_parameters(*mm(x), bits, False)
+    sw, _ = Q.quant_parameters(*mm(w), bits, False)
+    qx = np.asarray(Q.quantize(x, bits, sx, None))
+    qw = np.asarray(Q.quantize(w, bits, sw, None))
+    desired = (qx @ qw).astype(np.float32) * (sx * sw)
+
+    planes = pack_bitplanes(qw.astype(np.int32), bits)
+    colsum = qw.sum(axis=0, keepdims=True).astype(np.int32)
+    y = np.asarray(packed_qmatmul(
+        jnp.asarray(x), jnp.asarray(planes), jnp.asarray(colsum), None,
+        bits=bits, bit_width=bits, x_scale=float(sx), x_zp=None,
+        w_scale=float(sw), block_m=8, block_n=128, block_k=64,
+        interpret=True))
+    np.testing.assert_allclose(y, desired, atol=5e-5)
+
+
+@pytest.mark.parametrize("bits,asym", [(8, True), (8, False), (4, True)])
+def test_elementwise_kernels_match_core(bits, asym):
+    x = (RNG.random((13, 40)).astype(np.float32) - 0.3) * 5
+    mn = np.minimum(x.min(), np.float32(0))
+    mx = np.maximum(x.max(), np.float32(0))
+    scale, zp = Q.quant_parameters(mn, mx, bits, asym)
+
+    q_core = np.asarray(Q.quantize(x, bits, scale, zp))
+    q_pal = np.asarray(quantize_pallas(
+        jnp.asarray(x), bit_width=bits, scale=float(scale),
+        zero_point=None if zp is None else int(zp), interpret=True))
+    np.testing.assert_array_equal(q_core.astype(np.int64),
+                                  q_pal.astype(np.int64))
+
+    d_core = np.asarray(Q.dequantize(q_core, scale, zp))
+    d_pal = np.asarray(dequantize_pallas(
+        jnp.asarray(q_pal), scale=float(scale),
+        zero_point=None if zp is None else int(zp), interpret=True))
+    np.testing.assert_allclose(d_pal, d_core, atol=1e-6)
