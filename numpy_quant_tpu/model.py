@@ -274,10 +274,24 @@ class Model:
     # Calibration + PTQ pass
     # ------------------------------------------------------------------
 
-    def calibration_stats(self, inputs: List[np.ndarray]):
-        """Global min/max per value name, computed on device in one jitted
-        pass (the reference runs a full float forward and reduces on host,
-        numpy_quant/model.py:329-336; same semantics: GLOBAL reduction)."""
+    def calibration_stats(self, inputs: List[np.ndarray],
+                          mode: str = "auto"):
+        """Global min/max per value name, computed on device (the
+        reference runs a full float forward and reduces on host,
+        numpy_quant/model.py:329-336; same semantics: GLOBAL reduction).
+
+        mode:
+          'jit'   -- one jitted pass: the forward AND every reduction
+                     compile into a single XLA program (fastest to run,
+                     but a ~600-output HLO compiles slowly for big
+                     graphs).
+          'eager' -- eager node walk + per-value reductions; no large
+                     compile. Right choice for one-shot calibration of
+                     large graphs.
+          'auto'  -- 'jit' below 150 nodes, else 'eager'.
+        """
+        if mode == "auto":
+            mode = "jit" if len(self.nodes) < 150 else "eager"
         arrays = [np.asarray(a) for a in inputs]
         device_names: list[str] = []
         host_stats: dict[str, tuple[float, float]] = {}
@@ -306,7 +320,10 @@ class Model:
 
         float_args = [self._place_input(a) for a in arrays
                       if a.dtype != np.int64]
-        mins, maxs = jax.jit(fn)(float_args, self._placed_params())
+        if mode == "jit":
+            mins, maxs = jax.jit(fn)(float_args, self._placed_params())
+        else:
+            mins, maxs = fn(float_args, self._placed_params())
         mins = np.asarray(mins)
         maxs = np.asarray(maxs)
         stats = {name: (np.float32(mins[i]), np.float32(maxs[i]))
@@ -315,11 +332,12 @@ class Model:
                       for k, v in host_stats.items()})
         return stats
 
-    def quantize(self, calibration_inputs: list[np.ndarray], bit_width: int = 8
-                 ) -> "QModel":
+    def quantize(self, calibration_inputs: list[np.ndarray], bit_width: int = 8,
+                 calibration_mode: str = "auto") -> "QModel":
         """Post-training quantization. Per-node parameter strategy follows
         reference: numpy_quant/model.py:328-442."""
-        stats = self.calibration_stats(calibration_inputs)
+        stats = self.calibration_stats(calibration_inputs,
+                                       mode=calibration_mode)
         node_dict = {node.name: node for node in self.nodes}
         value_dict = {value.name: value for value in self.values}
 

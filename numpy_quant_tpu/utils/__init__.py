@@ -1,2 +1,4 @@
 from .parity import compare_all_values, record_all_values
+from .profiling import device_trace, profile_results_plot
+from .serialization import load_qmodel, save_qmodel
 from .summary import summarize
