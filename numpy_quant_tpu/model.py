@@ -332,12 +332,19 @@ class Model:
                       for k, v in host_stats.items()})
         return stats
 
-    def quantize(self, calibration_inputs: list[np.ndarray], bit_width: int = 8,
-                 calibration_mode: str = "auto") -> "QModel":
+    def quantize(self, calibration_inputs: list[np.ndarray] = None,
+                 bit_width: int = 8, calibration_mode: str = "auto",
+                 stats: dict = None) -> "QModel":
         """Post-training quantization. Per-node parameter strategy follows
-        reference: numpy_quant/model.py:328-442."""
-        stats = self.calibration_stats(calibration_inputs,
-                                       mode=calibration_mode)
+        reference: numpy_quant/model.py:328-442.
+
+        ``stats``: optional precomputed {value name: (min, max)} dict
+        (from calibration_stats), enabling calibration reuse across
+        processes/deployments. When given, calibration_inputs is unused.
+        """
+        if stats is None:
+            stats = self.calibration_stats(calibration_inputs,
+                                           mode=calibration_mode)
         node_dict = {node.name: node for node in self.nodes}
         value_dict = {value.name: value for value in self.values}
 

@@ -1,4 +1,9 @@
 from .parity import compare_all_values, record_all_values
 from .profiling import device_trace, profile_results_plot
-from .serialization import load_qmodel, save_qmodel
+from .serialization import (
+    load_calibration_stats,
+    load_qmodel,
+    save_calibration_stats,
+    save_qmodel,
+)
 from .summary import summarize

@@ -18,6 +18,19 @@ from ..model import Model, QModel, QuantizationParams
 from ..tensor import FTensor, ITensor, QTensor
 
 
+def save_calibration_stats(stats: dict, path) -> None:
+    """Persist {value name: (min, max)} calibration stats as JSON."""
+    with open(path, "w") as f:
+        json.dump({k: [float(v[0]), float(v[1])] for k, v in stats.items()},
+                  f, indent=0)
+
+
+def load_calibration_stats(path) -> dict:
+    with open(path) as f:
+        raw = json.load(f)
+    return {k: (np.float32(v[0]), np.float32(v[1])) for k, v in raw.items()}
+
+
 def _qparams_to_json(qp: QuantizationParams) -> dict:
     return {"scale": float(np.float32(qp.scale)),
             "zero_point": None if qp.zero_point is None else int(qp.zero_point)}
