@@ -56,6 +56,10 @@ def _static_key(arr: np.ndarray) -> tuple:
     return (arr.shape, arr.tobytes())
 
 
+def _np_dtype(arr) -> np.dtype:
+    return np.dtype(str(arr.dtype))
+
+
 class Model:
     def __init__(self, nodes: list[Node], values: list[Value],
                  inputs: List[Variable], outputs: List[Value]):
@@ -197,12 +201,21 @@ class Model:
     # ------------------------------------------------------------------
 
     def __call__(self, inputs: List[np.ndarray], profile: bool = False,
-                 record: bool = False):
+                 record: bool = False, as_numpy: bool = True):
         """Run the model. Fast path is one jitted function per input
         signature. ``profile=True`` runs eagerly and returns
         (outputs, per-op-type seconds) like the reference executors;
-        ``record=True`` also populates ``value.data`` on the graph."""
-        arrays = [np.asarray(a) for a in inputs]
+        ``record=True`` also populates ``value.data`` on the graph.
+
+        Inputs may be numpy OR device-resident jax arrays -- device
+        arrays enter the jitted program with no host round-trip.
+        ``as_numpy=False`` returns device arrays (serving fast path:
+        no blocking device->host transfer of the outputs).
+        """
+        # int64 inputs are shape-domain: they must be host values
+        # (static under jit). Float inputs stay wherever they live.
+        arrays = [np.asarray(a) if _np_dtype(a) == np.int64 else a
+                  for a in inputs]
 
         if profile or record:
             input_tensors = {v.name: self._wrap_input(a, v)
@@ -216,10 +229,12 @@ class Model:
                 return outs, timings
             return outs
 
-        float_idx = [i for i, a in enumerate(arrays) if a.dtype != np.int64]
-        int_idx = [i for i, a in enumerate(arrays) if a.dtype == np.int64]
+        float_idx = [i for i, a in enumerate(arrays)
+                     if _np_dtype(a) != np.int64]
+        int_idx = [i for i, a in enumerate(arrays) if _np_dtype(a) == np.int64]
         key = (
-            tuple((i, arrays[i].shape, str(arrays[i].dtype)) for i in float_idx),
+            tuple((i, tuple(arrays[i].shape), str(arrays[i].dtype))
+                  for i in float_idx),
             tuple((i, _static_key(arrays[i])) for i in int_idx),
             bool(jax.config.jax_enable_x64),
         )
@@ -247,7 +262,9 @@ class Model:
         outs = self._jit_cache[key](
             [self._place_input(arrays[i]) for i in float_idx],
             self._placed_params())
-        return [np.asarray(o) for o in outs]
+        if as_numpy:
+            return [np.asarray(o) for o in outs]
+        return outs
 
     def _wrap_input_traced(self, array, variable: Variable) -> Tensor:
         return self._wrap_input(array, variable)
@@ -486,6 +503,14 @@ class QModel(Model):
                     if timings is not None:
                         jax.block_until_ready(t.data)
                         timings["TinyqQuant"] += time() - stime
+                elif isinstance(t, QTensor) and t.bit_width != self.bit_width:
+                    # Directly-chained integer matmuls (e.g. GNN message
+                    # passing): requantize the 4x-width accumulator to
+                    # the model bit width with this value's calibrated
+                    # params. (The reference asserts out here,
+                    # tensor.py:206 -- superset behavior.)
+                    qp = self.quant_params[v.name]
+                    t = t.requantize(self.bit_width, qp.scale, qp.zero_point)
                 ins.append(t)
         else:
             # Dequantize quantized inputs ("TinyqDequant",

@@ -184,5 +184,41 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         return [x.expand_dims(axis=axes)]
     elif op == "Where":
         return [where(inputs[0], inputs[1], inputs[2])]
+    elif op == "ScatterElements":
+        # Message-passing aggregation for GNN graphs (opset 16+:
+        # reduction='add'). indices are shape-domain (host) so the
+        # scatter lowers to a static XLA scatter.
+        data, indices, updates = inputs[0], inputs[1], inputs[2]
+        axis = int(attrs.get("axis", 0))
+        reduction = attrs.get("reduction", b"none")
+        if isinstance(reduction, bytes):
+            reduction = reduction.decode()
+        idx = np.asarray(indices.data)
+        grids = list(np.indices(idx.shape))
+        grids[axis] = idx
+        grids = tuple(grids)
+        if isinstance(data, FTensor):
+            ref = data.data.at[grids]
+            out = ref.add(updates.data) if reduction == "add" \
+                else ref.set(updates.data)
+            return [FTensor(out)]
+        if isinstance(data, ITensor):
+            out = np.array(data.data, copy=True)
+            if reduction == "add":
+                np.add.at(out, grids, updates.data)
+            else:
+                out[grids] = updates.data
+            return [ITensor(out)]
+        raise ValueError("ScatterElements on QTensor not supported")
+    elif op == "GatherElements":
+        data, indices = inputs[0], inputs[1]
+        axis = int(attrs.get("axis", 0))
+        idx = np.asarray(indices.data)
+        grids = list(np.indices(idx.shape))
+        grids[axis] = idx
+        grids = tuple(grids)
+        if isinstance(data, FTensor):
+            return [FTensor(data.data[grids])]
+        return [ITensor(np.asarray(data.data)[grids])]
     else:
         raise ValueError(f"ONNX operator {op} not supported.")
