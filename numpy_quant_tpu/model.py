@@ -351,13 +351,17 @@ class Model:
 
     def quantize(self, calibration_inputs: list[np.ndarray] = None,
                  bit_width: int = 8, calibration_mode: str = "auto",
-                 stats: dict = None) -> "QModel":
+                 stats: dict = None, quantize_conv: bool = False) -> "QModel":
         """Post-training quantization. Per-node parameter strategy follows
         reference: numpy_quant/model.py:328-442.
 
         ``stats``: optional precomputed {value name: (min, max)} dict
         (from calibration_stats), enabling calibration reuse across
         processes/deployments. When given, calibration_inputs is unused.
+
+        ``quantize_conv``: run Conv nodes on the integer path too
+        (im2col + int8 MXU matmul). Parity-plus: the reference executes
+        quantized-graph Conv in float (SURVEY.md §3.4).
         """
         if stats is None:
             stats = self.calibration_stats(calibration_inputs,
@@ -423,6 +427,19 @@ class Model:
                                             4 * bit_width, bias_scale, None)
                     qvalues_dict[bias.name] = Constant(bias.name, [], qbias)
                 register_out_asym()
+            elif node.op == "Conv" and quantize_conv:
+                # Integer conv (parity-plus): bias at s_x*s_w and 4x bit
+                # width, output requantized -- mirrors the Gemm strategy.
+                if len(node.inputs) > 2:
+                    bias = node.inputs[2]
+                    qparams1 = qparams_per_value[node.inputs[0].name]
+                    qparams2 = qparams_per_value[node.inputs[1].name]
+                    bias_scale = qparams1.scale * qparams2.scale
+                    qparams_per_value[bias.name] = QuantizationParams(bias_scale, None)
+                    qbias = quantize_tensor(value_dict[bias.name].data,
+                                            4 * bit_width, bias_scale, None)
+                    qvalues_dict[bias.name] = Constant(bias.name, [], qbias)
+                register_out_asym()
             elif node.op == "Add" and (isinstance(node.inputs[0], Constant)
                                        or isinstance(node.inputs[1], Constant)):
                 bias_ind = 0 if isinstance(node.inputs[0], Constant) else 1
@@ -460,18 +477,26 @@ class Model:
         qoutputs = [qvalues_dict[o.name] for o in self.outputs]
         qinputs = [qvalues_dict[i.name] for i in self.inputs]
 
+        quantized_ops = ("MatMul", "Gemm", "Conv") if quantize_conv \
+            else ("MatMul", "Gemm")
         return QModel(list(qnodes_dict.values()), list(qvalues_dict.values()),
-                      qinputs, qoutputs, bit_width, qparams_per_value)
+                      qinputs, qoutputs, bit_width, qparams_per_value,
+                      quantized_ops=quantized_ops)
 
 
 class QModel(Model):
     """Quantized executor. reference: numpy_quant/model.py:454-565."""
 
     def __init__(self, nodes, values, inputs, outputs, bit_width: int,
-                 quant_params: dict[str, QuantizationParams]):
+                 quant_params: dict[str, QuantizationParams],
+                 quantized_ops: tuple = ("MatMul", "Gemm")):
         super().__init__(nodes, values, inputs, outputs)
         self.bit_width = bit_width
         self.quant_params = quant_params
+        self.quantized_ops = tuple(quantized_ops)
+        # ops whose outputs requantize to the model bit width
+        self.requantized_ops = tuple(op for op in self.quantized_ops
+                                     if op in ("Gemm", "Conv"))
 
     def _wrap_input(self, array: np.ndarray, variable: Variable) -> Tensor:
         if array.dtype == np.float32:
@@ -491,7 +516,7 @@ class QModel(Model):
     def _node_inputs(self, node: Node, data: dict[str, Tensor],
                      timings) -> list[Tensor]:
         ins = []
-        if node.op in ("MatMul", "Gemm"):
+        if node.op in self.quantized_ops:
             # Quantize any float inputs on the fly ("TinyqQuant",
             # reference: model.py:503-527).
             for v in node.inputs:
@@ -527,9 +552,9 @@ class QModel(Model):
         return ins
 
     def _post_node(self, node: Node, outputs: list[Tensor]) -> list[Tensor]:
-        if node.op == "Gemm":
-            # Gemm outputs requantize to the model bit width; MatMul
-            # outputs stay 4x-bit-width accumulators
+        if node.op in self.requantized_ops:
+            # Gemm (and integer Conv) outputs requantize to the model bit
+            # width; MatMul outputs stay 4x-bit-width accumulators
             # (reference: model.py:544-548).
             qp = self.quant_params[node.outputs[0].name]
             return [t.requantize(self.bit_width, qp.scale, qp.zero_point)

@@ -59,6 +59,36 @@ def extract_sliding_windows_nhwc(x, ksize, pads, strides):
     return patches.reshape(b, oh, ow, kh * kw * c)
 
 
+def extract_patches_exact(x, ksize, pads, strides, pad_value):
+    """im2col patches via pure data movement (slices/reshapes) -- exact
+    for integer data, with a configurable pad value (asymmetric
+    quantization pads with the zero point, not 0).
+
+    x: [B, H, W, C] -> [B, OH, OW, KH*KW*C] (patch layout (KH, KW, C),
+    matching the reference's window extraction,
+    numpy_helper.py:18-70)."""
+    kh, kw = ksize
+    ph0, pw0, ph1, pw1 = (int(p) for p in pads)
+    sh, sw = (int(s) for s in strides)
+    x = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)),
+                constant_values=pad_value)
+    b, h, w_, c = x.shape
+    oh = (h - kh) // sh + 1
+    ow = (w_ - kw) // sw + 1
+    if (sh, sw) == (kh, kw) and h % kh == 0 and w_ % kw == 0:
+        # non-overlapping windows (ViT patch embed): pure reshape
+        p = x.reshape(b, oh, kh, ow, kw, c)
+        p = jnp.transpose(p, (0, 1, 3, 2, 4, 5))
+        return p.reshape(b, oh, ow, kh * kw * c)
+    slices = []
+    for i in range(kh):
+        for j in range(kw):
+            slices.append(x[:, i:i + (oh - 1) * sh + 1:sh,
+                            j:j + (ow - 1) * sw + 1:sw, :])
+    p = jnp.stack(slices, axis=3)  # [B, OH, OW, KH*KW, C]
+    return p.reshape(b, oh, ow, kh * kw * c)
+
+
 def conv2d_im2col(x, w, pads, strides, matmul):
     """Conv via im2col + caller-supplied matmul (used by the integer path).
 

@@ -59,12 +59,14 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         group = int(attrs.get("group", 1))
         if group != 1:
             raise ValueError("grouped Conv not supported")
-        kh, kw = w.data.shape[2], w.data.shape[3]
         pads = tuple(attrs.get("pads", (0, 0, 0, 0)))
         strides = tuple(attrs.get("strides", (1, 1)))
         dils = tuple(attrs.get("dilations", (1, 1)))
         if tuple(dils) != (1, 1):
             raise ValueError("dilated Conv not supported")
+        if isinstance(x, QTensor):
+            from ..tensor import qconv2d
+            return [qconv2d(x, w, b, pads, strides)]
         return [fconv2d(x, w, b, pads, strides)]
     elif op == "Div":
         return [inputs[0].div(inputs[1])]

@@ -371,4 +371,47 @@ def where(condition: ITensor, a: Tensor, b: Tensor):
 def fconv2d(x: FTensor, w: FTensor, b: FTensor, pads, strides) -> FTensor:
     """Float conv2d on NCHW input (reference: numpy_quant/tensor.py:256-264
     + numpy_helper.py:73-92), lowered to lax.conv_general_dilated."""
-    return FTensor(conv2d_nchw(x.data, w.data, b.data, pads, strides))
+    return FTensor(conv2d_nchw(x.data, w.data, b.data if b is not None else None,
+                               pads, strides))
+
+
+def qconv2d(x: QTensor, w: QTensor, b: Optional[QTensor], pads, strides) -> QTensor:
+    """Integer conv2d: im2col + q_matmul on the MXU (parity-plus; the
+    reference runs quantized-graph Conv in float, SURVEY.md §3.4).
+
+    x: NCHW QTensor (asymmetric activations pad with their zero point);
+    w: OIHW QTensor (symmetric weights); b: optional 4x-bit-width bias
+    at scale sx*sw. Returns a 4x-bit-width accumulator QTensor.
+    """
+    from .ops.conv import extract_patches_exact
+    from .quantization import q_matmul as _q_matmul
+
+    assert x.bit_width == w.bit_width, f"{x.bit_width} != {w.bit_width}"
+    bit_width = x.bit_width
+    o, c, kh, kw = w.data.shape
+    zp_x = x.zero_point
+    pad_value = 0 if zp_x is None else int(zp_x)
+
+    xd = jnp.transpose(x.data, (0, 2, 3, 1))  # NHWC
+    patches = extract_patches_exact(xd, (kh, kw), pads, strides, pad_value)
+    bsz, oh, ow, kkc = patches.shape
+    w2d = jnp.transpose(w.data, (2, 3, 1, 0)).reshape(kh * kw * c, o)
+
+    acc, scale, zp = _q_matmul(patches.reshape(bsz * oh * ow, kkc),
+                               x.scale, x.zero_point,
+                               w2d, w.scale, w.zero_point,
+                               bit_width=bit_width)
+    acc = acc.reshape(bsz, oh, ow, o)
+    acc = jnp.transpose(acc, (0, 3, 1, 2))  # NCHW
+    if zp is not None:
+        if zp.shape[-2] == 1:
+            # w-colsum * zp_x correction: [1, O] -> NCHW broadcast shape
+            zp = zp.reshape(1, o, 1, 1)
+        else:
+            zp = jnp.broadcast_to(zp, (bsz * oh * ow, o)).reshape(
+                bsz, oh, ow, o).transpose(0, 3, 1, 2)
+    out = QTensor(acc, 4 * bit_width, scale, zp)
+    if b is not None:
+        bias = b.data.reshape(1, o, 1, 1)
+        out = QTensor(out.data + bias, out.bit_width, out.scale, out.zero_point)
+    return out

@@ -81,3 +81,46 @@ def test_conv2d_im2col_matches_direct():
     desired = np.asarray(conv2d_nchw(jnp.asarray(x), jnp.asarray(w), None,
                                      pads, strides))
     np.testing.assert_allclose(actual, desired, atol=1e-4)
+
+
+def test_integer_conv_quantized_model():
+    """Integer conv path (parity-plus: reference runs quantized-graph
+    Conv in float, SURVEY.md §3.4)."""
+    import numpy_quant_tpu as nq
+    from numpy_quant_tpu.models import testgen
+
+    m = testgen.conv(b=2, c=3, inp_shape=(9, 10), out_c=2,
+                     kernel_shape=(3, 2), pads=(0, 2, 2, 1), strides=(2, 1),
+                     random_seed=0)
+    model = nq.Model.from_onnx(m)
+    x = RNG.normal(size=(2, 3, 9, 10)).astype(np.float32)
+    f = model([x])[0]
+    denom = f.max() - f.min()
+
+    q_float_conv = model.quantize([x], bit_width=8)
+    assert q_float_conv.quantized_ops == ("MatMul", "Gemm")
+    of = q_float_conv([x])[0]
+    assert np.mean(np.abs(of - f)) / denom < 0.05
+
+    q_int_conv = model.quantize([x], bit_width=8, quantize_conv=True)
+    assert "Conv" in q_int_conv.quantized_ops
+    oi = q_int_conv([x])[0]
+    assert np.mean(np.abs(oi - f)) / denom < 0.06
+
+    # the integer path really produced integer conv accumulators
+    q_int_conv([x], record=True)
+    conv_out = next(v for v in q_int_conv.values if v.name == "output")
+    assert isinstance(conv_out.data, nq.QTensor)
+
+
+def test_integer_conv_vit_patch_embed():
+    import numpy_quant_tpu as nq
+    from numpy_quant_tpu.models import vit as V
+
+    m = V.vit(2, 32, 8, 24, 16, 4)
+    x = RNG.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    model = nq.Model.from_onnx(m)
+    f = model([x])[0]
+    qi = model.quantize([x], bit_width=8, quantize_conv=True)
+    oi = qi([x])[0]
+    assert np.mean(np.abs(oi - f)) <= 0.1
