@@ -53,15 +53,29 @@ def main():
         qmodel = model.quantize([calib], bit_width=8,
                                 calibration_mode="eager")
 
+    import jax.numpy as jnp
+
     x = rng.normal(size=(batch, 3, 224, 224)).astype(np.float32) * 0.5
     # device-resident input: measure the chip, not the host link
     x = jax.device_put(x)
-    jax.block_until_ready(qmodel([x], as_numpy=False))  # compile + warm
+
+    # ppm-level per-iteration perturbation: every call sees distinct
+    # input values, so no runtime can elide/memoize repeated steps
+    @jax.jit
+    def perturb(x, i):
+        return x * (1.0 + 1e-6 * i)
+
+    # as_numpy=True forces a host read of the logits -- the only
+    # reliable completion barrier on remote runtimes
+    qmodel([x])  # compile + warm
+    iters = 10
     best = float("inf")
-    for _ in range(5):
+    for rep in range(3):
         t0 = time.time()
-        jax.block_until_ready(qmodel([x], as_numpy=False))
-        best = min(best, time.time() - t0)
+        for it in range(iters):
+            xi = perturb(x, float(rep * iters + it + 1))
+            logits = qmodel([xi])[0]
+        best = min(best, (time.time() - t0) / iters)
     img_per_s = batch / best
 
     with open(os.path.join(REPO, "baselines", "reference_cpu.json")) as f:
