@@ -44,7 +44,7 @@ def _quantize_tile(x, scale, zero_point, bit_width):
 
 def _packed_matmul_kernel(x_ref, planes_ref, colsum_ref, bias_ref, o_ref,
                           acc_ref, *, bits, block_k, x_scale, x_zp,
-                          out_scale, bit_width, has_bias):
+                          out_scale, bit_width, has_bias, quantize_x):
     k = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -52,7 +52,10 @@ def _packed_matmul_kernel(x_ref, planes_ref, colsum_ref, bias_ref, o_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    xq = _quantize_tile(x_ref[:], x_scale, x_zp, bit_width)
+    if quantize_x:
+        xq = _quantize_tile(x_ref[:], x_scale, x_zp, bit_width)
+    else:
+        xq = x_ref[:].astype(jnp.int8)
     w = unpack_bitplanes(planes_ref[:], bits, block_k)
     acc_ref[:] += jax.lax.dot_general(
         xq, w, (((1,), (0,)), ((), ())),
@@ -72,16 +75,19 @@ def _packed_matmul_kernel(x_ref, planes_ref, colsum_ref, bias_ref, o_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("bits", "bit_width", "x_scale", "x_zp", "w_scale",
-                     "block_m", "block_n", "block_k", "interpret"))
+                     "block_m", "block_n", "block_k", "interpret",
+                     "quantize_x"))
 def packed_qmatmul(x, planes, colsum, bias=None, *, bits: int,
                    bit_width: int, x_scale: float, x_zp: int | None,
                    w_scale: float, block_m: int = 256, block_n: int = 256,
-                   block_k: int = 512, interpret: bool = False):
+                   block_k: int = 512, interpret: bool = False,
+                   quantize_x: bool = True):
     """y = dequant( quant(x) @ unpack(planes) ) + bias.
 
-    x: [M, K] float32. planes: uint8[bits, K/8, N] (pack_bitplanes of the
-    symmetric-quantized weight). colsum: int32[1, N] column sums of the
-    quantized weight. bias: optional float32[1, N].
+    x: [M, K] float32 (or already-quantized integers when
+    ``quantize_x=False``). planes: uint8[bits, K/8, N] (pack_bitplanes
+    of the symmetric-quantized weight). colsum: int32[1, N] column sums
+    of the quantized weight. bias: optional float32[1, N].
     Returns float32[M, N].
     """
     m, k = x.shape
@@ -112,7 +118,8 @@ def packed_qmatmul(x, planes, colsum, bias=None, *, bits: int,
         _packed_matmul_kernel, bits=bits, block_k=block_k,
         x_scale=np.float32(x_scale),
         x_zp=None if x_zp is None else int(x_zp),
-        out_scale=out_scale, bit_width=bit_width, has_bias=has_bias)
+        out_scale=out_scale, bit_width=bit_width, has_bias=has_bias,
+        quantize_x=quantize_x)
 
     in_specs = [
         pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk),

@@ -109,10 +109,14 @@ class Model:
     def _device_params(self) -> dict[str, Any]:
         """Device-resident constant payloads, passed as a jit argument so
         weights are not baked into the compiled HLO as literals."""
+        from .tensor import PackedQTensor
         params = {}
         for value in self.values:
-            if isinstance(value, Constant) and isinstance(value.data, (FTensor, QTensor)):
-                params[value.name] = value.data.data
+            if isinstance(value, Constant):
+                if isinstance(value.data, (FTensor, QTensor)):
+                    params[value.name] = value.data.data
+                elif isinstance(value.data, PackedQTensor):
+                    params[value.name] = (value.data.planes, value.data.colsum)
         return params
 
     def _placed_params(self) -> dict[str, Any]:
@@ -139,12 +143,17 @@ class Model:
         return jax.device_put(array, NamedSharding(self.mesh, spec))
 
     def _wrap_constant(self, value: Constant, params: dict[str, Any]) -> Tensor:
+        from .tensor import PackedQTensor
         data = value.data
         if isinstance(data, FTensor):
             return FTensor(params[value.name])
         if isinstance(data, QTensor):
             return QTensor(params[value.name], data.bit_width, data.scale,
                            data.zero_point)
+        if isinstance(data, PackedQTensor):
+            planes, colsum = params[value.name]
+            return PackedQTensor(planes, colsum, data.k, data.n,
+                                 data.bit_width, data.scale)
         return data  # host ITensor
 
     # ------------------------------------------------------------------
@@ -567,3 +576,30 @@ class QModel(Model):
         if isinstance(tensor, QTensor):
             return tensor.dequantize().data
         raise ValueError(f"Unsupported output tensor {type(tensor)}")
+
+    def pack_weights(self) -> int:
+        """Switch 2-D symmetric MatMul weights to packed sub-byte
+        bit-plane storage (kernels/pack.py): exactly bit_width bits per
+        value in HBM, unpacked in VMEM by the fused Pallas matmul kernel.
+        Returns the number of packed weights."""
+        from .tensor import pack_qtensor
+
+        packed = 0
+        for value in self.values:
+            if not isinstance(value, Constant) or not isinstance(value.data, QTensor):
+                continue
+            qt = value.data
+            if qt.zero_point is not None or np.asarray(qt.data).ndim != 2:
+                continue
+            if qt.bit_width > 8:
+                continue
+            # only weights consumed exclusively as MatMul rhs
+            if not value.outputs or not all(
+                    n.op == "MatMul" and len(n.inputs) > 1
+                    and n.inputs[1] is value for n in value.outputs):
+                continue
+            value.data = pack_qtensor(qt)
+            packed += 1
+        self._jit_cache.clear()
+        self._sharded_param_cache = None
+        return packed

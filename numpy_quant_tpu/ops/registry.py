@@ -12,7 +12,40 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..tensor import FTensor, ITensor, QTensor, Tensor, concat, fconv2d, where
+from ..tensor import (
+    FTensor,
+    ITensor,
+    PackedQTensor,
+    QTensor,
+    Tensor,
+    concat,
+    fconv2d,
+    where,
+)
+
+
+def _packed_matmul(a: QTensor, b: PackedQTensor) -> FTensor:
+    """Quantized activation x packed sub-byte weight -> dequantized f32,
+    via the fused Pallas kernel (kernels/qmatmul.py). Falls back to the
+    generic path when the activation carries a tensor zero point."""
+    import jax
+
+    if a.zero_point is not None and getattr(a.zero_point, "ndim", 0) > 0:
+        return a.matmul(b.unpack()).dequantize()
+    from ..kernels.qmatmul import packed_qmatmul
+
+    data = a.data
+    lead = data.shape[:-1]
+    x2 = data.reshape(-1, data.shape[-1])
+    y2 = packed_qmatmul(
+        x2, b.planes, b.colsum, None,
+        bits=b.bit_width, bit_width=a.bit_width,
+        x_scale=float(np.float32(a.scale)),
+        x_zp=None if a.zero_point is None else int(a.zero_point),
+        w_scale=float(np.float32(b.scale)),
+        quantize_x=False,
+        interpret=jax.default_backend() == "cpu")
+    return FTensor(y2.reshape(*lead, b.n))
 
 
 def _resolve_reshape_shape(x_shape, shape: np.ndarray, allowzero: int) -> tuple:
@@ -115,7 +148,10 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
             y = y + bias
         return [y]
     elif op == "MatMul":
-        return [inputs[0].matmul(inputs[1])]
+        a, b = inputs[0], inputs[1]
+        if isinstance(b, PackedQTensor):
+            return [_packed_matmul(a, b)]
+        return [a.matmul(b)]
     elif op == "Mul":
         return [inputs[0] * inputs[1]]
     elif op == "ReduceMean":

@@ -45,7 +45,10 @@ def param_shardings(model, mesh: Mesh, rules=None) -> dict:
     """
     out = {}
     for name, arr in model._device_params().items():
-        spec = rules(name, arr.ndim) if rules is not None else P()
+        if isinstance(arr, tuple):  # packed weight payloads: replicate
+            spec = P()
+        else:
+            spec = rules(name, arr.ndim) if rules is not None else P()
         out[name] = NamedSharding(mesh, spec)
     return out
 

@@ -321,7 +321,58 @@ class QTensor:
                 f"scale={self.scale})")
 
 
-Tensor = Union[ITensor, FTensor, QTensor]
+class PackedQTensor:
+    """Sub-byte packed quantized weight: bit-plane payload in HBM
+    (uint8[b, K/8, N], kernels/pack.py) + precomputed column sums for
+    the zero-point-correction epilogue. Exactly bit_width bits per value
+    in HBM vs the reference's int64 containers (tensor.py:158-166).
+
+    Only 2-D symmetric weights (MatMul rhs) pack; the fused Pallas
+    kernel (kernels/qmatmul.py) unpacks tiles in VMEM on the fly.
+    """
+
+    def __init__(self, planes, colsum, k: int, n: int, bit_width: int, scale):
+        self.planes = jnp.asarray(planes)
+        self.colsum = jnp.asarray(colsum)
+        self.k = int(k)
+        self.n = int(n)
+        self.bit_width = int(bit_width)
+        self.scale = scale
+        self.zero_point = None  # packing requires symmetric weights
+
+    @property
+    def shape(self):
+        return (self.k, self.n)
+
+    @property
+    def data(self):
+        return self.planes
+
+    def unpack(self) -> QTensor:
+        from .kernels.pack import unpack_bitplanes
+        vals = unpack_bitplanes(self.planes, self.bit_width, self.k)
+        from .quantization import container_int_dtype
+        return QTensor(vals.astype(container_int_dtype()), self.bit_width,
+                       self.scale, None)
+
+    def __repr__(self):
+        return (f"PackedQTensor(shape=({self.k}, {self.n}), "
+                f"bit_width={self.bit_width})")
+
+
+def pack_qtensor(qt: QTensor) -> PackedQTensor:
+    """QTensor (2-D, symmetric) -> bit-plane packed weight."""
+    from .kernels.pack import pack_bitplanes
+    assert qt.zero_point is None, "only symmetric weights pack"
+    data = np.asarray(qt.data)
+    assert data.ndim == 2, "only 2-D weights pack"
+    k, n = data.shape
+    planes = pack_bitplanes(data.astype(np.int32), qt.bit_width)
+    colsum = data.astype(np.int64).sum(axis=0, keepdims=True).astype(np.int32)
+    return PackedQTensor(planes, colsum, k, n, qt.bit_width, qt.scale)
+
+
+Tensor = Union[ITensor, FTensor, QTensor, PackedQTensor]
 
 
 def quantize_tensor(tensor: FTensor, bit_width: int, scale, zero_point) -> QTensor:

@@ -103,3 +103,40 @@ def test_elementwise_kernels_match_core(bits, asym):
         jnp.asarray(q_pal), scale=float(scale),
         zero_point=None if zp is None else int(zp), interpret=True))
     np.testing.assert_allclose(d_pal, d_core, atol=1e-6)
+
+
+def test_pack_weights_qmodel():
+    """QModel.pack_weights: sub-byte HBM storage + fused Pallas matmul
+    path matches the generic executor within f32 rounding."""
+    import numpy_quant_tpu as nq
+    from numpy_quant_tpu.models import vit as V
+    from numpy_quant_tpu.tensor import PackedQTensor
+
+    m = V.vit_self_attention(1, 10, 16, 4)
+    x = RNG.normal(size=(1, 10, 16)).astype(np.float32)
+    model = nq.Model.from_onnx(m)
+    qmodel = model.quantize([x], bit_width=8)
+    expected = qmodel([x])[0]
+
+    n_packed = qmodel.pack_weights()
+    assert n_packed >= 3  # q/k/v projection weights
+    packed_consts = [v for v in qmodel.values
+                     if hasattr(v, "data") and isinstance(v.data, PackedQTensor)]
+    assert len(packed_consts) == n_packed
+    actual = qmodel([x])[0]
+    np.testing.assert_allclose(actual, expected, atol=1e-4)
+
+
+def test_pack_weights_bit4():
+    import numpy_quant_tpu as nq
+    from numpy_quant_tpu.models import gnn
+
+    n, e, f, h, c = 24, 60, 16, 32, 4
+    m = gnn.gcn_dense(n, e, f, h, c, seed=0)
+    x = RNG.standard_normal((n, f)).astype(np.float32)
+    model = nq.Model.from_onnx(m)
+    qmodel = model.quantize([x], bit_width=4)
+    expected = qmodel([x])[0]
+    qmodel.pack_weights()
+    actual = qmodel([x])[0]
+    np.testing.assert_allclose(actual, expected, atol=1e-3)
