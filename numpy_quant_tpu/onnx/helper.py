@@ -241,6 +241,20 @@ def save(model: ModelProto, path) -> None:
         f.write(model.SerializeToString())
 
 
+def strip_weights(model: ModelProto) -> ModelProto:
+    """Drop initializer payloads, keeping names/dims/dtypes -- weightless
+    graph files for structure inspection (the reference commits such
+    files, models/vit/*_no_weights.onnx)."""
+    out = ModelProto()
+    out.ParseFromString(model.SerializeToString())
+    for t in out.graph.initializer:
+        t.raw_data = b""
+        t.float_data = []
+        t.int32_data = []
+        t.int64_data = []
+    return out
+
+
 def value_info_shape(vi: ValueInfoProto) -> tuple:
     """Static shape of a ValueInfoProto; dim_param entries come back as str."""
     tt = vi.type.tensor_type if vi.type else None
