@@ -30,7 +30,7 @@ def main():
     from numpy_quant_tpu.utils import load_calibration_stats
     from transformers import ViTConfig
 
-    batch = int(os.environ.get("NQ_TPU_BENCH_BATCH", "32"))
+    batch = int(os.environ.get("NQ_TPU_BENCH_BATCH", "64"))
     cfg = ViTConfig(num_labels=1000)  # ViT-Base-patch16-224 shape
     m = V.vit_image_classifier(config=cfg, batch_size=None, seed=0)
     nq.onnx.make_dim_param_fixed(m.graph, "B", batch)
