@@ -58,23 +58,33 @@ def main():
     x = rng.normal(size=(batch, 3, 224, 224)).astype(np.float32) * 0.5
     # device-resident input: measure the chip, not the host link
     x = jax.device_put(x)
+    params = qmodel._placed_params()
+    fwd = qmodel.lowered_fn()
+    iters = int(os.environ.get("NQ_TPU_BENCH_ITERS", "16"))
 
-    # ppm-level per-iteration perturbation: every call sees distinct
-    # input values, so no runtime can elide/memoize repeated steps
+    # Sustained device throughput: scan `iters` forwards inside ONE
+    # program. Each step sees a distinct (ppm-perturbed) input, so no
+    # runtime can elide/memoize steps, and the single host sync at the
+    # end amortizes the host<->device round trip out of the measurement.
     @jax.jit
-    def perturb(x, i):
-        return x * (1.0 + 1e-6 * i)
+    def many(x, params, base):
+        def body(carry, factor):
+            logits = fwd([x * factor], params)[0]
+            return carry + jnp.sum(logits), jnp.max(logits)
+        factors = base + 1e-6 * jnp.arange(1, iters + 1, dtype=jnp.float32)
+        checksum, maxes = jax.lax.scan(body, jnp.float32(0.0), factors)
+        return checksum, maxes
 
-    # as_numpy=True forces a host read of the logits -- the only
-    # reliable completion barrier on remote runtimes
-    qmodel([x])  # compile + warm
-    iters = 10
+    def sync(out):
+        return float(np.asarray(out[0]))  # host read = completion barrier
+
+    # distinct `base` per call: repeated invocations are never identical,
+    # so content-addressed runtimes cannot serve cached results
+    sync(many(x, params, jnp.float32(1.0)))  # compile + warm
     best = float("inf")
     for rep in range(3):
         t0 = time.time()
-        for it in range(iters):
-            xi = perturb(x, float(rep * iters + it + 1))
-            logits = qmodel([xi])[0]
+        sync(many(x, params, jnp.float32(1.0 + 1e-3 * (rep + 1))))
         best = min(best, (time.time() - t0) / iters)
     img_per_s = batch / best
 
