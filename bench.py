@@ -26,9 +26,18 @@ def main():
                       os.environ.get("NQ_TPU_JAX_CACHE", "/tmp/nq_tpu_jaxcache"))
 
     import numpy_quant_tpu as nq
+    from numpy_quant_tpu import config as nq_config
     from numpy_quant_tpu.models import vit as V
     from numpy_quant_tpu.utils import load_calibration_stats
     from transformers import ViTConfig
+
+    if os.environ.get("NQ_TPU_BENCH_BF16", "1") == "1":
+        # bfloat16 float segments between int8 matmuls: halves the HBM
+        # traffic of LayerNorm/Softmax/GELU; extra error is below int8
+        # quantization noise (see tests/test_bf16_mode.py)
+        import jax.numpy as _jnp
+        nq_config.float_dtype = _jnp.bfloat16
+        nq_config.float_matmul_precision = jax.lax.Precision.DEFAULT
 
     batch = int(os.environ.get("NQ_TPU_BENCH_BATCH", "64"))
     cfg = ViTConfig(num_labels=1000)  # ViT-Base-patch16-224 shape

@@ -203,7 +203,10 @@ class Model:
     # ------------------------------------------------------------------
 
     def _finalize_output(self, tensor: Tensor):
-        return tensor.data
+        data = tensor.data
+        if hasattr(data, "dtype") and data.dtype == jax.numpy.bfloat16:
+            return data.astype(jax.numpy.float32)
+        return data
 
     # ------------------------------------------------------------------
     # Execution
@@ -572,7 +575,10 @@ class QModel(Model):
 
     def _finalize_output(self, tensor: Tensor):
         if isinstance(tensor, FTensor):
-            return tensor.data
+            data = tensor.data
+            if data.dtype == jax.numpy.bfloat16:
+                return data.astype(jax.numpy.float32)
+            return data
         if isinstance(tensor, QTensor):
             return tensor.dequantize().data
         raise ValueError(f"Unsupported output tensor {type(tensor)}")

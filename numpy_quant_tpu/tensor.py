@@ -93,18 +93,22 @@ class ITensor:
         return f"ITensor({self._data!r})"
 
 
-def _as_f32(x) -> jax.Array:
+def _as_float(x) -> jax.Array:
     arr = jnp.asarray(x)
-    if arr.dtype != jnp.float32:
-        raise ValueError("Use float32 for FTensor")
-    return arr
+    target = config.float_dtype
+    if arr.dtype == target:
+        return arr
+    if arr.dtype in (jnp.float32, jnp.bfloat16, jnp.float16, jnp.float64):
+        return arr.astype(target)
+    raise ValueError(f"Use float data for FTensor, got {arr.dtype}")
 
 
 class FTensor:
-    """float32 device tensor. reference: numpy_quant/tensor.py:47-152."""
+    """Float device tensor (float32; bfloat16 under
+    config.low_precision_floats). reference: numpy_quant/tensor.py:47-152."""
 
     def __init__(self, data):
-        self._data = _as_f32(data)
+        self._data = _as_float(data)
 
     @property
     def data(self) -> jax.Array:
@@ -142,7 +146,7 @@ class FTensor:
         if isinstance(other, FTensor):
             return FTensor(self._data + other.data)
         if isinstance(other, float):
-            return FTensor(self._data + jnp.float32(other))
+            return FTensor(self._data + jnp.asarray(other, self._data.dtype))
         raise ValueError(f"Value of type {type(other)} cannot be added")
 
     def __radd__(self, other) -> "FTensor":
