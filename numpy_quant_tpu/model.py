@@ -531,7 +531,7 @@ class QModel(Model):
         if node.op in self.quantized_ops:
             # Quantize any float inputs on the fly ("TinyqQuant",
             # reference: model.py:503-527).
-            for v in node.inputs:
+            for idx, v in enumerate(node.inputs):
                 t = data[v.name]
                 if isinstance(t, FTensor):
                     qp = self.quant_params[v.name]
@@ -540,12 +540,14 @@ class QModel(Model):
                     if timings is not None:
                         jax.block_until_ready(t.data)
                         timings["TinyqQuant"] += time() - stime
-                elif isinstance(t, QTensor) and t.bit_width != self.bit_width:
+                elif (idx < 2 and isinstance(t, QTensor)
+                      and t.bit_width != self.bit_width):
                     # Directly-chained integer matmuls (e.g. GNN message
-                    # passing): requantize the 4x-width accumulator to
-                    # the model bit width with this value's calibrated
-                    # params. (The reference asserts out here,
-                    # tensor.py:206 -- superset behavior.)
+                    # passing): requantize a 4x-width accumulator OPERAND
+                    # (never the 4x-width bias at input 2) to the model
+                    # bit width with this value's calibrated params.
+                    # (The reference asserts out here, tensor.py:206 --
+                    # superset behavior.)
                     qp = self.quant_params[v.name]
                     t = t.requantize(self.bit_width, qp.scale, qp.zero_point)
                 ins.append(t)
