@@ -471,10 +471,12 @@ class Model:
                     qparams_per_value[node.inputs[0].name]
                 qnodes_dict[node.name] = Node(node.name, node.op, node.attrs, [], [])
             else:
-                out_val = node.outputs[0]
-                qvalues_dict[out_val.name] = Variable(out_val.name, [], [], None)
-                if out_val.name in stats:
-                    qparams_per_value[out_val.name] = qparams_for(out_val.name, True)
+                # every output registered (the reference's single-output
+                # TODO at model.py:422, implemented for real)
+                for out_val in node.outputs:
+                    qvalues_dict[out_val.name] = Variable(out_val.name, [], [], None)
+                    if out_val.name in stats:
+                        qparams_per_value[out_val.name] = qparams_for(out_val.name, True)
                 qnodes_dict[node.name] = Node(node.name, node.op, node.attrs, [], [])
 
         # Re-link the cloned graph (reference: model.py:427-436).
