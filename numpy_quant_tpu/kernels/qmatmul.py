@@ -44,7 +44,8 @@ def _quantize_tile(x, scale, zero_point, bit_width):
 
 def _packed_matmul_kernel(x_ref, planes_ref, colsum_ref, bias_ref, o_ref,
                           acc_ref, *, bits, block_k, x_scale, x_zp,
-                          out_scale, bit_width, has_bias, quantize_x):
+                          out_scale, bit_width, has_bias, quantize_x,
+                          out_requant):
     k = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -69,19 +70,31 @@ def _packed_matmul_kernel(x_ref, planes_ref, colsum_ref, bias_ref, o_ref,
         y = acc.astype(jnp.float32) * out_scale
         if has_bias:
             y = y + bias_ref[:]
-        o_ref[:] = y
+        if out_requant is not None:
+            # fused requantize epilogue (reference float-path semantics:
+            # rint then clip, numpy_quantization.py:69-71)
+            res_scale, res_zp, res_bits = out_requant
+            min_q = -2.0 ** (res_bits - 1)
+            max_q = 2.0 ** (res_bits - 1) - 1.0
+            q = y * np.float32(1.0 / np.float32(res_scale))
+            if res_zp is not None:
+                q = q + np.float32(res_zp)
+            o_ref[:] = jnp.clip(jnp.rint(q), min_q, max_q).astype(o_ref.dtype)
+        else:
+            o_ref[:] = y
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("bits", "bit_width", "x_scale", "x_zp", "w_scale",
                      "block_m", "block_n", "block_k", "interpret",
-                     "quantize_x"))
+                     "quantize_x", "out_requant"))
 def packed_qmatmul(x, planes, colsum, bias=None, *, bits: int,
                    bit_width: int, x_scale: float, x_zp: int | None,
                    w_scale: float, block_m: int = 256, block_n: int = 256,
                    block_k: int = 512, interpret: bool = False,
-                   quantize_x: bool = True):
+                   quantize_x: bool = True,
+                   out_requant: tuple | None = None):
     """y = dequant( quant(x) @ unpack(planes) ) + bias.
 
     x: [M, K] float32 (or already-quantized integers when
@@ -119,7 +132,7 @@ def packed_qmatmul(x, planes, colsum, bias=None, *, bits: int,
         x_scale=np.float32(x_scale),
         x_zp=None if x_zp is None else int(x_zp),
         out_scale=out_scale, bit_width=bit_width, has_bias=has_bias,
-        quantize_x=quantize_x)
+        quantize_x=quantize_x, out_requant=out_requant)
 
     in_specs = [
         pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk),
@@ -140,9 +153,10 @@ def packed_qmatmul(x, planes, colsum, bias=None, *, bits: int,
         inputs.append(jnp.zeros((1, 128), jnp.float32))
 
     flops = 2 * mp * np_ * kp
+    out_dtype = jnp.float32 if out_requant is None else jnp.int8
     y = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j),

@@ -140,3 +140,38 @@ def test_pack_weights_bit4():
     qmodel.pack_weights()
     actual = qmodel([x])[0]
     np.testing.assert_allclose(actual, expected, atol=1e-3)
+
+
+def test_packed_qmatmul_fused_requantize():
+    """Fused requantize epilogue: int8 output matches the reference
+    chain quantize->q_matmul->(+bias)->requantize."""
+    bits = 8
+    M, K, N = 24, 64, 40
+    x = (RNG.random((M, K)).astype(np.float32) - 0.4) * 3
+    w = (RNG.random((K, N)).astype(np.float32) - 0.5) * 2
+
+    def mm(v):
+        return (np.minimum(v.min(), np.float32(0)),
+                np.maximum(v.max(), np.float32(0)))
+
+    sx, zx = Q.quant_parameters(*mm(x), bits, True)
+    sw, _ = Q.quant_parameters(*mm(w), bits, False)
+    qx = np.asarray(Q.quantize(x, bits, sx, zx))
+    qw = np.asarray(Q.quantize(w, bits, sw, None))
+    acc, s, zp = Q.q_matmul(qx, sx, zx, qw, sw, None, bit_width=bits)
+    yf = np.matmul(x, w)
+    so, zo = Q.quant_parameters(*mm(yf), bits, True)
+    desired = np.asarray(Q.requantize(np.asarray(acc), s,
+                                      np.asarray(zp), so, zo, bits))
+
+    planes = pack_bitplanes(qw.astype(np.int32), bits)
+    colsum = qw.sum(axis=0, keepdims=True).astype(np.int32)
+    q_out = np.asarray(packed_qmatmul(
+        jnp.asarray(x), jnp.asarray(planes), jnp.asarray(colsum), None,
+        bits=bits, bit_width=bits, x_scale=float(sx), x_zp=int(zx),
+        w_scale=float(sw), block_m=8, block_n=128, block_k=64,
+        interpret=True, out_requant=(float(so), int(zo), bits)))
+    assert q_out.dtype == np.int8
+    # f32 vs f64 epilogue rounding can flip a value at an exact .5 tie
+    assert np.mean(q_out.astype(np.int64) != desired.astype(np.int64)) < 0.01
+    assert np.abs(q_out.astype(np.int64) - desired.astype(np.int64)).max() <= 1
