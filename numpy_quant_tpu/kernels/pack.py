@@ -33,7 +33,10 @@ def pack_bitplanes(q: np.ndarray, bits: int) -> np.ndarray:
     assert u.max(initial=0) < (1 << bits), "values exceed bit width"
     k8 = -(-k // 8) * 8
     if k8 != k:
-        u = np.concatenate([u, np.zeros((k8 - k, n), np.uint8)], axis=0)
+        # pad rows encode VALUE 0 (offset-binary `offset`), so padded
+        # K-tails contribute nothing to accumulations
+        u = np.concatenate([u, np.full((k8 - k, n), offset, np.uint8)],
+                           axis=0)
     # [k8, n] -> [k8/8, 8, n]; bit j of each value -> plane j
     u = u.reshape(k8 // 8, 8, n)
     planes = np.zeros((bits, k8 // 8, n), dtype=np.uint8)

@@ -116,8 +116,17 @@ def packed_qmatmul(x, planes, colsum, bias=None, *, bits: int,
     if (mp, kp) != (m, k):
         x = jnp.pad(x, ((0, mp - m), (0, kp - k)))
     if planes.shape[1] * 8 != kp or planes.shape[2] != np_:
-        planes = jnp.pad(planes, ((0, 0), (0, kp // 8 - planes.shape[1]),
-                                  (0, np_ - n)))
+        # Padding must decode to weight value 0, which is offset-binary
+        # 2^(bits-1): only bit-plane (bits-1) set -> pad that plane with
+        # 0xFF, the others with 0. (A zero pad decodes to -2^(bits-1)
+        # and corrupts K-padded accumulation.)
+        k8_orig, n_orig = planes.shape[1], planes.shape[2]
+        planes = jnp.pad(planes, ((0, 0), (0, kp // 8 - k8_orig),
+                                  (0, np_ - n_orig)))
+        if kp // 8 > k8_orig:
+            planes = planes.at[bits - 1, k8_orig:, :].set(np.uint8(0xFF))
+        if np_ > n_orig:
+            planes = planes.at[bits - 1, :, n_orig:].set(np.uint8(0xFF))
     if colsum.shape[1] != np_:
         colsum = jnp.pad(colsum, ((0, 0), (0, np_ - n)))
     has_bias = bias is not None

@@ -175,3 +175,33 @@ def test_packed_qmatmul_fused_requantize():
     # f32 vs f64 epilogue rounding can flip a value at an exact .5 tie
     assert np.mean(q_out.astype(np.int64) != desired.astype(np.int64)) < 0.01
     assert np.abs(q_out.astype(np.int64) - desired.astype(np.int64)).max() <= 1
+
+
+def test_packed_qmatmul_k_padding_regression():
+    """K not a multiple of block_k: padded bit-planes must decode to
+    weight value 0 (a zero pad decodes to -2^(b-1) and corrupted
+    accumulations on hardware)."""
+    bits = 8
+    M, K, N = 16, 200, 130  # K pads 200->256, N pads 130->256
+    x = (RNG.random((M, K)).astype(np.float32) - 0.4) * 3
+    w = (RNG.random((K, N)).astype(np.float32) - 0.5) * 2
+
+    def mm(v):
+        return (np.minimum(v.min(), np.float32(0)),
+                np.maximum(v.max(), np.float32(0)))
+
+    sx, zx = Q.quant_parameters(*mm(x), bits, True)
+    sw, _ = Q.quant_parameters(*mm(w), bits, False)
+    qx = np.asarray(Q.quantize(x, bits, sx, zx))
+    qw = np.asarray(Q.quantize(w, bits, sw, None))
+    acc, s, zp = Q.q_matmul(qx, sx, zx, qw, sw, None, bit_width=bits)
+    desired = np.asarray(Q.dequantize(np.asarray(acc), s, np.asarray(zp)))
+
+    planes = pack_bitplanes(qw.astype(np.int32), bits)
+    colsum = qw.sum(axis=0, keepdims=True).astype(np.int32)
+    y = np.asarray(packed_qmatmul(
+        jnp.asarray(x), jnp.asarray(planes), jnp.asarray(colsum), None,
+        bits=bits, bit_width=bits, x_scale=float(sx), x_zp=int(zx),
+        w_scale=float(sw), block_m=16, block_n=256, block_k=256,
+        interpret=True))
+    np.testing.assert_allclose(y, desired, atol=5e-5)
