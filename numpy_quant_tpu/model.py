@@ -587,6 +587,68 @@ class QModel(Model):
             return tensor.dequantize().data
         raise ValueError(f"Unsupported output tensor {type(tensor)}")
 
+    def fuse_attention(self) -> int:
+        """Fuse MatMul -> Mul/Div(const) -> Softmax -> MatMul chains into
+        FusedAttention nodes backed by the VMEM-resident int8 attention
+        kernel (kernels/attention.py). Avoids materializing the
+        [B, H, N, N] score/probability tensors in HBM. Returns the
+        number of fused blocks."""
+        if self.bit_width > 8:
+            return 0
+        producer = {}
+        for node in self.nodes:
+            for out in node.outputs:
+                producer[out.name] = node
+
+        def consumers(value):
+            return [n for n in self.nodes if value in n.inputs]
+
+        fused = 0
+        for sm in [n for n in self.nodes if n.op == "Softmax"]:
+            if int(sm.attrs.get("axis", -1)) != -1:
+                continue
+            mul = producer.get(sm.inputs[0].name)
+            if mul is None or mul.op not in ("Mul", "Div"):
+                continue
+            mm1 = producer.get(mul.inputs[0].name)
+            if mm1 is None or mm1.op != "MatMul":
+                continue
+            scal_node = producer.get(mul.inputs[1].name)
+            if scal_node is None or scal_node.op != "Constant":
+                continue
+            scal_arr = np.asarray(scal_node.attrs["value"])
+            if scal_arr.size != 1:
+                continue
+            scaling = float(scal_arr.reshape(-1)[0])
+            if mul.op == "Div":
+                scaling = 1.0 / scaling
+            cons = consumers(sm.outputs[0])
+            if len(cons) != 1 or cons[0].op != "MatMul" \
+                    or cons[0].inputs[0] is not sm.outputs[0]:
+                continue
+            mm2 = cons[0]
+            if any(len(consumers(v)) != 1
+                   for v in (mm1.outputs[0], mul.outputs[0])):
+                continue
+            probs_qp = self.quant_params[sm.outputs[0].name]
+            fnode = Node(
+                f"{mm2.name}/fused_attention", "FusedAttention",
+                {"scaling": scaling,
+                 "probs_scale": float(np.float32(probs_qp.scale)),
+                 "probs_zero_point": 0 if probs_qp.zero_point is None
+                 else int(probs_qp.zero_point)},
+                [mm1.inputs[0], mm1.inputs[1], mm2.inputs[1]],
+                [mm2.outputs[0]])
+            idx = self.nodes.index(mm2)
+            self.nodes[idx] = fnode
+            for dead in (mm1, mul, sm):
+                self.nodes.remove(dead)
+            fused += 1
+        if fused:
+            self.quantized_ops = tuple(self.quantized_ops) + ("FusedAttention",)
+            self._jit_cache.clear()
+        return fused
+
     def pack_weights(self) -> int:
         """Switch 2-D symmetric MatMul weights to packed sub-byte
         bit-plane storage (kernels/pack.py): exactly bit_width bits per

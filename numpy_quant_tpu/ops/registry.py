@@ -10,6 +10,7 @@ alpha/beta.
 """
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..tensor import (
@@ -222,6 +223,37 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         return [x.expand_dims(axis=axes)]
     elif op == "Where":
         return [where(inputs[0], inputs[1], inputs[2])]
+    elif op == "FusedAttention":
+        # Produced by QModel.fuse_attention(): the whole quantized
+        # attention block in one VMEM-resident Pallas kernel
+        # (kernels/attention.py). Inputs are the quantized q-heads
+        # [B,H,N,D], transposed k-heads [B,H,D,N] and v-heads [B,H,N,D].
+        import jax
+
+        from ..kernels.attention import fused_attention
+
+        q, kt, v = inputs[0], inputs[1], inputs[2]
+        assert isinstance(q, QTensor) and isinstance(kt, QTensor) \
+            and isinstance(v, QTensor)
+        lead = q.data.shape[:-2]
+        n, d = q.data.shape[-2], q.data.shape[-1]
+
+        def zp_of(t):
+            return 0 if t.zero_point is None else int(t.zero_point)
+
+        out = fused_attention(
+            q.data.astype(jnp.int8).reshape(-1, n, d),
+            kt.data.astype(jnp.int8).reshape(-1, d, n),
+            v.data.astype(jnp.int8).reshape(-1, n, d),
+            scaling=float(attrs["scaling"]),
+            sq=float(np.float32(q.scale)), zq=zp_of(q),
+            sk=float(np.float32(kt.scale)), zk=zp_of(kt),
+            sv=float(np.float32(v.scale)), zv=zp_of(v),
+            sp=float(attrs["probs_scale"]),
+            zp_p=int(attrs["probs_zero_point"]),
+            bit_width=q.bit_width,
+            interpret=jax.default_backend() == "cpu")
+        return [FTensor(out.reshape(*lead, n, d))]
     elif op == "ScatterElements":
         # Message-passing aggregation for GNN graphs (opset 16+:
         # reduction='add'). indices are shape-domain (host) so the

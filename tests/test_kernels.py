@@ -205,3 +205,36 @@ def test_packed_qmatmul_k_padding_regression():
         w_scale=float(sw), block_m=16, block_n=256, block_k=256,
         interpret=True))
     np.testing.assert_allclose(y, desired, atol=5e-5)
+
+
+def test_fuse_attention_bit_identical():
+    """QModel.fuse_attention: the VMEM-resident attention kernel is
+    bit-identical to the unfused graph path."""
+    import numpy_quant_tpu as nq
+    from numpy_quant_tpu.models import vit as V
+
+    m = V.vit_self_attention(2, 10, 16, 4)
+    x = RNG.normal(size=(2, 10, 16)).astype(np.float32)
+    model = nq.Model.from_onnx(m)
+    qmodel = model.quantize([x], bit_width=8)
+    ref = qmodel([x])[0]
+    assert qmodel.fuse_attention() == 1
+    assert "FusedAttention" in qmodel.quantized_ops
+    out = qmodel([x])[0]
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_fuse_attention_full_vit():
+    import numpy_quant_tpu as nq
+    from numpy_quant_tpu.models import vit as V
+
+    m = V.vit(2, 32, 8, 24, 16, 4)
+    x = RNG.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    model = nq.Model.from_onnx(m)
+    f = model([x])[0]
+    qmodel = model.quantize([x], bit_width=8)
+    ref = qmodel([x])[0]
+    assert qmodel.fuse_attention() == 2  # one per encoder layer
+    out = qmodel([x])[0]
+    np.testing.assert_array_equal(out, ref)
+    assert np.mean(np.abs(out - f)) <= 0.1
