@@ -61,6 +61,8 @@ def main():
         calib = rng.normal(size=(2, 3, 224, 224)).astype(np.float32) * 0.5
         qmodel = model.quantize([calib], bit_width=8,
                                 calibration_mode="eager")
+    if os.environ.get("NQ_TPU_BENCH_FUSED_ATTN", "1") == "1":
+        qmodel.fuse_attention()  # VMEM-resident int8 attention kernel
 
     import jax.numpy as jnp
 
