@@ -23,7 +23,7 @@ Capability-parity with the reference graph layer
 from __future__ import annotations
 
 from time import time
-from typing import Any, List, Union
+from typing import Any, List
 
 import jax
 import numpy as np

@@ -31,8 +31,6 @@ Dtype strategy (TPU-first):
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
