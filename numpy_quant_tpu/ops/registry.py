@@ -290,5 +290,128 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         if isinstance(data, FTensor):
             return [FTensor(data.data[grids])]
         return [ITensor(np.asarray(data.data)[grids])]
+    elif op == "Cast":
+        x = inputs[0]
+        to = int(attrs["to"])
+        if to == 1:  # FLOAT
+            if isinstance(x, FTensor):
+                return [x.copy()]
+            return [FTensor(np.asarray(x.data, dtype=np.float32))]
+        if to in (6, 7):  # INT32 / INT64 (shape domain, host)
+            if isinstance(x, ITensor):
+                return [x.copy()]
+            raise ValueError("Cast of traced float data to int is not "
+                             "supported under jit (shape domain only)")
+        raise ValueError(f"Cast to elem_type {to} not supported")
+    elif op == "Flatten":
+        x = inputs[0]
+        axis = int(attrs.get("axis", 1))
+        dims = tuple(int(d) for d in x.shape.data) if not isinstance(x, QTensor) \
+            else x.shape
+        lead = int(np.prod(dims[:axis])) if axis > 0 else 1
+        return [x.reshape(ITensor(np.array([lead, -1], dtype=np.int64)))]
+    elif op == "Squeeze":
+        x = inputs[0]
+        if len(inputs) > 1 and inputs[1] is not None:
+            axes = tuple(int(a) for a in inputs[1].data)
+        elif "axes" in attrs:
+            axes = tuple(int(a) for a in attrs["axes"])
+        else:
+            axes = None
+        dims = tuple(int(d) for d in x.shape.data) if not isinstance(x, QTensor) \
+            else x.shape
+        if axes is None:
+            new = [d for d in dims if d != 1]
+        else:
+            axes = tuple(a % len(dims) for a in axes)
+            new = [d for i, d in enumerate(dims) if i not in axes]
+        return [x.reshape(ITensor(np.array(new, dtype=np.int64)))]
+    elif op == "Pow":
+        a, b = inputs[0], inputs[1]
+        return [FTensor(jnp.power(a.data, jnp.asarray(b.data, a.data.dtype)))]
+    elif op == "Neg":
+        return [-inputs[0]]
+    elif op == "Abs":
+        x = inputs[0]
+        if isinstance(x, ITensor):
+            return [ITensor(np.abs(x.data))]
+        return [FTensor(jnp.abs(x.data))]
+    elif op == "Clip":
+        x = inputs[0]
+        lo = inputs[1].data if len(inputs) > 1 and inputs[1] is not None \
+            else attrs.get("min")
+        hi = inputs[2].data if len(inputs) > 2 and inputs[2] is not None \
+            else attrs.get("max")
+        y = x.data
+        if lo is not None:
+            y = jnp.maximum(y, jnp.asarray(lo, y.dtype))
+        if hi is not None:
+            y = jnp.minimum(y, jnp.asarray(hi, y.dtype))
+        return [FTensor(y)]
+    elif op == "ReduceSum":
+        x = inputs[0]
+        if len(inputs) > 1 and inputs[1] is not None:
+            axes = tuple(int(a) for a in inputs[1].data)
+        else:
+            axes = tuple(int(a) for a in attrs.get("axes", ())) or None
+        keepdims = bool(attrs.get("keepdims", 1))
+        return [FTensor(jnp.sum(x.data, axis=axes, keepdims=keepdims))]
+    elif op == "ReduceMax":
+        x = inputs[0]
+        axes = tuple(int(a) for a in attrs.get("axes", ())) or None
+        keepdims = bool(attrs.get("keepdims", 1))
+        return [FTensor(jnp.max(x.data, axis=axes, keepdims=keepdims))]
+    elif op == "GlobalAveragePool":
+        x = inputs[0]  # [B, C, H, W]
+        return [FTensor(jnp.mean(x.data, axis=(2, 3), keepdims=True))]
+    elif op in ("MaxPool", "AveragePool"):
+        import jax
+
+        x = inputs[0]  # [B, C, H, W]
+        kh, kw = (int(k) for k in attrs["kernel_shape"])
+        sh, sw = (int(s) for s in attrs.get("strides", (1, 1)))
+        ph0, pw0, ph1, pw1 = (int(p) for p in attrs.get("pads", (0, 0, 0, 0)))
+        if op == "MaxPool":
+            init, fn = -jnp.inf, jax.lax.max
+        else:
+            init, fn = 0.0, jax.lax.add
+        y = jax.lax.reduce_window(
+            x.data, init, fn,
+            window_dimensions=(1, 1, kh, kw),
+            window_strides=(1, 1, sh, sw),
+            padding=((0, 0), (0, 0), (ph0, ph1), (pw0, pw1)))
+        if op == "AveragePool":
+            if int(attrs.get("count_include_pad", 0)) or \
+                    (ph0, pw0, ph1, pw1) == (0, 0, 0, 0):
+                y = y / float(kh * kw)
+            else:
+                ones = jnp.ones_like(x.data)
+                counts = jax.lax.reduce_window(
+                    ones, 0.0, jax.lax.add,
+                    window_dimensions=(1, 1, kh, kw),
+                    window_strides=(1, 1, sh, sw),
+                    padding=((0, 0), (0, 0), (ph0, ph1), (pw0, pw1)))
+                y = y / counts
+        return [FTensor(y)]
+    elif op == "Split":
+        x = inputs[0]
+        axis = int(attrs.get("axis", 0))
+        dims = tuple(int(d) for d in x.shape.data)
+        if len(inputs) > 1 and inputs[1] is not None:
+            sizes = [int(s) for s in inputs[1].data]
+        elif "split" in attrs:
+            sizes = [int(s) for s in attrs["split"]]
+        else:
+            n_out = int(attrs.get("num_outputs", 2))
+            q, r = divmod(dims[axis], n_out)
+            sizes = [q + (1 if i < r else 0) for i in range(n_out)]
+        outs = []
+        start = 0
+        for s in sizes:
+            sl = [slice(None)] * len(dims)
+            sl[axis] = slice(start, start + s)
+            outs.append(x.__getitem__(tuple(sl)))
+            start += s
+        return outs
     else:
         raise ValueError(f"ONNX operator {op} not supported.")
