@@ -363,7 +363,8 @@ class Model:
 
     def quantize(self, calibration_inputs: list[np.ndarray] = None,
                  bit_width: int = 8, calibration_mode: str = "auto",
-                 stats: dict = None, quantize_conv: bool = False) -> "QModel":
+                 stats: dict = None, quantize_conv: bool = False,
+                 per_channel_weights: bool = False) -> "QModel":
         """Post-training quantization. Per-node parameter strategy follows
         reference: numpy_quant/model.py:328-442.
 
@@ -374,6 +375,10 @@ class Model:
         ``quantize_conv``: run Conv nodes on the integer path too
         (im2col + int8 MXU matmul). Parity-plus: the reference executes
         quantized-graph Conv in float (SURVEY.md §3.4).
+
+        ``per_channel_weights``: symmetric per-output-channel scales for
+        2-D MatMul/Gemm weights (parity-plus; BASELINE.md config #4) --
+        markedly better accuracy at low bit widths.
         """
         if stats is None:
             stats = self.calibration_stats(calibration_inputs,
@@ -397,14 +402,41 @@ class Model:
             qparams_per_value[value.name] = qparams_for(
                 value.name, isinstance(value, Variable))
 
-        # Constants: symmetric per-tensor (reference: model.py:357-365).
+        # Constants: symmetric per-tensor (reference: model.py:357-365),
+        # or per-output-channel for 2-D matmul weights when requested.
+        from .quantization import per_channel_scales
+
+        def _weight_channel_axis(value) -> int | None:
+            """Output-channel axis if this constant is used exclusively
+            as the weight (input 1) of MatMul/Gemm nodes; else None."""
+            if not value.outputs:
+                return None
+            axes = set()
+            for n in value.outputs:
+                if len(n.inputs) < 2 or n.inputs[1] is not value:
+                    return None
+                if n.op == "MatMul":
+                    axes.add(1)          # [K, N] -> channels last
+                elif n.op == "Gemm":
+                    axes.add(0 if n.attrs.get("transB") else 1)
+                else:
+                    return None
+            return axes.pop() if len(axes) == 1 else None
+
         for value in self.values:
             if isinstance(value, Constant):
                 if isinstance(value.data, ITensor):
                     qvalues_dict[value.name] = Constant(value.name, [],
                                                         value.data.copy())
                     continue
-                qp = qparams_for(value.name, asymmetric=False)
+                ch_axis = _weight_channel_axis(value) if per_channel_weights \
+                    else None
+                if ch_axis is not None and np.asarray(value.data.data).ndim == 2:
+                    scale = per_channel_scales(np.asarray(value.data.data),
+                                               bit_width, ch_axis)
+                    qp = QuantizationParams(scale, None)
+                else:
+                    qp = qparams_for(value.name, asymmetric=False)
                 qvalues_dict[value.name] = Constant(
                     value.name, [],
                     quantize_tensor(value.data, bit_width, qp.scale, qp.zero_point))
@@ -434,6 +466,9 @@ class Model:
                     qparams1 = qparams_per_value[node.inputs[0].name]
                     qparams2 = qparams_per_value[node.inputs[1].name]
                     bias_scale = qparams1.scale * qparams2.scale
+                    if getattr(bias_scale, "ndim", 0) > 0:
+                        bias_scale = np.asarray(bias_scale,
+                                                np.float32).reshape(-1)
                     qparams_per_value[bias.name] = QuantizationParams(bias_scale, None)
                     qbias = quantize_tensor(value_dict[bias.name].data,
                                             4 * bit_width, bias_scale, None)
@@ -663,6 +698,8 @@ class QModel(Model):
             qt = value.data
             if qt.zero_point is not None or np.asarray(qt.data).ndim != 2:
                 continue
+            if getattr(qt.scale, "ndim", 0) > 0:
+                continue  # per-channel scales: packed kernel is per-tensor
             if qt.bit_width > 8:
                 continue
             # only weights consumed exclusively as MatMul rhs

@@ -77,11 +77,27 @@ def quant_parameters(min_val, max_val, bit_width: int, asymmetric: bool):
     return scale, zero_point
 
 
+def per_channel_scales(data, bit_width: int, axis: int) -> np.ndarray:
+    """Symmetric per-channel scales over ``axis`` (the output-channel
+    axis of a weight). Parity-plus (the reference is per-tensor only;
+    BASELINE.md config #4 names per-channel), so this uses the CORRECT
+    abs-max symmetric formula rather than the reference's positive-max
+    quirk (SURVEY.md §5.1) -- an all-negative channel would otherwise
+    get scale 0."""
+    min_qval, max_qval = qrange(bit_width)
+    arr = np.asarray(data, dtype=np.float32)
+    reduce_axes = tuple(i for i in range(arr.ndim) if i != axis)
+    absmax = np.abs(arr).max(axis=reduce_axes, keepdims=True)
+    absmax = np.maximum(absmax, np.float32(1e-12))
+    scale = (np.float32(2.0) * absmax) / np.float32(max_qval - min_qval)
+    return scale.astype(np.float32)
+
+
 def quantize(data, bit_width: int, scale, zero_point):
     """f32 tensor -> integer container tensor.
     reference: numpy_quant/numpy_quantization.py:24-34."""
     compute = wide_float_dtype()
-    q = jnp.asarray(data, jnp.float32) / jnp.float32(scale)
+    q = jnp.asarray(data, jnp.float32) / jnp.asarray(scale, jnp.float32)
     if zero_point is not None:
         # numpy promotes int64 + float32 -> float64; mirrored in exact mode.
         q = jnp.asarray(zero_point, compute) + q.astype(compute)
@@ -137,7 +153,11 @@ def q_matmul(arr_a, scale_a, zero_point_a, arr_b, scale_b, zero_point_b,
     adt = accumulator_dtype(bit_width)
     k = arr_a.shape[-1]
     acc = _int_matmul(arr_a, arr_b, bit_width).astype(adt)
-    scale = np.float32(scale_a) * np.float32(scale_b)
+    # scales may be scalars or per-channel vectors (broadcast over the
+    # matmul output)
+    scale = (np.asarray(scale_a, np.float32) * np.asarray(scale_b, np.float32))
+    if scale.ndim == 0:
+        scale = np.float32(scale)
     if zero_point_a is None and zero_point_b is None:
         return acc, scale, None
     a_rowsum = jnp.sum(jnp.asarray(arr_a, adt), axis=-1, keepdims=True)
@@ -160,7 +180,7 @@ def requantize(arr, arr_scale, arr_zero_points, res_scale, res_zero_point,
     compute = wide_float_dtype()
     min_qval, max_qval = qrange(bit_width)
     dequant = dequantize(arr, arr_scale, arr_zero_points)
-    inv_scale = np.float32(1.0) / np.float32(res_scale)
+    inv_scale = np.float32(1.0) / np.asarray(res_scale, np.float32)
     scaled = inv_scale * dequant
     if res_zero_point is not None:
         # numpy promotes int64 + float32 -> float64; mirrored in exact mode.

@@ -250,7 +250,10 @@ class QTensor:
         zp = self.zero_point
         if zp is not None and hasattr(zp, "T"):
             zp = zp.T
-        return QTensor(self._data.T, self.bit_width, self.scale, zp)
+        scale = self.scale
+        if getattr(scale, "ndim", 0) > 0:  # per-channel scale
+            scale = scale.T
+        return QTensor(self._data.T, self.bit_width, scale, zp)
 
     def copy(self) -> "QTensor":
         return QTensor(self._data, self.bit_width, self.scale, self.zero_point)
@@ -263,8 +266,11 @@ class QTensor:
         zp = self.zero_point
         if zp is not None and hasattr(zp, "ndim") and getattr(zp, "ndim", 0) > 0:
             zp = jnp.transpose(zp, *axes)
+        scale = self.scale
+        if getattr(scale, "ndim", 0) > 0:
+            scale = np.transpose(scale, *axes)
         return QTensor(self._data.transpose(*axes),
-                       self.bit_width, self.scale, zp)
+                       self.bit_width, scale, zp)
 
     def __add__(self, other: "QTensor") -> "QTensor":
         if isinstance(other, QTensor):

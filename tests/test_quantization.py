@@ -156,3 +156,34 @@ def test_rounding_half_to_even():
     x = np.array([0.5, 1.5, 2.5, -0.5, -1.5], dtype=np.float32)
     q = np.asarray(Q.quantize(x, 8, np.float32(1.0), None))
     np.testing.assert_array_equal(q, [0, 2, 2, 0, -2])
+
+
+def test_per_channel_scales_roundtrip():
+    """Per-channel weight quantization (parity-plus, BASELINE.md config
+    #4): per-channel roundtrip error is bounded by scale/2 per channel,
+    including all-negative channels (which the reference's positive-max
+    symmetric quirk would map to scale 0)."""
+    w = RNG.normal(size=(6, 16)).astype(np.float32)
+    w[3] = -np.abs(w[3])  # all-negative channel
+    scale = Q.per_channel_scales(w, 8, axis=0)
+    assert scale.shape == (6, 1)
+    assert np.all(scale > 0)
+    q = np.asarray(Q.quantize(w, 8, scale, None))
+    deq = np.asarray(Q.dequantize(q, scale, None))
+    assert np.all(np.abs(deq - w) <= scale / 2 + 1e-7)
+
+
+def test_per_channel_quantize_model():
+    import numpy_quant_tpu as nq
+    mlp = nq.onnx.load("numpy_quant_tpu/models/mlp.onnx")
+    X = RNG.normal(size=(256, 2)).astype(np.float32)
+    model = nq.Model.from_onnx(mlp)
+    f = model([X])[0]
+    qc = model.quantize([X], bit_width=8, per_channel_weights=True)
+    qconsts = {v.name: v.data for v in qc.values
+               if hasattr(v.data, "scale") and v.data is not None}
+    # weights got vector scales; biases/activations stay scalar
+    assert np.asarray(qconsts["fc1.weight"].scale).shape == (5, 1)
+    out = qc([X])[0]
+    denom = f.max() - f.min()
+    assert np.mean(np.abs(out - f)) / denom < 0.02
