@@ -66,6 +66,8 @@ def save_qmodel(qmodel: QModel, path, source_onnx: O.ModelProto) -> None:
 
     meta = {
         "bit_width": qmodel.bit_width,
+        "quantized_ops": [op for op in qmodel.quantized_ops
+                          if op != "FusedAttention"],
         "quant_params": {k: _qparams_to_json(v)
                          for k, v in qmodel.quant_params.items()},
         "quantized_initializers": tensor_meta,
@@ -93,7 +95,9 @@ def load_qmodel(path) -> QModel:
             np.float32(d["scale"]),
             None if d["zero_point"] is None else np.int64(d["zero_point"]))
         for name, d in meta["quant_params"].items()}
-    return QModel(nodes, values, inputs, outputs, meta["bit_width"], qparams)
+    quantized_ops = tuple(meta.get("quantized_ops", ("MatMul", "Gemm")))
+    return QModel(nodes, values, inputs, outputs, meta["bit_width"], qparams,
+                  quantized_ops=quantized_ops)
 
 
 def import_onnx_quantized(model_proto: O.ModelProto, tensor_meta: dict):

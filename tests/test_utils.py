@@ -65,3 +65,19 @@ def test_calibration_modes_agree():
     for k in jit_stats:
         np.testing.assert_allclose(jit_stats[k], eager_stats[k], atol=1e-6,
                                    err_msg=k)
+
+
+def test_qmodel_save_load_quantize_conv(tmp_path):
+    from numpy_quant_tpu.models import testgen
+    m = testgen.conv(b=2, c=3, inp_shape=(9, 10), out_c=2,
+                     kernel_shape=(3, 2), pads=(0, 2, 2, 1), strides=(2, 1),
+                     random_seed=0)
+    model = nq.Model.from_onnx(m)
+    x = RNG.normal(size=(2, 3, 9, 10)).astype(np.float32)
+    qmodel = model.quantize([x], bit_width=8, quantize_conv=True)
+    expected = qmodel([x])[0]
+    path = tmp_path / "conv_q.onnx"
+    save_qmodel(qmodel, path, m)
+    q2 = load_qmodel(path)
+    assert "Conv" in q2.quantized_ops
+    np.testing.assert_array_equal(q2([x])[0], expected)
