@@ -39,7 +39,7 @@ def main():
         nq_config.float_dtype = _jnp.bfloat16
         nq_config.float_matmul_precision = jax.lax.Precision.DEFAULT
 
-    batch = int(os.environ.get("NQ_TPU_BENCH_BATCH", "64"))
+    batch = int(os.environ.get("NQ_TPU_BENCH_BATCH", "96"))
     cfg = ViTConfig(num_labels=1000)  # ViT-Base-patch16-224 shape
     m = V.vit_image_classifier(config=cfg, batch_size=None, seed=0)
     nq.onnx.make_dim_param_fixed(m.graph, "B", batch)
