@@ -193,3 +193,18 @@ def test_memory_teardown(mlp_onnx, circles):
     for _ in range(30):
         qmodel = model.quantize([X[:64]], bit_width=8)
         del qmodel
+
+
+@requires_reference
+def test_summary_exact_string_parity(mlp_onnx):
+    """Our summarize output is byte-identical to the reference's
+    (reference: extra/model_summary.py, including trailing spaces)."""
+    import sys
+    onnx_shim()
+    sys.path.insert(0, "/root/reference")
+    from extra.model_summary import summarize as ref_summarize
+
+    ref_model_mod = onnx_shim()
+    ours = summarize(nq.Model.from_onnx(mlp_onnx))
+    theirs = ref_summarize(ref_model_mod.Model.from_onnx(mlp_onnx))
+    assert ours == theirs
