@@ -62,7 +62,9 @@ def main():
         qmodel = model.quantize([calib], bit_width=8,
                                 calibration_mode="eager")
     if os.environ.get("NQ_TPU_BENCH_FUSED_ATTN", "1") == "1":
-        qmodel.fuse_attention()  # VMEM-resident int8 attention kernel
+        # bit-identical graph passes: VMEM-resident int8 attention kernel
+        # (head split/merge in-kernel) + early-int8 activation layout
+        qmodel.optimize()
 
     import jax.numpy as jnp
 
@@ -71,7 +73,7 @@ def main():
     x = jax.device_put(x)
     params = qmodel._placed_params()
     fwd = qmodel.lowered_fn()
-    iters = int(os.environ.get("NQ_TPU_BENCH_ITERS", "16"))
+    iters = int(os.environ.get("NQ_TPU_BENCH_ITERS", "32"))
 
     # Sustained device throughput: scan `iters` forwards inside ONE
     # program. Each step sees a distinct (ppm-perturbed) input, so no

@@ -5,20 +5,27 @@ MatMul -> Mul(scale) -> Softmax -> MatMul with quantize/dequantize at
 every boundary (reference semantics, SURVEY.md §3.4), which materializes
 the [B, H, N, N] score and probability tensors in HBM -- the dominant
 HBM traffic of quantized ViT inference. This kernel keeps the whole
-block resident in VMEM per (batch, head):
+block resident in VMEM, processing G heads per grid step (bigger
+batched dots feed the MXU far better than one head at a time):
 
-    scores  = q_i8 @ k_i8^T            (int32, MXU)
+    scores  = q_i8 @ k_i8^T            (int32, MXU, G-batched)
     s       = dequant(scores) * scaling
     probs   = softmax(s)               (f32, VPU; padded cols masked)
     probs_q = quantize(probs)          (int8, the calibrated qparams)
     ctx     = probs_q @ v_i8           (int32, MXU)
-    out     = dequant(ctx)             (f32)
+    out     = dequant(ctx)             (f32, or int8 via out_requant)
 
-Zero-point corrections use the exact q_matmul formulas
-(reference: numpy_quantization.py:49-61) with row/col sums computed
-in-kernel. Sequence padding: pad columns are masked to -inf before
-softmax; padded v rows are filled with the v zero point so the
-correction formula stays exact over the padded contraction.
+Zero-point corrections use the exact q_matmul formulas with in-VMEM
+row/col sums (reference: numpy_quantization.py:49-61). Sequence
+padding: pad score columns are masked to -inf before softmax; padded v
+rows hold the v zero point so the padded contraction is exact under
+the correction formula (bit-identical to the unfused path, asserted in
+tests/test_kernels.py).
+
+``out_requant=(scale, zero_point)`` fuses the consumer's quantize()
+(clip zp+x/s then rint, reference: numpy_quantization.py:31-32) into
+the kernel epilogue and returns int8 -- used by the int8_dataflow pass
+when every consumer of the attention output quantizes it anyway.
 """
 from __future__ import annotations
 
@@ -35,29 +42,44 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _attention_kernel(q_ref, kt_ref, v_ref, o_ref, *, n_real, scaling,
-                      sq, zq, sk, zk, sv, zv, sp, zp_p, bit_width):
-    d = q_ref.shape[-1]
-    n_pad = q_ref.shape[-2]
-    q = q_ref[0]    # [N, D] int8
-    kt = kt_ref[0]  # [D, N] int8
-    v = v_ref[0]    # [N, D] int8 (pad rows = zv)
+def _largest_divisor(n: int, cap: int) -> int:
+    for g in range(min(cap, n), 0, -1):
+        if n % g == 0:
+            return g
+    return 1
 
-    scores = jax.lax.dot_general(q, kt, (((1,), (0,)), ((), ())),
+
+def _attention_kernel(q_ref, kt_ref, v_ref, o_ref, *, n_real, d_real,
+                      scaling, sq, zq, sk, zk, sv, zv, sp, zp_p, bit_width,
+                      out_requant):
+    n_lane = kt_ref.shape[-1]
+    q = q_ref[...]    # [G, n_pad, d_pad] int8
+    kt = kt_ref[...]  # [G, d_pad, n_lane] int8
+    v = v_ref[...]    # [G, n_lane, d_pad] int8 (pad rows = zv)
+
+    scores = jax.lax.dot_general(q, kt, (((2,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.int32)
-    corr = jnp.zeros((), jnp.int32)
+    # zero-point correction tensor (reference: numpy_quantization.py:58-60),
+    # subtracted in int32 before the float dequantize -- exactly like the
+    # unfused q_matmul path
+    corr = None
     if zk != 0:
-        corr = corr + jnp.sum(q.astype(jnp.int32), axis=1,
-                              keepdims=True) * np.int32(zk)
+        corr = jnp.sum(q.astype(jnp.int32), axis=2,
+                       keepdims=True) * np.int32(zk)
     if zq != 0:
-        corr = corr + jnp.sum(kt.astype(jnp.int32), axis=0,
-                              keepdims=True) * np.int32(zq)
+        t = jnp.sum(kt.astype(jnp.int32), axis=1,
+                    keepdims=True) * np.int32(zq)
+        corr = t if corr is None else corr + t
     if zq != 0 and zk != 0:
-        corr = corr - np.int32(zq) * np.int32(zk) * np.int32(d)
-    s = (scores - corr).astype(jnp.float32) * np.float32(sq * sk)
+        # the REAL head dim: q cols / kt rows are zero-padded, so only
+        # d_real terms carry the zq*zk offset
+        corr = corr - np.int32(zq) * np.int32(zk) * np.int32(d_real)
+    if corr is not None:
+        scores = scores - corr
+    s = scores.astype(jnp.float32) * np.float32(sq * sk)
     s = s * np.float32(scaling)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
     s = jnp.where(col < n_real, s, -jnp.inf)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
@@ -65,33 +87,207 @@ def _attention_kernel(q_ref, kt_ref, v_ref, o_ref, *, n_real, scaling,
 
     min_q = -2.0 ** (bit_width - 1)
     max_q = 2.0 ** (bit_width - 1) - 1.0
-    pq = jnp.rint(jnp.clip(probs * np.float32(1.0 / sp) + np.float32(zp_p),
+    # quantize(): clip(zp + x/s) then rint (numpy_quantization.py:31-32)
+    pq = jnp.rint(jnp.clip(probs / np.float32(sp) + np.float32(zp_p),
                            min_q, max_q)).astype(jnp.int8)
 
-    ctx = jax.lax.dot_general(pq, v, (((1,), (0,)), ((), ())),
+    ctx = jax.lax.dot_general(pq, v, (((2,), (1,)), ((0,), (0,))),
                               preferred_element_type=jnp.int32)
-    corr2 = jnp.zeros((), jnp.int32)
+    corr2 = None
     if zv != 0:
-        corr2 = corr2 + jnp.sum(pq.astype(jnp.int32), axis=1,
-                                keepdims=True) * np.int32(zv)
+        corr2 = jnp.sum(pq.astype(jnp.int32), axis=2,
+                        keepdims=True) * np.int32(zv)
     if zp_p != 0:
-        corr2 = corr2 + jnp.sum(v.astype(jnp.int32), axis=0,
-                                keepdims=True) * np.int32(zp_p)
+        t = jnp.sum(v.astype(jnp.int32), axis=1,
+                    keepdims=True) * np.int32(zp_p)
+        corr2 = t if corr2 is None else corr2 + t
     if zp_p != 0 and zv != 0:
-        corr2 = corr2 - np.int32(zp_p) * np.int32(zv) * np.int32(n_pad)
-    o_ref[0] = (ctx - corr2).astype(jnp.float32) * np.float32(sp * sv)
+        corr2 = corr2 - np.int32(zp_p) * np.int32(zv) * np.int32(n_lane)
+    if corr2 is not None:
+        ctx = ctx - corr2
+    y = ctx.astype(jnp.float32) * np.float32(sp * sv)
+    if out_requant is not None:
+        res_scale, res_zp = out_requant
+        yq = y / np.float32(res_scale)
+        if res_zp is not None:
+            yq = yq + np.float32(res_zp)
+        o_ref[...] = jnp.rint(jnp.clip(yq, min_q, max_q)).astype(jnp.int8)
+    else:
+        o_ref[...] = y
+
+
+def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
+                         d, scaling, sq, zq, sk, zk, sv, zv, sp, zp_p,
+                         bit_width, out_requant, hijack):
+    """Head-splitting kernel body: one batch row per grid step, heads
+    unrolled, NT score dots on 64-lane head slices -- no XLA-side head
+    reshuffles or d-padding at all."""
+    n_pad = q_ref.shape[-2]
+    qa = q_ref[0]   # [n_pad, H*D] int8 (row n_real = ones when zq)
+    ka = k_ref[0]   # [n_pad, H*D] int8 (row n_real = ones when zk)
+    va = v_ref[0]   # [n_pad, H*D] int8 (pad rows = zv)
+    min_q = -2.0 ** (bit_width - 1)
+    max_q = 2.0 ** (bit_width - 1) - 1.0
+
+    for h in range(num_heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh, kh, vh = qa[:, sl], ka[:, sl], va[:, sl]
+        # scores = q @ k^T (NT dot; contraction over the head lanes)
+        raw = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        scores = raw
+        # zero-point correction (reference: numpy_quantization.py:58-60).
+        # The row/col sums fall out of the SAME dot: the ones planted in
+        # q/k's pad row n_real turn score col/row n_real into the exact
+        # integer sums (pad region is discarded/masked afterwards).
+        if zk != 0:
+            rs = jax.lax.slice_in_dim(raw, n_real, n_real + 1, axis=1) \
+                if hijack else jnp.sum(qh.astype(jnp.int32), 1, keepdims=True)
+            scores = scores - rs * np.int32(zk)
+        if zq != 0:
+            # k col sums [1, n_pad]: one per key token, summed over the
+            # head lanes (an NT dot against ones in the fallback)
+            cs = jax.lax.slice_in_dim(raw, n_real, n_real + 1, axis=0) \
+                if hijack else \
+                jax.lax.dot_general(
+                    jnp.ones((1, d), jnp.int8), kh,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+            scores = scores - cs * np.int32(zq)
+        if zq != 0 and zk != 0:
+            scores = scores + np.int32(zq) * np.int32(zk) * np.int32(d)
+        s = scores.astype(jnp.float32) * np.float32(sq * sk)
+        s = s * np.float32(scaling)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_real, s, -jnp.inf)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        # quantize(): clip(zp + x/s) then rint (numpy_quantization.py:31-32)
+        pq = jnp.rint(jnp.clip(probs / np.float32(sp) + np.float32(zp_p),
+                               min_q, max_q)).astype(jnp.int8)
+
+        pq2 = pq
+        if zp_p != 0 and hijack:
+            # ones row -> ctx row n_real = v column sums
+            row = jax.lax.broadcasted_iota(jnp.int32, pq.shape, 0)
+            pq2 = jnp.where(row == n_real, np.int8(1), pq)
+        vh2 = vh
+        if zv != 0:
+            # ones column in the lane tail -> ctx lane d = pq row sums
+            vh2 = jnp.concatenate(
+                [vh, jnp.ones((n_pad, 1), jnp.int8)], axis=1)
+        ctx_ext = jax.lax.dot_general(pq2, vh2, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+        ctx = jax.lax.slice_in_dim(ctx_ext, 0, d, axis=1) if zv != 0 \
+            else ctx_ext
+        if zv != 0:
+            pq_rowsum = jax.lax.slice_in_dim(ctx_ext, d, d + 1, axis=1)
+            ctx = ctx - pq_rowsum * np.int32(zv)
+        if zp_p != 0:
+            vcol = jax.lax.slice_in_dim(ctx_ext, n_real, n_real + 1, axis=0) \
+                if hijack else \
+                jax.lax.dot_general(
+                    jnp.ones((1, n_pad), jnp.int8), vh2,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+            ctx = ctx - jax.lax.slice_in_dim(vcol, 0, d, axis=1) \
+                * np.int32(zp_p)
+        if zp_p != 0 and zv != 0:
+            ctx = ctx + np.int32(zp_p) * np.int32(zv) * np.int32(n_pad)
+        y = ctx.astype(jnp.float32) * np.float32(sp * sv)
+        if out_requant is not None:
+            res_scale, res_zp = out_requant
+            yq = y / np.float32(res_scale)
+            if res_zp is not None:
+                yq = yq + np.float32(res_zp)
+            o_ref[0, :, sl] = jnp.rint(jnp.clip(yq, min_q, max_q)) \
+                .astype(jnp.int8)
+        else:
+            o_ref[0, :, sl] = y
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "scaling", "sq", "zq", "sk", "zk", "sv",
+                     "zv", "sp", "zp_p", "bit_width", "out_requant",
+                     "interpret"))
+def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
+                       sq: float, zq: int, sk: float, zk: int, sv: float,
+                       zv: int, sp: float, zp_p: int, bit_width: int = 8,
+                       out_requant: tuple | None = None,
+                       interpret: bool = False):
+    """Head-splitting fused attention: xq/xk/xv are [B, N, H*D] int8 --
+    the raw Q/K/V projection outputs. Head split, transposes, scores,
+    softmax, probs quantize, context and head merge all happen inside
+    the kernel; nothing but the [B, N, H*D] tensors ever touches HBM.
+    Returns [B, N, H*D] float32 (or int8 with ``out_requant``)."""
+    b, n, hd = xq.shape
+    d = hd // num_heads
+    assert d * num_heads == hd, (hd, num_heads)
+    n_pad = _round_up(n, 128)
+    hijack = n_pad > n  # a pad row exists to plant the ones vectors in
+    if n_pad != n:
+        xq = jnp.pad(xq, ((0, 0), (0, n_pad - n), (0, 0)))
+        xk = jnp.pad(xk, ((0, 0), (0, n_pad - n), (0, 0)))
+        xv = jnp.pad(xv, ((0, 0), (0, n_pad - n), (0, 0)))
+    if hijack and (zk != 0 or zq != 0):
+        row = jax.lax.broadcasted_iota(jnp.int32, xq.shape, 1)
+        if zk != 0:  # k pad row of ones -> score col n = q row sums
+            xk = jnp.where(row == n, np.int8(1), xk)
+        if zq != 0:  # q pad row of ones -> score row n = k col sums
+            xq = jnp.where(row == n, np.int8(1), xq)
+    if zv != 0 and n_pad != n:
+        # v pad rows hold the zero point so the padded contraction is a
+        # no-op under the correction formula
+        row = jax.lax.broadcasted_iota(jnp.int32, xv.shape, 1)
+        xv = jnp.where(row < n, xv, np.int8(zv))
+
+    kernel = functools.partial(
+        _attention_hs_kernel, n_real=n, num_heads=num_heads, d=d,
+        scaling=np.float32(scaling), sq=np.float32(sq), zq=int(zq),
+        sk=np.float32(sk), zk=int(zk), sv=np.float32(sv), zv=int(zv),
+        sp=np.float32(sp), zp_p=int(zp_p), bit_width=bit_width,
+        out_requant=None if out_requant is None else
+        (np.float32(out_requant[0]),
+         None if out_requant[1] is None else np.float32(out_requant[1])),
+        hijack=hijack)
+
+    out_dtype = jnp.float32 if out_requant is None else jnp.int8
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, hd), out_dtype),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, n_pad, hd), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec((1, n_pad, hd), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * num_heads * (n_pad * n_pad * d) * 2,
+            bytes_accessed=b * n_pad * hd * (3 + 4),
+            transcendentals=b * num_heads * n_pad * n_pad),
+        interpret=interpret,
+    )(xq, xk, xv)
+    if n_pad != n:
+        out = out[:, :n, :]
+    return out
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("scaling", "sq", "zq", "sk", "zk", "sv", "zv",
-                     "sp", "zp_p", "bit_width", "interpret"))
+                     "sp", "zp_p", "bit_width", "out_requant", "interpret"))
 def fused_attention(q, kt, v, *, scaling: float, sq: float, zq: int,
                     sk: float, zk: int, sv: float, zv: int, sp: float,
                     zp_p: int, bit_width: int = 8,
+                    out_requant: tuple | None = None,
                     interpret: bool = False):
     """q: [BH, N, D] int8; kt: [BH, D, N] int8; v: [BH, N, D] int8.
-    Returns float32 [BH, N, D] = dequantized attention context.
+    Returns float32 [BH, N, D] (dequantized attention context), or int8
+    when ``out_requant=(scale, zero_point)`` fuses the consumer quantize.
     zq/zk/zv/zp_p of 0 mean symmetric (no correction term)."""
     bh, n, d = q.shape
     n_pad = _round_up(n, 128)
@@ -104,29 +300,40 @@ def fused_attention(q, kt, v, *, scaling: float, sq: float, zq: int,
         v = jnp.pad(v, ((0, 0), (0, n_pad - n), (0, d_pad - d)))
         if zv != 0:
             row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
-            v = jnp.where(row < n, v, np.int8(zv) if v.dtype == jnp.int8
-                          else np.int32(zv))
+            v = jnp.where(row < n, v, np.int8(zv))
+
+    # G heads per grid step: big enough batched dots to feed the MXU,
+    # small enough that the score tensors stay VMEM-resident
+    vmem_cap = 10 * 1024 * 1024
+    per_head = n_pad * n_pad * 12 + 4 * n_pad * d_pad
+    g = _largest_divisor(bh, max(1, min(16, vmem_cap // max(per_head, 1))))
 
     kernel = functools.partial(
-        _attention_kernel, n_real=n, scaling=np.float32(scaling),
+        _attention_kernel, n_real=n, d_real=d, scaling=np.float32(scaling),
         sq=np.float32(sq), zq=int(zq), sk=np.float32(sk), zk=int(zk),
         sv=np.float32(sv), zv=int(zv), sp=np.float32(sp), zp_p=int(zp_p),
-        bit_width=bit_width)
+        bit_width=bit_width,
+        out_requant=None if out_requant is None else
+        (np.float32(out_requant[0]),
+         None if out_requant[1] is None else np.float32(out_requant[1])))
 
+    out_dtype = jnp.float32 if out_requant is None else jnp.int8
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d_pad), jnp.float32),
-        grid=(bh,),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d_pad), out_dtype),
+        grid=(bh // g,),
         in_specs=[
-            pl.BlockSpec((1, n_pad, d_pad), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, n_pad, d_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d_pad, n_pad), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, d_pad, n_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d_pad), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, n_pad, d_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n_pad, d_pad), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((g, n_pad, d_pad), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         cost_estimate=pl.CostEstimate(
             flops=2 * bh * (n_pad * n_pad * d_pad) * 2,
             bytes_accessed=bh * (3 * n_pad * d_pad + n_pad * d_pad * 4),

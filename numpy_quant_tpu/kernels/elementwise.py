@@ -19,7 +19,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _quantize_kernel(x_ref, o_ref, *, scale, zero_point, bit_width):
     min_q, max_q = -2.0 ** (bit_width - 1), 2.0 ** (bit_width - 1) - 1.0
-    q = x_ref[:] * (1.0 / scale)
+    # divide, matching quantize() bit-for-bit (reciprocal-multiply can
+    # differ by 1 ulp before rint)
+    q = x_ref[:] / scale
     if zero_point is not None:
         q = q + np.float32(zero_point)
     o_ref[:] = jnp.rint(jnp.clip(q, min_q, max_q)).astype(o_ref.dtype)

@@ -48,6 +48,20 @@ def pack_bitplanes(q: np.ndarray, bits: int) -> np.ndarray:
     return planes
 
 
+def unpack_bitplanes_np(planes: np.ndarray, bits: int, k: int) -> np.ndarray:
+    """Host-side (numpy) inverse of pack_bitplanes: uint8[b, K/8, N]
+    bit-planes -> int8[K, N] signed values. Used when deserializing
+    packed weights (utils/serialization.py)."""
+    planes = np.asarray(planes, np.uint8)
+    kg, n = planes.shape[1], planes.shape[2]
+    bitvals = (planes[:, :, None, :] >> np.arange(8).reshape(1, 1, 8, 1)) & 1
+    weights = (1 << np.arange(bits)).reshape(bits, 1, 1, 1)
+    vals = np.sum(bitvals.astype(np.int32) * weights, axis=0)
+    vals = vals.reshape(kg * 8, n)[:k]
+    offset = 1 << (bits - 1)
+    return (vals - offset).astype(np.int8)
+
+
 def unpack_bitplanes(planes, bits: int, k: int):
     """uint8[b, K/8, N] bit-planes -> int8[K, N] signed values.
 

@@ -36,7 +36,10 @@ def _round_up(x: int, m: int) -> int:
 
 def _quantize_tile(x, scale, zero_point, bit_width):
     min_q, max_q = -2.0 ** (bit_width - 1), 2.0 ** (bit_width - 1) - 1.0
-    q = x * (1.0 / scale)
+    # divide (not reciprocal-multiply): the core quantize() and the
+    # reference divide by scale, and a 1-ulp difference before rint can
+    # flip a quantized value
+    q = x / scale
     if zero_point is not None:
         q = q + zero_point
     return jnp.rint(jnp.clip(q, min_q, max_q)).astype(jnp.int8)

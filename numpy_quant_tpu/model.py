@@ -68,6 +68,8 @@ class Model:
         self.inputs = inputs
         self.outputs = outputs
         self._jit_cache: dict = {}
+        self._dp_cache = None
+        self._dp_cache_key = None
         # Multi-chip execution (set via parallel.shard_model): mesh +
         # shardings; XLA GSPMD inserts the collectives.
         self.mesh = None
@@ -108,15 +110,33 @@ class Model:
 
     def _device_params(self) -> dict[str, Any]:
         """Device-resident constant payloads, passed as a jit argument so
-        weights are not baked into the compiled HLO as literals."""
+        weights are not baked into the compiled HLO as literals.
+
+        Quantized payloads with bit_width <= 8 are stored as int8 (the
+        physical HBM layout the MXU consumes) instead of the int32
+        semantic container -- 4x less weight traffic, identical values.
+        Exact/x64 mode keeps the wide containers for numpy parity.
+        """
+        import jax.numpy as jnp
+
+        from .quantization import x64_enabled
         from .tensor import PackedQTensor
+        narrow = not x64_enabled()
+        cached = getattr(self, "_dp_cache", None)
+        if cached is not None and self._dp_cache_key == narrow:
+            return cached
         params = {}
         for value in self.values:
             if isinstance(value, Constant):
-                if isinstance(value.data, (FTensor, QTensor)):
+                if isinstance(value.data, QTensor) and narrow \
+                        and value.data.bit_width <= 8:
+                    params[value.name] = value.data.data.astype(jnp.int8)
+                elif isinstance(value.data, (FTensor, QTensor)):
                     params[value.name] = value.data.data
                 elif isinstance(value.data, PackedQTensor):
                     params[value.name] = (value.data.planes, value.data.colsum)
+        self._dp_cache = params
+        self._dp_cache_key = narrow
         return params
 
     def _placed_params(self) -> dict[str, Any]:
@@ -466,6 +486,17 @@ class Model:
                     qparams1 = qparams_per_value[node.inputs[0].name]
                     qparams2 = qparams_per_value[node.inputs[1].name]
                     bias_scale = qparams1.scale * qparams2.scale
+                    # alpha/beta support on the int path (the reference
+                    # ignores them, model.py:122-131): alpha folds into
+                    # the accumulator scale at runtime (ops/registry.py
+                    # Gemm), so the bias -- which is added IN accumulator
+                    # units -- quantizes at scale alpha*s1*s2/beta so its
+                    # dequantized contribution equals beta*bias.
+                    alpha = np.float32(node.attrs.get("alpha", 1.0))
+                    beta = np.float32(node.attrs.get("beta", 1.0))
+                    if float(beta) != 0.0 and (float(alpha) != 1.0
+                                               or float(beta) != 1.0):
+                        bias_scale = bias_scale * alpha / beta
                     if getattr(bias_scale, "ndim", 0) > 0:
                         bias_scale = np.asarray(bias_scale,
                                                 np.float32).reshape(-1)
@@ -533,6 +564,10 @@ class Model:
                       quantized_ops=quantized_ops)
 
 
+_PASSTHROUGH_OPS = ("Reshape", "Transpose", "Identity", "Squeeze",
+                    "Unsqueeze", "Flatten")
+
+
 class QModel(Model):
     """Quantized executor. reference: numpy_quant/model.py:454-565."""
 
@@ -546,6 +581,8 @@ class QModel(Model):
         # ops whose outputs requantize to the model bit width
         self.requantized_ops = tuple(op for op in self.quantized_ops
                                      if op in ("Gemm", "Conv"))
+        # values planned for early quantization (int8_dataflow pass)
+        self._int8_values: set = set()
 
     def _wrap_input(self, array: np.ndarray, variable: Variable) -> Tensor:
         if array.dtype == np.float32:
@@ -588,6 +625,14 @@ class QModel(Model):
                     qp = self.quant_params[v.name]
                     t = t.requantize(self.bit_width, qp.scale, qp.zero_point)
                 ins.append(t)
+        elif (node.op in _PASSTHROUGH_OPS
+              and node.outputs
+              and all(o.name in self._int8_values for o in node.outputs)
+              and isinstance(data[node.inputs[0].name], QTensor)
+              and data[node.inputs[0].name].bit_width == self.bit_width):
+            # int8_dataflow: value-preserving shape op inside a planned
+            # int8 region -- move int8 data, skip dequantize/requantize.
+            ins = [data[v.name] for v in node.inputs]
         else:
             # Dequantize quantized inputs ("TinyqDequant",
             # reference: model.py:528-538).
@@ -608,8 +653,26 @@ class QModel(Model):
             # width; MatMul outputs stay 4x-bit-width accumulators
             # (reference: model.py:544-548).
             qp = self.quant_params[node.outputs[0].name]
-            return [t.requantize(self.bit_width, qp.scale, qp.zero_point)
-                    for t in outputs]
+            outputs = [t.requantize(self.bit_width, qp.scale, qp.zero_point)
+                       for t in outputs]
+        if self._int8_values:
+            # int8_dataflow: produce planned values as int8 QTensors here
+            # (the consumers' TinyqQuant/chained-requantize with the SAME
+            # qparams then never runs -- bit-identical, one pass instead
+            # of per-consumer, fused by XLA into the producing kernel).
+            outs = []
+            for value, t in zip(node.outputs, outputs):
+                if value.name in self._int8_values:
+                    qp = self.quant_params[value.name]
+                    if isinstance(t, FTensor):
+                        t = quantize_tensor(t, self.bit_width, qp.scale,
+                                            qp.zero_point)
+                    elif isinstance(t, QTensor) \
+                            and t.bit_width != self.bit_width:
+                        t = t.requantize(self.bit_width, qp.scale,
+                                         qp.zero_point)
+                outs.append(t)
+            return outs
         return outputs
 
     def _finalize_output(self, tensor: Tensor):
@@ -624,9 +687,14 @@ class QModel(Model):
 
     def fuse_attention(self) -> int:
         """Fuse MatMul -> Mul/Div(const) -> Softmax -> MatMul chains into
-        FusedAttention nodes backed by the VMEM-resident int8 attention
-        kernel (kernels/attention.py). Avoids materializing the
-        [B, H, N, N] score/probability tensors in HBM. Returns the
+        fused-attention nodes backed by the VMEM-resident int8 attention
+        kernels (kernels/attention.py), avoiding the [B, H, N, N]
+        score/probability tensors in HBM. When the surrounding
+        head-split Reshape/Transpose chains match the standard
+        multi-head export pattern they are swallowed too
+        (FusedAttentionHS): the kernel consumes the raw [B, N, H*D]
+        projection outputs and splits/merges heads in VMEM, so none of
+        the head shuffles or d-padding ever touch HBM. Returns the
         number of fused blocks."""
         if self.bit_width > 8:
             return 0
@@ -637,6 +705,24 @@ class QModel(Model):
 
         def consumers(value):
             return [n for n in self.nodes if value in n.inputs]
+
+        def single_consumer_chain_back(value, specs):
+            """Walk producers back through ops matching ``specs``
+            (list of (op, attr check) from nearest to farthest); returns
+            (chain nodes nearest-first, source value) or None."""
+            chain = []
+            for op, check in specs:
+                node = producer.get(value.name)
+                if node is None or node.op != op or not check(node):
+                    return None
+                if len(consumers(node.outputs[0])) != 1:
+                    return None
+                chain.append(node)
+                value = node.inputs[0]
+            return chain, value
+
+        def perm_is(node, perm):
+            return tuple(int(p) for p in node.attrs.get("perm", ())) == perm
 
         fused = 0
         for sm in [n for n in self.nodes if n.op == "Softmax"]:
@@ -666,12 +752,31 @@ class QModel(Model):
                    for v in (mm1.outputs[0], mul.outputs[0])):
                 continue
             probs_qp = self.quant_params[sm.outputs[0].name]
+            attrs = {"scaling": scaling,
+                     "probs_scale": float(np.float32(probs_qp.scale)),
+                     "probs_zero_point": 0 if probs_qp.zero_point is None
+                     else int(probs_qp.zero_point)}
+
+            # -- try the head-splitting superset pattern --------------
+            hs = self._match_attention_hs(mm1, mm2, producer, consumers)
+            if hs is not None:
+                xq, xk, xv, out_value, num_heads, dead = hs
+                fnode = Node(f"{mm2.name}/fused_attention_hs",
+                             "FusedAttentionHS",
+                             dict(attrs, num_heads=num_heads),
+                             [xq, xk, xv], [out_value])
+                idx = self.nodes.index(mm2)
+                self.nodes[idx] = fnode
+                for dn in dead:
+                    if dn in self.nodes:
+                        self.nodes.remove(dn)
+                for dn in (mm1, mul, sm):
+                    self.nodes.remove(dn)
+                fused += 1
+                continue
+
             fnode = Node(
-                f"{mm2.name}/fused_attention", "FusedAttention",
-                {"scaling": scaling,
-                 "probs_scale": float(np.float32(probs_qp.scale)),
-                 "probs_zero_point": 0 if probs_qp.zero_point is None
-                 else int(probs_qp.zero_point)},
+                f"{mm2.name}/fused_attention", "FusedAttention", attrs,
                 [mm1.inputs[0], mm1.inputs[1], mm2.inputs[1]],
                 [mm2.outputs[0]])
             idx = self.nodes.index(mm2)
@@ -680,9 +785,170 @@ class QModel(Model):
                 self.nodes.remove(dead)
             fused += 1
         if fused:
-            self.quantized_ops = tuple(self.quantized_ops) + ("FusedAttention",)
+            self.quantized_ops = tuple(self.quantized_ops) \
+                + ("FusedAttention", "FusedAttentionHS")
             self._jit_cache.clear()
         return fused
+
+    def _match_attention_hs(self, mm1, mm2, producer, consumers):
+        """Match the standard multi-head split/merge around a fused
+        attention core:
+
+            x{q,k,v} -> Reshape[B,N,H,D] -> Transpose(0,2,1,3)   (q, v)
+            xk       -> Reshape -> Transpose(0,2,1,3) -> Transpose(0,1,3,2)
+            mm2 out  -> Transpose(0,2,1,3) -> Reshape[B,N,H*D]
+
+        Returns (xq, xk, xv, merged_out_value, num_heads, dead_nodes)
+        or None."""
+
+        def perm_is(node, perm):
+            return tuple(int(p) for p in node.attrs.get("perm", ())) == perm
+
+        def back(value, perms):
+            """value <- Transpose(perms[0]) <- ... <- Reshape <- src"""
+            dead = []
+            for perm in perms:
+                node = producer.get(value.name)
+                if node is None or node.op != "Transpose" \
+                        or not perm_is(node, perm) \
+                        or len(consumers(node.outputs[0])) != 1:
+                    return None
+                dead.append(node)
+                value = node.inputs[0]
+            node = producer.get(value.name)
+            if node is None or node.op != "Reshape" \
+                    or len(consumers(node.outputs[0])) != 1:
+                return None
+            dead.append(node)
+            # head count from the Reshape target-shape constant tail
+            shape_src = producer.get(node.inputs[1].name)
+            if shape_src is None or shape_src.op != "Concat":
+                return None
+            tail = producer.get(shape_src.inputs[-1].name)
+            if tail is None or tail.op != "Constant":
+                return None
+            tail_arr = np.asarray(tail.attrs["value"]).reshape(-1)
+            if tail_arr.size != 3:
+                return None
+            num_heads = int(tail_arr[1])
+            return node.inputs[0], num_heads, dead
+
+        rq = back(mm1.inputs[0], [(0, 2, 1, 3)])
+        rk = back(mm1.inputs[1], [(0, 1, 3, 2), (0, 2, 1, 3)])
+        rv = back(mm2.inputs[1], [(0, 2, 1, 3)])
+        if rq is None or rk is None or rv is None:
+            return None
+        if not (rq[1] == rk[1] == rv[1]):
+            return None
+        # forward: mm2 -> Transpose(0,2,1,3) -> Reshape -> merged
+        cons = consumers(mm2.outputs[0])
+        if len(cons) != 1 or cons[0].op != "Transpose" \
+                or not perm_is(cons[0], (0, 2, 1, 3)):
+            return None
+        tr_out = cons[0]
+        cons2 = consumers(tr_out.outputs[0])
+        if len(cons2) != 1 or cons2[0].op != "Reshape":
+            return None
+        rs_out = cons2[0]
+        dead = rq[2] + rk[2] + rv[2] + [tr_out, rs_out]
+        return (rq[0], rk[0], rv[0], rs_out.outputs[0], rq[1], dead)
+
+    def int8_dataflow(self) -> int:
+        """Plan EARLY quantization: a value whose consumers all quantize
+        it anyway -- quantized ops directly ("TinyqQuant",
+        reference: numpy_quant/model.py:503-527), or value-preserving
+        shape ops leading only to such consumers with identical
+        calibrated qparams -- is produced as an int8 QTensor at its
+        producer instead of a float tensor.
+
+        This is a LAYOUT optimization, not a numerics change: the same
+        quantize() with the same qparams runs, just once at the
+        producer instead of per consumer, so outputs are bit-identical
+        to the unplanned executor. XLA then fuses the whole
+        dot -> dequantize -> bias-add -> quantize chain into the matmul
+        kernel and the residual stream stays int8 in HBM (~4x less
+        activation traffic than f32 accumulators).
+
+        Returns the number of values planned. Run AFTER fuse_attention()
+        for full coverage of the attention block.
+        """
+        out_names = {o.name for o in self.outputs}
+        qp = self.quant_params
+
+        def scalar_qp(name):
+            p = qp.get(name)
+            if p is None or p.scale is None:
+                return None
+            if getattr(p.scale, "ndim", 0) > 0:
+                return None  # per-channel scales stay on the float path
+            if float(np.float32(p.scale)) == 0.0:
+                return None  # degenerate (constant-valued activation)
+            return p
+
+        def qp_equal(a, b):
+            if a is None or b is None:
+                return False
+            if np.float32(a.scale) != np.float32(b.scale):
+                return False
+            if (a.zero_point is None) != (b.zero_point is None):
+                return False
+            return a.zero_point is None or int(a.zero_point) == int(b.zero_point)
+
+        planned: set[str] = set()
+        # nodes are topologically ordered; walking them in reverse decides
+        # every passthrough consumer's outputs before its inputs
+        for node in reversed(self.nodes):
+            for value in node.outputs:
+                if value.name in out_names or not value.outputs:
+                    continue
+                p = scalar_qp(value.name)
+                if p is None:
+                    continue
+                ok = True
+                for consumer in value.outputs:
+                    if consumer.op == "Shape":
+                        # metadata-only consumer: Shape reads dims, never
+                        # data, and handles QTensor directly
+                        continue
+                    if consumer.op in self.quantized_ops:
+                        # only operand positions that quantize at the
+                        # model bit width (never a Gemm bias)
+                        if consumer.op == "Gemm" and len(consumer.inputs) > 2 \
+                                and consumer.inputs[2] is value:
+                            ok = False
+                            break
+                        continue
+                    if consumer.op in _PASSTHROUGH_OPS \
+                            and consumer.inputs[0] is value \
+                            and all(o.name in planned
+                                    and qp_equal(p, scalar_qp(o.name))
+                                    for o in consumer.outputs):
+                        continue
+                    ok = False
+                    break
+                if ok:
+                    planned.add(value.name)
+        # fused-attention nodes with planned outputs requantize inside
+        # the Pallas kernel epilogue (no separate XLA quantize pass)
+        for node in self.nodes:
+            if node.op in ("FusedAttention", "FusedAttentionHS") \
+                    and node.outputs[0].name in planned:
+                p = qp[node.outputs[0].name]
+                node.attrs["out_requant"] = (
+                    float(np.float32(p.scale)),
+                    None if p.zero_point is None else int(p.zero_point))
+        self._int8_values = planned
+        self._jit_cache.clear()
+        return len(planned)
+
+    def optimize(self) -> dict:
+        """Apply the graph-level performance passes that preserve the
+        executor's numerics: attention fusion (bit-identical kernel)
+        and early int8 quantization (bit-identical layout change).
+        Returns a {pass: count} summary."""
+        fused = self.fuse_attention()
+        planned = self.int8_dataflow()
+        return {"fuse_attention": fused, "int8_dataflow": planned}
 
     def pack_weights(self) -> int:
         """Switch 2-D symmetric MatMul weights to packed sub-byte
@@ -711,4 +977,5 @@ class QModel(Model):
             packed += 1
         self._jit_cache.clear()
         self._sharded_param_cache = None
+        self._dp_cache = None
         return packed

@@ -17,15 +17,23 @@ def shapes_broadcastable(shape_a, shape_b) -> bool:
                for m, n in zip(shape_a[::-1], shape_b[::-1]))
 
 
-def gemm(k: int, m: int, n: int, random_seed: int) -> O.ModelProto:
-    """[k,m] @ [m,n] + [n]. reference: models/test.py:19-57."""
+def gemm(k: int, m: int, n: int, random_seed: int,
+         alpha: float = None, beta: float = None) -> O.ModelProto:
+    """[k,m] @ [m,n] + [n]. reference: models/test.py:19-57.
+    alpha/beta are optional Gemm attributes (spec-correct support is a
+    deliberate deviation; the reference ignores them, model.py:122-131)."""
     rng = np.random.default_rng(random_seed)
     inp = O.make_tensor_value_info("input", O.TensorProto.FLOAT, [k, m])
     out = O.make_tensor_value_info("output", O.TensorProto.FLOAT, [k, n])
     weight = O.from_array(rng.normal(size=(m, n)).astype(np.float32), "weight")
     bias = O.from_array(rng.normal(size=n).astype(np.float32), "bias")
+    attrs = {}
+    if alpha is not None:
+        attrs["alpha"] = float(alpha)
+    if beta is not None:
+        attrs["beta"] = float(beta)
     node = O.make_node("Gemm", ["input", "weight", "bias"], ["output"],
-                       name="Gemm")
+                       name="Gemm", **attrs)
     graph = O.make_graph([node], "Gemm", [inp], [out],
                          initializer=[weight, bias])
     return O.make_model(graph, producer_name="numpy-quant-tpu-test",

@@ -123,9 +123,18 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
             w = w.T
         y = x.matmul(w)
         if alpha != 1.0:
-            y = y * FTensor(np.array(alpha, np.float32))  # float path only
-        if b is not None:
-            if beta != 1.0:
+            if isinstance(y, QTensor):
+                # quantized path: alpha folds into the accumulator scale
+                # exactly (real = (acc - zp) * scale, so alpha*real just
+                # scales `scale`); beta is folded into the bias scale at
+                # quantize() time (model.py Gemm strategy).
+                y = QTensor(y.data, y.bit_width,
+                            np.asarray(y.scale, np.float32) * np.float32(alpha),
+                            y.zero_point)
+            else:
+                y = y * FTensor(np.array(alpha, np.float32))
+        if b is not None and beta != 0.0:
+            if beta != 1.0 and not isinstance(b, QTensor):
                 b = b * FTensor(np.array(beta, np.float32))
             y = y + b
         return [y]
@@ -241,6 +250,7 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         def zp_of(t):
             return 0 if t.zero_point is None else int(t.zero_point)
 
+        out_requant = attrs.get("out_requant")  # set by int8_dataflow
         out = fused_attention(
             q.data.astype(jnp.int8).reshape(-1, n, d),
             kt.data.astype(jnp.int8).reshape(-1, d, n),
@@ -252,8 +262,49 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
             sp=float(attrs["probs_scale"]),
             zp_p=int(attrs["probs_zero_point"]),
             bit_width=q.bit_width,
+            out_requant=out_requant,
             interpret=jax.default_backend() == "cpu")
+        if out_requant is not None:
+            scale, zp = out_requant
+            return [QTensor(out.reshape(*lead, n, d), q.bit_width,
+                            np.float32(scale),
+                            None if zp is None else np.int64(zp))]
         return [FTensor(out.reshape(*lead, n, d))]
+    elif op == "FusedAttentionHS":
+        # Head-splitting variant (QModel.fuse_attention): consumes the
+        # raw [B, N, H*D] Q/K/V projection outputs; head split/merge,
+        # scores, softmax and context all happen inside the kernel
+        # (kernels/attention.py::fused_attention_hs).
+        import jax
+
+        from ..kernels.attention import fused_attention_hs
+
+        xq, xk, xv = inputs[0], inputs[1], inputs[2]
+        assert isinstance(xq, QTensor) and isinstance(xk, QTensor) \
+            and isinstance(xv, QTensor)
+
+        def zp_of(t):
+            return 0 if t.zero_point is None else int(t.zero_point)
+
+        out_requant = attrs.get("out_requant")  # set by int8_dataflow
+        out = fused_attention_hs(
+            xq.data.astype(jnp.int8), xk.data.astype(jnp.int8),
+            xv.data.astype(jnp.int8),
+            num_heads=int(attrs["num_heads"]),
+            scaling=float(attrs["scaling"]),
+            sq=float(np.float32(xq.scale)), zq=zp_of(xq),
+            sk=float(np.float32(xk.scale)), zk=zp_of(xk),
+            sv=float(np.float32(xv.scale)), zv=zp_of(xv),
+            sp=float(attrs["probs_scale"]),
+            zp_p=int(attrs["probs_zero_point"]),
+            bit_width=xq.bit_width,
+            out_requant=out_requant,
+            interpret=jax.default_backend() == "cpu")
+        if out_requant is not None:
+            scale, zp = out_requant
+            return [QTensor(out, xq.bit_width, np.float32(scale),
+                            None if zp is None else np.int64(zp))]
+        return [FTensor(out)]
     elif op == "ScatterElements":
         # Message-passing aggregation for GNN graphs (opset 16+:
         # reduction='add'). indices are shape-domain (host) so the

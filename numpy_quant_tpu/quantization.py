@@ -111,6 +111,10 @@ def dequantize(arr, scale, zero_point) -> jax.Array:
     reference: numpy_quant/numpy_quantization.py:37-41."""
     compute = wide_float_dtype()
     arr = jnp.asarray(arr)
+    if arr.dtype in (jnp.int8, jnp.uint8, jnp.int16):
+        # narrow physical storage (int8 HBM layout): widen before the
+        # zero-point subtract so it cannot wrap; values are identical
+        arr = arr.astype(jnp.int32)
     if zero_point is not None:
         zp = jnp.asarray(zero_point, arr.dtype)
         return ((arr - zp).astype(compute) * jnp.asarray(scale, compute)).astype(jnp.float32)

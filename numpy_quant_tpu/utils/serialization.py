@@ -31,8 +31,23 @@ def load_calibration_stats(path) -> dict:
     return {k: (np.float32(v[0]), np.float32(v[1])) for k, v in raw.items()}
 
 
+def _scale_to_json(scale):
+    """Scalar scale -> float; per-channel vector scale -> shape+values."""
+    arr = np.asarray(scale, np.float32)
+    if arr.ndim == 0:
+        return float(arr)
+    return {"shape": list(arr.shape),
+            "values": [float(v) for v in arr.reshape(-1)]}
+
+
+def _scale_from_json(s):
+    if isinstance(s, dict):
+        return np.asarray(s["values"], np.float32).reshape(s["shape"])
+    return np.float32(s)
+
+
 def _qparams_to_json(qp: QuantizationParams) -> dict:
-    return {"scale": float(np.float32(qp.scale)),
+    return {"scale": _scale_to_json(qp.scale),
             "zero_point": None if qp.zero_point is None else int(qp.zero_point)}
 
 
@@ -46,11 +61,32 @@ def save_qmodel(qmodel: QModel, path, source_onnx: O.ModelProto) -> None:
     model = O.load_from_string(source_onnx.SerializeToString())  # deep copy
     qconst = {v.name: v for v in qmodel.values if isinstance(v, Constant)}
 
+    from ..tensor import PackedQTensor
+
     new_inits = []
     tensor_meta = {}
     for init in model.graph.initializer:
         value = qconst.get(init.name)
-        if value is None or not isinstance(value.data, QTensor):
+        if value is None:
+            new_inits.append(init)
+            continue
+        if isinstance(value.data, PackedQTensor):
+            # sub-byte bit-plane payload stored verbatim (uint8[b, K/8, N],
+            # exactly bit_width bits per value on disk too); colsum is
+            # recomputed at load time
+            pq = value.data
+            new_inits.append(O.from_array(np.asarray(pq.planes, np.uint8),
+                                          init.name))
+            tensor_meta[init.name] = {
+                "packed": True,
+                "bit_width": pq.bit_width,
+                "k": pq.k,
+                "n": pq.n,
+                "scale": _scale_to_json(pq.scale),
+                "zero_point": None,
+            }
+            continue
+        if not isinstance(value.data, QTensor):
             new_inits.append(init)
             continue
         qt = value.data
@@ -59,7 +95,7 @@ def save_qmodel(qmodel: QModel, path, source_onnx: O.ModelProto) -> None:
         new_inits.append(O.from_array(store, init.name))
         tensor_meta[init.name] = {
             "bit_width": qt.bit_width,
-            "scale": float(np.float32(qt.scale)),
+            "scale": _scale_to_json(qt.scale),
             "zero_point": None if qt.zero_point is None else int(qt.zero_point),
         }
     model.graph.initializer = new_inits
@@ -92,7 +128,7 @@ def load_qmodel(path) -> QModel:
         model_proto, meta["quantized_initializers"])
     qparams = {
         name: QuantizationParams(
-            np.float32(d["scale"]),
+            _scale_from_json(d["scale"]),
             None if d["zero_point"] is None else np.int64(d["zero_point"]))
         for name, d in meta["quant_params"].items()}
     quantized_ops = tuple(meta.get("quantized_ops", ("MatMul", "Gemm")))
@@ -104,16 +140,27 @@ def import_onnx_quantized(model_proto: O.ModelProto, tensor_meta: dict):
     """import_onnx variant that rebuilds QTensor constants."""
     from ..graph import Node, Variable, wrap_array
 
+    from ..tensor import PackedQTensor
+
     graph = model_proto.graph
     value_dict = {}
     initializer_names = set()
     for t in graph.initializer:
         arr = O.to_array(t)
         meta = tensor_meta.get(t.name)
-        if meta is not None:
+        if meta is not None and meta.get("packed"):
+            from ..kernels.pack import unpack_bitplanes_np
+            planes = arr.astype(np.uint8)
+            vals = unpack_bitplanes_np(planes, meta["bit_width"], meta["k"])
+            colsum = vals.astype(np.int64).sum(axis=0,
+                                               keepdims=True).astype(np.int32)
+            data = PackedQTensor(planes, colsum, meta["k"], meta["n"],
+                                 meta["bit_width"],
+                                 _scale_from_json(meta["scale"]))
+        elif meta is not None:
             zp = meta["zero_point"]
             data = QTensor(arr.astype(np.int32), meta["bit_width"],
-                           np.float32(meta["scale"]),
+                           _scale_from_json(meta["scale"]),
                            None if zp is None else np.int64(zp))
         elif arr.dtype == np.float32:
             data = FTensor(arr)

@@ -238,3 +238,91 @@ def test_fuse_attention_full_vit():
     out = qmodel([x])[0]
     np.testing.assert_array_equal(out, ref)
     assert np.mean(np.abs(out - f)) <= 0.1
+
+
+def test_optimize_bit_identical_small_vit():
+    """QModel.optimize() (attention fusion incl. head-split swallowing +
+    early-int8 dataflow) is bit-identical to the plain executor."""
+    import numpy_quant_tpu as nq
+    from numpy_quant_tpu.models.vit import vit_image_classifier
+    from transformers import ViTConfig
+
+    cfg = ViTConfig(image_size=32, patch_size=8, hidden_size=24,
+                    num_attention_heads=3, intermediate_size=48,
+                    num_hidden_layers=2, num_labels=5)
+    m = vit_image_classifier(config=cfg, batch_size=4, seed=0)
+    x = RNG.normal(size=(4, 3, 32, 32)).astype(np.float32)
+    model = nq.Model.from_onnx(m)
+    qmodel = model.quantize([x], bit_width=8)
+    ref = qmodel([x])[0]
+    stats = qmodel.optimize()
+    # the classifier export carries the standard head split/merge, so
+    # fusion must hit the head-splitting kernel
+    assert stats["fuse_attention"] == 2
+    assert any(n.op == "FusedAttentionHS" for n in qmodel.nodes)
+    assert stats["int8_dataflow"] > 0
+    out = qmodel([x])[0]
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_int8_dataflow_bit_identical_mlp():
+    import numpy_quant_tpu as nq
+
+    m = nq.onnx.load("numpy_quant_tpu/models/mlp.onnx")
+    x = RNG.normal(size=(64, 2)).astype(np.float32)
+    model = nq.Model.from_onnx(m)
+    qmodel = model.quantize([x], bit_width=8)
+    ref = qmodel([x])[0]
+    assert qmodel.int8_dataflow() >= 1
+    np.testing.assert_array_equal(qmodel([x])[0], ref)
+
+
+def test_fused_attention_hs_kernel_direct():
+    """fused_attention_hs == per-head reference math, incl. the MXU
+    ones-hijack correction paths (all zero points nonzero) and the
+    fused int8 out_requant epilogue."""
+    import jax
+    from numpy_quant_tpu.kernels.attention import fused_attention_hs
+    from numpy_quant_tpu.quantization import quantize as q_, dequantize as dq_
+
+    B, N, H, D = 2, 10, 4, 8
+    sq, zq, sk, zk, sv, zv = 0.02, 3, 0.03, -2, 0.05, 4
+    sp, zp_p = 1 / 255., -128
+    so, zo = 0.04, 1
+    rng = np.random.default_rng(0)
+    xq = rng.integers(-100, 100, size=(B, N, H * D)).astype(np.int8)
+    xk = rng.integers(-100, 100, size=(B, N, H * D)).astype(np.int8)
+    xv = rng.integers(-100, 100, size=(B, N, H * D)).astype(np.int8)
+
+    out = np.asarray(fused_attention_hs(
+        xq, xk, xv, num_heads=H, scaling=0.5, sq=sq, zq=zq, sk=sk, zk=zk,
+        sv=sv, zv=zv, sp=sp, zp_p=zp_p, bit_width=8,
+        out_requant=(so, zo),
+        interpret=jax.default_backend() == "cpu"))
+
+    # reference: unfused q_matmul/softmax/quantize per head
+    from numpy_quant_tpu.quantization import q_matmul
+    import jax.numpy as jnp
+    expect = np.zeros((B, N, H * D), np.int64)
+    for b in range(B):
+        for h in range(H):
+            sl = slice(h * D, (h + 1) * D)
+            qh = xq[b][:, sl].astype(np.int64)
+            kh = xk[b][:, sl].astype(np.int64)
+            vh = xv[b][:, sl].astype(np.int64)
+            acc, scale, zp = q_matmul(jnp.asarray(qh), np.float32(sq),
+                                      np.int64(zq), jnp.asarray(kh.T),
+                                      np.float32(sk), np.int64(zk),
+                                      bit_width=8)
+            s = np.asarray(dq_(acc, scale, zp)) * np.float32(0.5)
+            e = np.exp(s - s.max(-1, keepdims=True))
+            probs = (e / e.sum(-1, keepdims=True)).astype(np.float32)
+            pq = np.asarray(q_(probs, 8, np.float32(sp), np.int64(zp_p)))
+            acc2, scale2, zp2 = q_matmul(jnp.asarray(pq), np.float32(sp),
+                                         np.int64(zp_p), jnp.asarray(vh),
+                                         np.float32(sv), np.int64(zv),
+                                         bit_width=8)
+            y = np.asarray(dq_(acc2, scale2, zp2))
+            expect[b][:, sl] = np.asarray(q_(y, 8, np.float32(so),
+                                             np.int64(zo)))
+    np.testing.assert_array_equal(out.astype(np.int64), expect)

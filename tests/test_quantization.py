@@ -187,3 +187,46 @@ def test_per_channel_quantize_model():
     out = qc([X])[0]
     denom = f.max() - f.min()
     assert np.mean(np.abs(out - f)) / denom < 0.02
+
+
+def test_gemm_alpha_beta_quantized_path():
+    """Quantized Gemm honours alpha/beta (the reference ignores them,
+    model.py:122-131): alpha folds into the accumulator scale at
+    runtime, beta into the bias quantization scale at quantize() time."""
+    import numpy_quant_tpu as nq
+    from numpy_quant_tpu.models import testgen
+
+    m = testgen.gemm(k=32, m=16, n=8, random_seed=0, alpha=0.5, beta=2.0)
+    model = nq.Model.from_onnx(m)
+    X = RNG.normal(size=(32, 16)).astype(np.float32)
+    f = model([X])[0]
+
+    # float path is spec-correct
+    rng2 = np.random.default_rng(0)
+    w = rng2.normal(size=(16, 8)).astype(np.float32)
+    b = rng2.normal(size=8).astype(np.float32)
+    np.testing.assert_allclose(f, 0.5 * (X @ w) + 2.0 * b, rtol=1e-4,
+                               atol=1e-5)
+
+    # int path runs (round 1 raised TypeError) and tracks the float path
+    qmodel = model.quantize([X], bit_width=8)
+    out = qmodel([X])[0]
+    denom = f.max() - f.min()
+    assert np.mean(np.abs(out - f)) / denom < 0.05
+
+
+def test_gemm_beta_zero_quantized_path():
+    import numpy_quant_tpu as nq
+    from numpy_quant_tpu.models import testgen
+
+    m = testgen.gemm(k=16, m=8, n=4, random_seed=1, beta=0.0)
+    model = nq.Model.from_onnx(m)
+    X = RNG.normal(size=(16, 8)).astype(np.float32)
+    f = model([X])[0]
+    rng2 = np.random.default_rng(1)
+    w = rng2.normal(size=(8, 4)).astype(np.float32)
+    np.testing.assert_allclose(f, X @ w, rtol=1e-4, atol=1e-5)
+    qmodel = model.quantize([X], bit_width=8)
+    out = qmodel([X])[0]
+    denom = f.max() - f.min()
+    assert np.mean(np.abs(out - f)) / denom < 0.05

@@ -42,6 +42,50 @@ def test_qmodel_save_load_subbyte(tmp_path):
     np.testing.assert_array_equal(actual, expected)
 
 
+def test_qmodel_save_load_per_channel(tmp_path):
+    # per-channel weight scales are VECTORS; they must serialize as
+    # shaped lists and round-trip bit-exact (round-1 crash site)
+    m = nq.onnx.load(MLP)
+    model = nq.Model.from_onnx(m)
+    X = RNG.normal(size=(128, 2)).astype(np.float32)
+    qmodel = model.quantize([X], bit_width=4, per_channel_weights=True)
+    expected = qmodel([X])[0]
+    path = tmp_path / "mlp_q4_pc.onnx"
+    save_qmodel(qmodel, path, m)
+    q2 = load_qmodel(path)
+    actual = q2([X])[0]
+    np.testing.assert_array_equal(actual, expected)
+
+
+def test_qmodel_save_load_packed(tmp_path):
+    # packed sub-byte weights persist as uint8 bit-plane initializers
+    # (exactly b bits/value on disk) and round-trip bit-exact.
+    # ViT MatMul weights are the packable Constants (MLP's Gemm is not).
+    from numpy_quant_tpu.models.vit import vit_image_classifier
+    from transformers import ViTConfig
+    rng = np.random.default_rng(3)
+    cfg = ViTConfig(image_size=16, patch_size=4, hidden_size=16,
+                    num_attention_heads=2, intermediate_size=32,
+                    num_hidden_layers=1, num_labels=4)
+    mv = vit_image_classifier(config=cfg, batch_size=2, seed=0)
+    vit_model = nq.Model.from_onnx(mv)
+    xv = rng.normal(size=(2, 3, 16, 16)).astype(np.float32)
+    qvit = vit_model.quantize([xv], bit_width=4)
+    n_packed = qvit.pack_weights()
+    assert n_packed > 0
+    expected = qvit([xv])[0]
+    path = tmp_path / "vit_q4_packed.onnx"
+    save_qmodel(qvit, path, mv)
+    q2 = load_qmodel(path)
+    from numpy_quant_tpu.tensor import PackedQTensor
+    from numpy_quant_tpu.graph import Constant
+    n_loaded = sum(1 for v in q2.values
+                   if isinstance(v, Constant)
+                   and isinstance(v.data, PackedQTensor))
+    assert n_loaded == n_packed
+    np.testing.assert_array_equal(q2([xv])[0], expected)
+
+
 def test_profile_plot_renders():
     out = profile_results_plot({"Gemm": 0.5, "Relu": 0.1},
                                {"Gemm": 0.2, "TinyqQuant": 0.05}, show=3)
