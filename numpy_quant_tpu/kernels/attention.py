@@ -118,16 +118,30 @@ def _attention_kernel(q_ref, kt_ref, v_ref, o_ref, *, n_real, d_real,
 
 def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
                          d, scaling, sq, zq, sk, zk, sv, zv, sp, zp_p,
-                         bit_width, out_requant, hijack):
+                         bit_width, out_requant, hijack, fast):
     """Head-splitting kernel body: one batch row per grid step, heads
     unrolled, NT score dots on 64-lane head slices -- no XLA-side head
-    reshuffles or d-padding at all."""
-    n_pad = q_ref.shape[-2]
-    qa = q_ref[0]   # [n_pad, H*D] int8 (row n_real = ones when zq)
-    ka = k_ref[0]   # [n_pad, H*D] int8 (row n_real = ones when zk)
-    va = v_ref[0]   # [n_pad, H*D] int8 (pad rows = zv)
+    reshuffles or d-padding at all.
+
+    ``fast=False`` replicates the unfused float op sequence bit-for-bit.
+    ``fast=True`` (used only under the fp-tolerance bfloat16 serving
+    mode) computes the same math with fewer VPU passes: combined
+    dequant*scaling constant, an additive -inf mask built once per grid
+    step, and the softmax division folded into the probs-quantize
+    multiply -- same values up to f32 rounding, ~25% fewer VPU ops on
+    the [N, N] score tensors that dominate the kernel.
+    """
+    n_sub = q_ref.shape[-2]   # query rows (round_up(n+1, 8), NOT 128)
+    n_lane = k_ref.shape[-2]  # key rows = score lanes (round_up(n, 128))
+    qa = q_ref[0]   # [n_sub, H*D] int8 (row n_real = ones when zq)
+    ka = k_ref[0]   # [n_lane, H*D] int8 (row n_real = ones when zk)
+    va = v_ref[0]   # [n_lane, H*D] int8 (pad rows = zv)
     min_q = -2.0 ** (bit_width - 1)
     max_q = 2.0 ** (bit_width - 1) - 1.0
+
+    if fast:
+        col = jax.lax.broadcasted_iota(jnp.int32, (n_sub, n_lane), 1)
+        neg_mask = jnp.where(col < n_real, 0.0, -jnp.inf)  # once per step
 
     for h in range(num_heads):
         sl = slice(h * d, (h + 1) * d)
@@ -140,12 +154,14 @@ def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
         # The row/col sums fall out of the SAME dot: the ones planted in
         # q/k's pad row n_real turn score col/row n_real into the exact
         # integer sums (pad region is discarded/masked afterwards).
-        if zk != 0:
+        if zk != 0 and not fast:
+            # per-ROW correction term: softmax is invariant to row
+            # shifts, so the fast (fp-tolerance) path drops it entirely
             rs = jax.lax.slice_in_dim(raw, n_real, n_real + 1, axis=1) \
                 if hijack else jnp.sum(qh.astype(jnp.int32), 1, keepdims=True)
             scores = scores - rs * np.int32(zk)
         if zq != 0:
-            # k col sums [1, n_pad]: one per key token, summed over the
+            # k col sums [1, n_lane]: one per key token, summed over the
             # head lanes (an NT dot against ones in the fallback)
             cs = jax.lax.slice_in_dim(raw, n_real, n_real + 1, axis=0) \
                 if hijack else \
@@ -154,19 +170,27 @@ def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32)
             scores = scores - cs * np.int32(zq)
-        if zq != 0 and zk != 0:
+        if zq != 0 and zk != 0 and not fast:
             scores = scores + np.int32(zq) * np.int32(zk) * np.int32(d)
-        s = scores.astype(jnp.float32) * np.float32(sq * sk)
-        s = s * np.float32(scaling)
-
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < n_real, s, -jnp.inf)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        probs = e / jnp.sum(e, axis=-1, keepdims=True)
-        # quantize(): clip(zp + x/s) then rint (numpy_quantization.py:31-32)
-        pq = jnp.rint(jnp.clip(probs / np.float32(sp) + np.float32(zp_p),
-                               min_q, max_q)).astype(jnp.int8)
+        if fast:
+            s = scores.astype(jnp.float32) * np.float32(
+                np.float32(sq * sk) * np.float32(scaling)) + neg_mask
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            r = 1.0 / (jnp.sum(e, axis=-1, keepdims=True) * np.float32(sp))
+            pq = jnp.rint(jnp.clip(e * r + np.float32(zp_p),
+                                   min_q, max_q)).astype(jnp.int8)
+        else:
+            s = scores.astype(jnp.float32) * np.float32(sq * sk)
+            s = s * np.float32(scaling)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < n_real, s, -jnp.inf)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            probs = e / jnp.sum(e, axis=-1, keepdims=True)
+            # quantize(): clip(zp + x/s), rint (numpy_quantization.py:31-32)
+            pq = jnp.rint(jnp.clip(probs / np.float32(sp) + np.float32(zp_p),
+                                   min_q, max_q)).astype(jnp.int8)
 
         pq2 = pq
         if zp_p != 0 and hijack:
@@ -177,7 +201,7 @@ def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
         if zv != 0:
             # ones column in the lane tail -> ctx lane d = pq row sums
             vh2 = jnp.concatenate(
-                [vh, jnp.ones((n_pad, 1), jnp.int8)], axis=1)
+                [vh, jnp.ones((n_lane, 1), jnp.int8)], axis=1)
         ctx_ext = jax.lax.dot_general(pq2, vh2, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.int32)
         ctx = jax.lax.slice_in_dim(ctx_ext, 0, d, axis=1) if zv != 0 \
@@ -189,34 +213,38 @@ def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
             vcol = jax.lax.slice_in_dim(ctx_ext, n_real, n_real + 1, axis=0) \
                 if hijack else \
                 jax.lax.dot_general(
-                    jnp.ones((1, n_pad), jnp.int8), vh2,
+                    jnp.ones((1, n_lane), jnp.int8), vh2,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)
             ctx = ctx - jax.lax.slice_in_dim(vcol, 0, d, axis=1) \
                 * np.int32(zp_p)
         if zp_p != 0 and zv != 0:
-            ctx = ctx + np.int32(zp_p) * np.int32(zv) * np.int32(n_pad)
-        y = ctx.astype(jnp.float32) * np.float32(sp * sv)
+            ctx = ctx + np.int32(zp_p) * np.int32(zv) * np.int32(n_lane)
         if out_requant is not None:
             res_scale, res_zp = out_requant
-            yq = y / np.float32(res_scale)
+            if fast:
+                yq = ctx.astype(jnp.float32) * np.float32(
+                    np.float32(sp * sv) / np.float32(res_scale))
+            else:
+                y = ctx.astype(jnp.float32) * np.float32(sp * sv)
+                yq = y / np.float32(res_scale)
             if res_zp is not None:
                 yq = yq + np.float32(res_zp)
             o_ref[0, :, sl] = jnp.rint(jnp.clip(yq, min_q, max_q)) \
                 .astype(jnp.int8)
         else:
-            o_ref[0, :, sl] = y
+            o_ref[0, :, sl] = ctx.astype(jnp.float32) * np.float32(sp * sv)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "scaling", "sq", "zq", "sk", "zk", "sv",
                      "zv", "sp", "zp_p", "bit_width", "out_requant",
-                     "interpret"))
+                     "fast", "interpret"))
 def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
                        sq: float, zq: int, sk: float, zk: int, sv: float,
                        zv: int, sp: float, zp_p: int, bit_width: int = 8,
-                       out_requant: tuple | None = None,
+                       out_requant: tuple | None = None, fast: bool = False,
                        interpret: bool = False):
     """Head-splitting fused attention: xq/xk/xv are [B, N, H*D] int8 --
     the raw Q/K/V projection outputs. Head split, transposes, scores,
@@ -226,19 +254,25 @@ def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
     b, n, hd = xq.shape
     d = hd // num_heads
     assert d * num_heads == hd, (hd, num_heads)
-    n_pad = _round_up(n, 128)
-    hijack = n_pad > n  # a pad row exists to plant the ones vectors in
-    if n_pad != n:
-        xq = jnp.pad(xq, ((0, 0), (0, n_pad - n), (0, 0)))
-        xk = jnp.pad(xk, ((0, 0), (0, n_pad - n), (0, 0)))
-        xv = jnp.pad(xv, ((0, 0), (0, n_pad - n), (0, 0)))
-    if hijack and (zk != 0 or zq != 0):
-        row = jax.lax.broadcasted_iota(jnp.int32, xq.shape, 1)
-        if zk != 0:  # k pad row of ones -> score col n = q row sums
+    n_lane = _round_up(n, 128)   # key rows = score lane dim
+    hijack = n_lane > n  # a pad row exists to plant the ones vectors in
+    # query rows only need sublane alignment (8), not 128 -- ~22% less
+    # VPU work on the [rows, n_lane] score tensors for ViT's N=197
+    n_sub = _round_up(n + 1, 8) if hijack else _round_up(n, 8)
+    if n_sub != n:
+        xq = jnp.pad(xq, ((0, 0), (0, n_sub - n), (0, 0)))
+    if n_lane != n:
+        xk = jnp.pad(xk, ((0, 0), (0, n_lane - n), (0, 0)))
+        xv = jnp.pad(xv, ((0, 0), (0, n_lane - n), (0, 0)))
+    if hijack:
+        if zk != 0 and not fast:
+            # k pad row of ones -> score col n = q row sums
+            row = jax.lax.broadcasted_iota(jnp.int32, xk.shape, 1)
             xk = jnp.where(row == n, np.int8(1), xk)
         if zq != 0:  # q pad row of ones -> score row n = k col sums
+            row = jax.lax.broadcasted_iota(jnp.int32, xq.shape, 1)
             xq = jnp.where(row == n, np.int8(1), xq)
-    if zv != 0 and n_pad != n:
+    if zv != 0 and n_lane != n:
         # v pad rows hold the zero point so the padded contraction is a
         # no-op under the correction formula
         row = jax.lax.broadcasted_iota(jnp.int32, xv.shape, 1)
@@ -252,26 +286,32 @@ def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
         out_requant=None if out_requant is None else
         (np.float32(out_requant[0]),
          None if out_requant[1] is None else np.float32(out_requant[1])),
-        hijack=hijack)
+        hijack=hijack, fast=fast)
 
     out_dtype = jnp.float32 if out_requant is None else jnp.int8
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, hd), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n_sub, hd), out_dtype),
         grid=(b,),
-        in_specs=[pl.BlockSpec((1, n_pad, hd), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)] * 3,
-        out_specs=pl.BlockSpec((1, n_pad, hd), lambda i: (i, 0, 0),
+        in_specs=[
+            pl.BlockSpec((1, n_sub, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_lane, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_lane, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_sub, hd), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * num_heads * (n_pad * n_pad * d) * 2,
-            bytes_accessed=b * n_pad * hd * (3 + 4),
-            transcendentals=b * num_heads * n_pad * n_pad),
+            flops=2 * b * num_heads * (n_sub * n_lane * d) * 2,
+            bytes_accessed=b * n_lane * hd * (3 + 4),
+            transcendentals=b * num_heads * n_sub * n_lane),
         interpret=interpret,
     )(xq, xk, xv)
-    if n_pad != n:
+    if n_sub != n:
         out = out[:, :n, :]
     return out
 

@@ -45,10 +45,9 @@ def _quantize_tile(x, scale, zero_point, bit_width):
     return jnp.rint(jnp.clip(q, min_q, max_q)).astype(jnp.int8)
 
 
-def _packed_matmul_kernel(x_ref, planes_ref, colsum_ref, bias_ref, o_ref,
-                          acc_ref, *, bits, block_k, x_scale, x_zp,
-                          out_scale, bit_width, has_bias, quantize_x,
-                          out_requant):
+def _packed_matmul_kernel(x_ref, planes_ref, colsum_ref, scale_ref, bias_ref,
+                          o_ref, acc_ref, *, bits, block_k, x_scale, x_zp,
+                          bit_width, has_bias, quantize_x, out_requant):
     k = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -70,7 +69,10 @@ def _packed_matmul_kernel(x_ref, planes_ref, colsum_ref, bias_ref, o_ref,
         acc = acc_ref[:]
         if x_zp is not None:
             acc = acc - colsum_ref[:] * np.int32(x_zp)
-        y = acc.astype(jnp.float32) * out_scale
+        # combined dequant scale sx*sw as a [1, block_n] row: supports
+        # per-OUTPUT-CHANNEL weight scales (BASELINE.md config #4) at no
+        # extra cost -- the per-tensor case is just a constant row
+        y = acc.astype(jnp.float32) * scale_ref[:]
         if has_bias:
             y = y + bias_ref[:]
         if out_requant is not None:
@@ -92,9 +94,10 @@ def _packed_matmul_kernel(x_ref, planes_ref, colsum_ref, bias_ref, o_ref,
     static_argnames=("bits", "bit_width", "x_scale", "x_zp", "w_scale",
                      "block_m", "block_n", "block_k", "interpret",
                      "quantize_x", "out_requant"))
-def packed_qmatmul(x, planes, colsum, bias=None, *, bits: int,
-                   bit_width: int, x_scale: float, x_zp: int | None,
-                   w_scale: float, block_m: int = 256, block_n: int = 256,
+def packed_qmatmul(x, planes, colsum, bias=None, w_scale_vec=None, *,
+                   bits: int, bit_width: int, x_scale: float,
+                   x_zp: int | None, w_scale: float | None = None,
+                   block_m: int = 256, block_n: int = 256,
                    block_k: int = 512, interpret: bool = False,
                    quantize_x: bool = True,
                    out_requant: tuple | None = None):
@@ -104,11 +107,22 @@ def packed_qmatmul(x, planes, colsum, bias=None, *, bits: int,
     ``quantize_x=False``). planes: uint8[bits, K/8, N] (pack_bitplanes
     of the symmetric-quantized weight). colsum: int32[1, N] column sums
     of the quantized weight. bias: optional float32[1, N].
-    Returns float32[M, N].
+    Weight scale: either the static scalar ``w_scale`` (per-tensor) or
+    ``w_scale_vec`` float32[1, N] (per-output-channel, parity-plus --
+    BASELINE.md config #4). Returns float32[M, N].
     """
     m, k = x.shape
     n = planes.shape[2]
     assert planes.shape[1] * 8 >= k, (planes.shape, k)
+    if w_scale_vec is None:
+        assert w_scale is not None
+        w_scale_vec = jnp.full((1, n), np.float32(x_scale)
+                               * np.float32(w_scale), jnp.float32)
+    else:
+        # combined host-side f32 product, same rounding as the unpacked
+        # q_matmul scale (scale_a * scale_b in float32)
+        w_scale_vec = (np.float32(x_scale)
+                       * jnp.asarray(w_scale_vec, jnp.float32)).reshape(1, n)
 
     block_m = min(block_m, _round_up(m, 8))
     block_n = min(block_n, _round_up(n, 128))
@@ -132,18 +146,19 @@ def packed_qmatmul(x, planes, colsum, bias=None, *, bits: int,
             planes = planes.at[bits - 1, :, n_orig:].set(np.uint8(0xFF))
     if colsum.shape[1] != np_:
         colsum = jnp.pad(colsum, ((0, 0), (0, np_ - n)))
+    if w_scale_vec.shape[1] != np_:
+        w_scale_vec = jnp.pad(w_scale_vec, ((0, 0), (0, np_ - n)))
     has_bias = bias is not None
     if has_bias and bias.shape[1] != np_:
         bias = jnp.pad(bias, ((0, 0), (0, np_ - bias.shape[1])))
 
     grid = (mp // block_m, np_ // block_n, kp // block_k)
-    out_scale = np.float32(x_scale) * np.float32(w_scale)
 
     kernel = functools.partial(
         _packed_matmul_kernel, bits=bits, block_k=block_k,
         x_scale=np.float32(x_scale),
         x_zp=None if x_zp is None else int(x_zp),
-        out_scale=out_scale, bit_width=bit_width, has_bias=has_bias,
+        bit_width=bit_width, has_bias=has_bias,
         quantize_x=quantize_x, out_requant=out_requant)
 
     in_specs = [
@@ -153,8 +168,10 @@ def packed_qmatmul(x, planes, colsum, bias=None, *, bits: int,
                      lambda i, j, kk: (0, kk, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j),
+                     memory_space=pltpu.VMEM),
     ]
-    inputs = [x, planes, colsum]
+    inputs = [x, planes, colsum, w_scale_vec]
     if has_bias:
         in_specs.append(pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j),
                                      memory_space=pltpu.VMEM))

@@ -135,9 +135,39 @@ class Model:
                     params[value.name] = value.data.data
                 elif isinstance(value.data, PackedQTensor):
                     params[value.name] = (value.data.planes, value.data.colsum)
+                cs = self._weight_colsum(value)
+                if cs is not None:
+                    params[value.name + ".colsum"] = cs
         self._dp_cache = params
         self._dp_cache_key = narrow
         return params
+
+    def _weight_colsum(self, value: Constant):
+        """Precomputed q_matmul correction column sums for a 2-D
+        quantized weight consumed exclusively as MatMul rhs. The
+        reference recomputes these per call (numpy_quantization.py:55);
+        they are constants, so reducing them once at parameter-build
+        time removes one full weight reduction per matmul per forward --
+        identical integers (exact integer sum either way)."""
+        import numpy as np
+
+        if not isinstance(value.data, QTensor):
+            return None
+        qt = value.data
+        data = np.asarray(qt.data)
+        if data.ndim != 2:
+            return None
+        if not value.outputs or not all(
+                n.op == "MatMul" and len(n.inputs) > 1
+                and n.inputs[1] is value for n in value.outputs):
+            return None
+        cs = data.astype(np.int64).sum(axis=0, keepdims=True)
+        from .quantization import x64_enabled
+        if x64_enabled():
+            return cs
+        if np.abs(cs).max(initial=0) >= 2 ** 31:
+            return None  # would overflow the int32 accumulator dtype
+        return cs.astype(np.int32)
 
     def _placed_params(self) -> dict[str, Any]:
         """Device params, placed per parameter_shardings when a mesh is
@@ -169,7 +199,8 @@ class Model:
             return FTensor(params[value.name])
         if isinstance(data, QTensor):
             return QTensor(params[value.name], data.bit_width, data.scale,
-                           data.zero_point)
+                           data.zero_point,
+                           colsum=params.get(value.name + ".colsum"))
         if isinstance(data, PackedQTensor):
             planes, colsum = params[value.name]
             return PackedQTensor(planes, colsum, data.k, data.n,
@@ -384,7 +415,8 @@ class Model:
     def quantize(self, calibration_inputs: list[np.ndarray] = None,
                  bit_width: int = 8, calibration_mode: str = "auto",
                  stats: dict = None, quantize_conv: bool = False,
-                 per_channel_weights: bool = False) -> "QModel":
+                 per_channel_weights: bool = False,
+                 weight_bit_width: int = None) -> "QModel":
         """Post-training quantization. Per-node parameter strategy follows
         reference: numpy_quant/model.py:328-442.
 
@@ -399,6 +431,13 @@ class Model:
         ``per_channel_weights``: symmetric per-output-channel scales for
         2-D MatMul/Gemm weights (parity-plus; BASELINE.md config #4) --
         markedly better accuracy at low bit widths.
+
+        ``weight_bit_width``: quantize weights/constants at a LOWER bit
+        width than activations (W4A8-style mixed precision,
+        parity-plus: the reference asserts equal operand widths,
+        tensor.py:206). Sub-byte weights pack to exactly that many bits
+        in HBM via pack_weights() while activations keep the accuracy
+        of ``bit_width``.
         """
         if stats is None:
             stats = self.calibration_stats(calibration_inputs,
@@ -406,10 +445,14 @@ class Model:
         node_dict = {node.name: node for node in self.nodes}
         value_dict = {value.name: value for value in self.values}
 
-        def qparams_for(name: str, asymmetric: bool) -> QuantizationParams:
+        wbw = weight_bit_width if weight_bit_width is not None else bit_width
+
+        def qparams_for(name: str, asymmetric: bool,
+                        bits: int = None) -> QuantizationParams:
             mn, mx = stats[name]
-            scale, zero_point = quant_parameters(mn, mx, bit_width=bit_width,
-                                                 asymmetric=asymmetric)
+            scale, zero_point = quant_parameters(
+                mn, mx, bit_width=bits if bits is not None else bit_width,
+                asymmetric=asymmetric)
             return QuantizationParams(scale, zero_point)
 
         qnodes_dict: dict[str, Node] = {}
@@ -449,17 +492,24 @@ class Model:
                     qvalues_dict[value.name] = Constant(value.name, [],
                                                         value.data.copy())
                     continue
+                # weight_bit_width applies only to actual matmul weights
+                # (consumed as MatMul/Gemm rhs); other float constants
+                # keep the activation bit width
+                is_weight = bool(value.outputs) and all(
+                    n.op in ("MatMul", "Gemm") and len(n.inputs) > 1
+                    and n.inputs[1] is value for n in value.outputs)
+                cbw = wbw if is_weight else bit_width
                 ch_axis = _weight_channel_axis(value) if per_channel_weights \
                     else None
                 if ch_axis is not None and np.asarray(value.data.data).ndim == 2:
                     scale = per_channel_scales(np.asarray(value.data.data),
-                                               bit_width, ch_axis)
+                                               cbw, ch_axis)
                     qp = QuantizationParams(scale, None)
                 else:
-                    qp = qparams_for(value.name, asymmetric=False)
+                    qp = qparams_for(value.name, asymmetric=False, bits=cbw)
                 qvalues_dict[value.name] = Constant(
                     value.name, [],
-                    quantize_tensor(value.data, bit_width, qp.scale, qp.zero_point))
+                    quantize_tensor(value.data, cbw, qp.scale, qp.zero_point))
                 qparams_per_value[value.name] = qp
 
         # Per-node strategy (reference: model.py:367-425).
@@ -964,8 +1014,6 @@ class QModel(Model):
             qt = value.data
             if qt.zero_point is not None or np.asarray(qt.data).ndim != 2:
                 continue
-            if getattr(qt.scale, "ndim", 0) > 0:
-                continue  # per-channel scales: packed kernel is per-tensor
             if qt.bit_width > 8:
                 continue
             # only weights consumed exclusively as MatMul rhs

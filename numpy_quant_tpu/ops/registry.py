@@ -38,14 +38,18 @@ def _packed_matmul(a: QTensor, b: PackedQTensor) -> FTensor:
     data = a.data
     lead = data.shape[:-1]
     x2 = data.reshape(-1, data.shape[-1])
+    if getattr(b.scale, "ndim", 0) > 0:
+        scale_kw = {"w_scale_vec": np.asarray(b.scale, np.float32)
+                    .reshape(1, b.n)}
+    else:
+        scale_kw = {"w_scale": float(np.float32(b.scale))}
     y2 = packed_qmatmul(
         x2, b.planes, b.colsum, None,
         bits=b.bit_width, bit_width=a.bit_width,
         x_scale=float(np.float32(a.scale)),
         x_zp=None if a.zero_point is None else int(a.zero_point),
-        w_scale=float(np.float32(b.scale)),
         quantize_x=False,
-        interpret=jax.default_backend() == "cpu")
+        interpret=jax.default_backend() == "cpu", **scale_kw)
     return FTensor(y2.reshape(*lead, b.n))
 
 
@@ -287,10 +291,14 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
             return 0 if t.zero_point is None else int(t.zero_point)
 
         out_requant = attrs.get("out_requant")  # set by int8_dataflow
+        from .. import config as _config
         out = fused_attention_hs(
             xq.data.astype(jnp.int8), xk.data.astype(jnp.int8),
             xv.data.astype(jnp.int8),
             num_heads=int(attrs["num_heads"]),
+            # fp-tolerance serving mode (bfloat16 float segments): the
+            # fewer-VPU-passes softmax; f32 mode keeps the bit-exact path
+            fast=_config.float_dtype == jnp.bfloat16,
             scaling=float(attrs["scaling"]),
             sq=float(np.float32(xq.scale)), zq=zp_of(xq),
             sk=float(np.float32(xk.scale)), zk=zp_of(xk),

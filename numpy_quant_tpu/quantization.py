@@ -147,12 +147,16 @@ def _int_matmul(a, b, bit_width: int):
 
 
 def q_matmul(arr_a, scale_a, zero_point_a, arr_b, scale_b, zero_point_b,
-             bit_width: int = 8):
+             bit_width: int = 8, b_colsum=None):
     """Integer matmul with tensor zero-point correction.
     reference: numpy_quant/numpy_quantization.py:44-61.
 
     Returns (acc, scale, zero_point) where zero_point is None or a tensor
     of per-output corrections such that real = (acc - zero_point) * scale.
+
+    ``b_colsum``: optional precomputed column sums of arr_b (weights are
+    constants, so their correction sums are computed once at quantize
+    time rather than re-reduced every forward -- identical integers).
     """
     adt = accumulator_dtype(bit_width)
     k = arr_a.shape[-1]
@@ -164,16 +168,19 @@ def q_matmul(arr_a, scale_a, zero_point_a, arr_b, scale_b, zero_point_b,
         scale = np.float32(scale)
     if zero_point_a is None and zero_point_b is None:
         return acc, scale, None
-    a_rowsum = jnp.sum(jnp.asarray(arr_a, adt), axis=-1, keepdims=True)
-    b_colsum = jnp.sum(jnp.asarray(arr_b, adt), axis=-2, keepdims=True)
+    if zero_point_a is not None and b_colsum is None:
+        b_colsum = jnp.sum(jnp.asarray(arr_b, adt), axis=-2, keepdims=True)
     if zero_point_a is None:
+        a_rowsum = jnp.sum(jnp.asarray(arr_a, adt), axis=-1, keepdims=True)
         zero_point = a_rowsum * jnp.asarray(zero_point_b, adt)
     elif zero_point_b is None:
-        zero_point = b_colsum * jnp.asarray(zero_point_a, adt)
+        zero_point = jnp.asarray(b_colsum, adt) * jnp.asarray(zero_point_a, adt)
     else:
+        a_rowsum = jnp.sum(jnp.asarray(arr_a, adt), axis=-1, keepdims=True)
         zpa = jnp.asarray(zero_point_a, adt)
         zpb = jnp.asarray(zero_point_b, adt)
-        zero_point = a_rowsum * zpb + b_colsum * zpa - zpa * zpb * k
+        zero_point = a_rowsum * zpb + jnp.asarray(b_colsum, adt) * zpa \
+            - zpa * zpb * k
     return acc, scale, zero_point
 
 

@@ -231,11 +231,14 @@ class QTensor:
     """
 
     def __init__(self, data, bit_width: int, scale,
-                 zero_point: Optional[Any] = None):
+                 zero_point: Optional[Any] = None, colsum=None):
         self._data = jnp.asarray(data)
         self.bit_width = int(bit_width)
         self.scale = scale
         self.zero_point = zero_point
+        # optional precomputed column sums (weight constants): feeds the
+        # q_matmul zero-point correction without a per-forward reduce
+        self.colsum = colsum
 
     @property
     def data(self) -> jax.Array:
@@ -302,13 +305,14 @@ class QTensor:
         return QTensor(qdata, bit_width, scale, zero_point)
 
     def matmul(self, other: "QTensor") -> "QTensor":
-        assert self.bit_width == other.bit_width, \
-            f"{self.bit_width} != {other.bit_width}"
-        bit_width = self.bit_width
+        # The reference asserts equal operand widths (tensor.py:206);
+        # mixed widths (W4A8-style weight-only low-bit) are parity-plus
+        # and accumulate at 4x the wider operand's width.
+        bit_width = max(self.bit_width, other.bit_width)
         y, scale, zero_point = q_matmul(
             self._data, self.scale, self.zero_point,
             other._data, other.scale, other.zero_point,
-            bit_width=bit_width)
+            bit_width=bit_width, b_colsum=other.colsum)
         # int8 -> int32 accumulator modelling (reference: tensor.py:210).
         return QTensor(y, 4 * bit_width, scale, zero_point)
 

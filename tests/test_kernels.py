@@ -326,3 +326,56 @@ def test_fused_attention_hs_kernel_direct():
             expect[b][:, sl] = np.asarray(q_(y, 8, np.float32(so),
                                              np.int64(zo)))
     np.testing.assert_array_equal(out.astype(np.int64), expect)
+
+
+def test_packed_per_channel_bit_exact():
+    """Per-channel weight scales compose with packed sub-byte storage
+    (round-1 gap: mutually exclusive): the kernel epilogue takes the
+    combined sx*sw_j scale row, bit-exact vs the unpacked path."""
+    import numpy_quant_tpu as nq
+    from numpy_quant_tpu.models.vit import vit_image_classifier
+    from transformers import ViTConfig
+
+    cfg = ViTConfig(image_size=32, patch_size=8, hidden_size=24,
+                    num_attention_heads=3, intermediate_size=48,
+                    num_hidden_layers=2, num_labels=5)
+    m = vit_image_classifier(config=cfg, batch_size=4, seed=0)
+    x = RNG.normal(size=(4, 3, 32, 32)).astype(np.float32)
+    model = nq.Model.from_onnx(m)
+    q4 = model.quantize([x], bit_width=4, per_channel_weights=True)
+    ref = q4([x])[0]
+    assert q4.pack_weights() > 0
+    np.testing.assert_array_equal(q4([x])[0], ref)
+
+
+def test_w4a8_mixed_width():
+    """weight_bit_width < bit_width (W4A8): 4-bit packed weights with
+    8-bit activations -- parity-plus (the reference asserts equal
+    operand widths, tensor.py:206). Accuracy stays near int8 because
+    activations keep 8 bits."""
+    import numpy_quant_tpu as nq
+    from numpy_quant_tpu.models.vit import vit_image_classifier
+    from transformers import ViTConfig
+
+    cfg = ViTConfig(image_size=32, patch_size=8, hidden_size=24,
+                    num_attention_heads=3, intermediate_size=48,
+                    num_hidden_layers=2, num_labels=5)
+    m = vit_image_classifier(config=cfg, batch_size=4, seed=0)
+    x = RNG.normal(size=(4, 3, 32, 32)).astype(np.float32)
+    model = nq.Model.from_onnx(m)
+    f = model([x])[0]
+    q = model.quantize([x], bit_width=8, weight_bit_width=4,
+                       per_channel_weights=True)
+    # only matmul weights carry 4 bits; other constants stay 8-bit
+    from numpy_quant_tpu.graph import Constant
+    from numpy_quant_tpu.tensor import QTensor
+    widths = {v.data.bit_width for v in q.values
+              if isinstance(v, Constant) and isinstance(v.data, QTensor)}
+    assert 4 in widths and (8 in widths or 32 in widths)
+    out = q([x])[0]
+    denom = f.max() - f.min()
+    err_w4a8 = np.mean(np.abs(out - f)) / denom
+    assert err_w4a8 < 0.08, err_w4a8
+    # packing applies to the 4-bit weights (exactly 4 bits/value in HBM)
+    assert q.pack_weights() > 0
+    np.testing.assert_array_equal(q([x])[0], out)
