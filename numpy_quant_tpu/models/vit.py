@@ -332,16 +332,22 @@ def vit(batch_size: int, image_size: int, patch_size: int,
 
 
 def vit_image_classifier(config=None, batch_size=None, seed: int = 0,
-                         pretrained: str | None = None) -> O.ModelProto:
+                         pretrained: str | None = None,
+                         module=None) -> O.ModelProto:
     """Full ViTForImageClassification graph (ViT-Base-patch16-224 shaped
     by default). reference: models/vit.py:40-66. ``batch_size=None``
-    exports a dynamic batch axis 'B' like the reference."""
+    exports a dynamic batch axis 'B' like the reference.
+    ``module``: an existing (e.g. trained) ViTForImageClassification to
+    export instead of a fresh random-init one."""
     import torch
     from transformers import ViTConfig
     from transformers.models.vit.modeling_vit import ViTForImageClassification
 
     torch.manual_seed(seed)
-    if pretrained is not None:
+    if module is not None:
+        module = module.eval()
+        config = module.config
+    elif pretrained is not None:
         module = ViTForImageClassification.from_pretrained(pretrained).eval()
         config = module.config
     else:

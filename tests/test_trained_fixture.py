@@ -1,0 +1,53 @@
+"""Task-level accuracy on TRAINED weights -- the analogue of the
+reference's capstone test, which runs the pretrained ViT-Base on
+tiny-imagenet images and asserts int8-vs-float LABEL EQUALITY
+(reference: test/long_running/test_vit.py:112-167). No network here,
+so the committed fixture is a compact ViT trained to 100% held-out
+accuracy on a procedural 8-class task (models/fixtures.py); weights
+are committed at models/fixtures/vit_trained.npz.
+
+Trained weights are the oracle that matters: random-init ViTs amplify
+quantization noise chaotically (argmax agreement on them says nothing),
+while trained ones show the real behavior -- int8 and W4A8 labels match
+float exactly, and even full int4 stays >= 0.9.
+"""
+import numpy as np
+
+import numpy_quant_tpu as nq
+from numpy_quant_tpu.models import fixtures as F
+
+
+def _setup():
+    m = F.trained_vit_onnx(batch_size=64)
+    model = nq.Model.from_onnx(m)
+    x, y = F.make_batch(np.random.default_rng(99), 64)
+    calib, _ = F.make_batch(np.random.default_rng(7), 16)
+    f = model([x])[0]
+    return model, x, y, calib, np.argmax(f, -1)
+
+
+def test_trained_float_accuracy_and_int8_label_equality():
+    model, x, y, calib, flabels = _setup()
+    # the float model solves the task (trained fixture, not noise)
+    assert (flabels == y).mean() >= 0.95
+    q8 = model.quantize([calib], bit_width=8)
+    q8.optimize()
+    i8 = np.argmax(q8([x])[0], -1)
+    # label EQUALITY, as the reference capstone asserts
+    np.testing.assert_array_equal(i8, flabels)
+
+
+def test_trained_w4a8_label_equality():
+    model, x, y, calib, flabels = _setup()
+    q = model.quantize([calib], bit_width=8, weight_bit_width=4,
+                       per_channel_weights=True)
+    assert q.pack_weights() > 0  # 4-bit packed weights on the int path
+    labels = np.argmax(q([x])[0], -1)
+    np.testing.assert_array_equal(labels, flabels)
+
+
+def test_trained_int4_per_channel_agreement():
+    model, x, y, calib, flabels = _setup()
+    q4 = model.quantize([calib], bit_width=4, per_channel_weights=True)
+    labels = np.argmax(q4([x])[0], -1)
+    assert (labels == flabels).mean() >= 0.9
