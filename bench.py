@@ -65,6 +65,11 @@ def main():
         # bit-identical graph passes: VMEM-resident int8 attention kernel
         # (head split/merge in-kernel) + early-int8 activation layout
         qmodel.optimize()
+    if os.environ.get("NQ_TPU_BENCH_PACKED", "0") == "1":
+        # sub-byte bit-plane weight storage (HBM weights at bit_width/8
+        # bytes per value); costs ~5% throughput in this compute-bound
+        # int8 config (BENCH_HISTORY.md), so the headline runs unpacked
+        qmodel.pack_weights()
 
     import jax.numpy as jnp
 
@@ -73,7 +78,7 @@ def main():
     x = jax.device_put(x)
     params = qmodel._placed_params()
     fwd = qmodel.lowered_fn()
-    iters = int(os.environ.get("NQ_TPU_BENCH_ITERS", "32"))
+    iters = int(os.environ.get("NQ_TPU_BENCH_ITERS", "64"))
 
     # Sustained device throughput: scan `iters` forwards inside ONE
     # program. Each step sees a distinct (ppm-perturbed) input, so no

@@ -18,6 +18,19 @@ float_matmul_precision = jax.lax.Precision.HIGHEST
 # always computes in float32 or wider.
 float_dtype = jnp.float32
 
+# How packed sub-byte weights (PackedQTensor) execute a MatMul:
+#   "unpack"  (default) -- unpack the bit-planes to int8 ONCE per
+#              compiled program and run XLA's full-speed int8 dot. In a
+#              serving loop (lax.scan) the unpack is loop-invariant and
+#              hoisted, so sustained throughput matches unpacked weights
+#              while HBM storage stays at bit_width/8 bytes per value.
+#   "kernel"  -- the fused Pallas kernel unpacks tiles in VMEM on the
+#              fly (kernels/qmatmul.py): no int8 copy of the weight ever
+#              exists, minimal peak memory, but the per-tile VPU unpack
+#              serializes against the MXU (measured 8-20x slower than
+#              the XLA dot at ViT shapes on v5e -- BENCH_HISTORY.md).
+packed_execution = "unpack"
+
 
 def x64_enabled() -> bool:
     return bool(jax.config.jax_enable_x64)

@@ -223,27 +223,37 @@ class Model:
 
     def _forward(self, input_tensors: dict[str, Tensor], params: dict[str, Any],
                  timings=None, record: bool = False) -> dict[str, Tensor]:
+        from .ops import registry as _registry
+
         data: dict[str, Tensor] = {}
         for value in self.values:
             if isinstance(value, Constant):
                 data[value.name] = self._wrap_constant(value, params)
         data.update(input_tensors)
 
-        for node in self.nodes:
-            ins = self._node_inputs(node, data, timings)
-            if timings is not None:
-                stime = time()
-                outs = onnx_operator_implementation(node.op, ins, node.attrs)
-                outs = self._post_node(node, outs)
-                jax.block_until_ready([t.data for t in outs])
-                timings[node.op] += time() - stime
-            else:
-                outs = onnx_operator_implementation(node.op, ins, node.attrs)
-                outs = self._post_node(node, outs)
-            for o, tensor in zip(node.outputs, outs):
-                data[o.name] = tensor
-                if record:
-                    o.data = tensor
+        # execution context for mesh-aware ops (Pallas kernels wrap in
+        # shard_map under GSPMD; see registry FusedAttention*)
+        prev_ctx = _registry._EXEC_MESH
+        _registry._EXEC_MESH = (self.mesh, self.data_axis,
+                                getattr(self, "model_axis", "model"))
+        try:
+            for node in self.nodes:
+                ins = self._node_inputs(node, data, timings)
+                if timings is not None:
+                    stime = time()
+                    outs = onnx_operator_implementation(node.op, ins, node.attrs)
+                    outs = self._post_node(node, outs)
+                    jax.block_until_ready([t.data for t in outs])
+                    timings[node.op] += time() - stime
+                else:
+                    outs = onnx_operator_implementation(node.op, ins, node.attrs)
+                    outs = self._post_node(node, outs)
+                for o, tensor in zip(node.outputs, outs):
+                    data[o.name] = tensor
+                    if record:
+                        o.data = tensor
+        finally:
+            _registry._EXEC_MESH = prev_ctx
         if record:
             for variable in self.inputs:
                 variable.data = input_tensors.get(variable.name, variable.data)
@@ -371,7 +381,14 @@ class Model:
           'auto'  -- 'jit' below 150 nodes, else 'eager'.
         """
         if mode == "auto":
-            mode = "jit" if len(self.nodes) < 150 else "eager"
+            # a mesh forces jit: eagerly dispatching hundreds of sharded
+            # ops issues GSPMD collectives from concurrent host threads,
+            # which can deadlock the rendezvous on some backends --
+            # one compiled program has a single well-ordered schedule
+            if self.mesh is not None:
+                mode = "jit"
+            else:
+                mode = "jit" if len(self.nodes) < 150 else "eager"
         arrays = [np.asarray(a) for a in inputs]
         device_names: list[str] = []
         host_stats: dict[str, tuple[float, float]] = {}

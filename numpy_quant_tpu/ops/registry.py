@@ -25,6 +25,45 @@ from ..tensor import (
 )
 
 
+# (mesh, data_axis, model_axis) execution context, set by Model._forward:
+# Pallas kernels cannot run under plain GSPMD partitioning, so mesh-aware
+# ops wrap their kernels in shard_map over these axes.
+_EXEC_MESH = None
+
+
+def _shard_map_kernel(fn, operands, specs, out_spec):
+    """Run ``fn(*operands)`` under shard_map on the current exec mesh."""
+    import jax
+
+    mesh = _EXEC_MESH[0]
+    try:
+        from jax import shard_map as _sm
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as _sm
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # annotation, which the checker would otherwise reject
+    return _sm(fn, mesh=mesh, in_specs=specs, out_specs=out_spec,
+               check_vma=False)(*operands)
+
+
+def _attention_shard_spec(batch_dim_size: int, num_heads: int, ndim: int):
+    """(PartitionSpec, local num_heads divisor) for fused attention
+    inputs [B, N, H*D] (or [BH, N, D] -> heads replicated) under the
+    current mesh. Axes that do not divide evenly stay replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh, data_axis, model_axis = _EXEC_MESH
+    d_ax = data_axis if data_axis in mesh.axis_names \
+        and batch_dim_size % mesh.shape[data_axis] == 0 \
+        and mesh.shape[data_axis] > 1 else None
+    m_ax = model_axis if ndim == 3 and model_axis in mesh.axis_names \
+        and mesh.shape[model_axis] > 1 \
+        and num_heads % mesh.shape[model_axis] == 0 else None
+    tp = mesh.shape[m_ax] if m_ax else 1
+    spec = P(d_ax, None, m_ax)
+    return spec, tp
+
+
 def _packed_matmul(a: QTensor, b: PackedQTensor) -> FTensor:
     """Quantized activation x packed sub-byte weight -> dequantized f32,
     via the fused Pallas kernel (kernels/qmatmul.py). Falls back to the
@@ -164,7 +203,13 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
     elif op == "MatMul":
         a, b = inputs[0], inputs[1]
         if isinstance(b, PackedQTensor):
-            return [_packed_matmul(a, b)]
+            from .. import config as _config
+            if _config.packed_execution == "kernel" and isinstance(a, QTensor):
+                return [_packed_matmul(a, b)]
+            # "unpack" mode: bit-planes -> int8 once per compiled
+            # program (hoisted out of serving loops), then XLA's
+            # full-speed int8 dot -- same values, HBM stays sub-byte
+            return [a.matmul(b.unpack())]
         return [a.matmul(b)]
     elif op == "Mul":
         return [inputs[0] * inputs[1]]
@@ -255,19 +300,29 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
             return 0 if t.zero_point is None else int(t.zero_point)
 
         out_requant = attrs.get("out_requant")  # set by int8_dataflow
-        out = fused_attention(
-            q.data.astype(jnp.int8).reshape(-1, n, d),
-            kt.data.astype(jnp.int8).reshape(-1, d, n),
-            v.data.astype(jnp.int8).reshape(-1, n, d),
-            scaling=float(attrs["scaling"]),
-            sq=float(np.float32(q.scale)), zq=zp_of(q),
-            sk=float(np.float32(kt.scale)), zk=zp_of(kt),
-            sv=float(np.float32(v.scale)), zv=zp_of(v),
-            sp=float(attrs["probs_scale"]),
-            zp_p=int(attrs["probs_zero_point"]),
-            bit_width=q.bit_width,
-            out_requant=out_requant,
-            interpret=jax.default_backend() == "cpu")
+        operands = (q.data.astype(jnp.int8).reshape(-1, n, d),
+                    kt.data.astype(jnp.int8).reshape(-1, d, n),
+                    v.data.astype(jnp.int8).reshape(-1, n, d))
+
+        def call(q_, kt_, v_):
+            return fused_attention(
+                q_, kt_, v_,
+                scaling=float(attrs["scaling"]),
+                sq=float(np.float32(q.scale)), zq=zp_of(q),
+                sk=float(np.float32(kt.scale)), zk=zp_of(kt),
+                sv=float(np.float32(v.scale)), zv=zp_of(v),
+                sp=float(attrs["probs_scale"]),
+                zp_p=int(attrs["probs_zero_point"]),
+                bit_width=q.bit_width,
+                out_requant=out_requant,
+                interpret=jax.default_backend() == "cpu")
+
+        if _EXEC_MESH is not None and _EXEC_MESH[0] is not None:
+            # GSPMD: shard the flattened batch*head dim over 'data'
+            spec, _ = _attention_shard_spec(operands[0].shape[0], 1, 4)
+            out = _shard_map_kernel(call, operands, (spec,) * 3, spec)
+        else:
+            out = call(*operands)
         if out_requant is not None:
             scale, zp = out_requant
             return [QTensor(out.reshape(*lead, n, d), q.bit_width,
@@ -292,22 +347,38 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
 
         out_requant = attrs.get("out_requant")  # set by int8_dataflow
         from .. import config as _config
-        out = fused_attention_hs(
-            xq.data.astype(jnp.int8), xk.data.astype(jnp.int8),
-            xv.data.astype(jnp.int8),
-            num_heads=int(attrs["num_heads"]),
-            # fp-tolerance serving mode (bfloat16 float segments): the
-            # fewer-VPU-passes softmax; f32 mode keeps the bit-exact path
-            fast=_config.float_dtype == jnp.bfloat16,
-            scaling=float(attrs["scaling"]),
-            sq=float(np.float32(xq.scale)), zq=zp_of(xq),
-            sk=float(np.float32(xk.scale)), zk=zp_of(xk),
-            sv=float(np.float32(xv.scale)), zv=zp_of(xv),
-            sp=float(attrs["probs_scale"]),
-            zp_p=int(attrs["probs_zero_point"]),
-            bit_width=xq.bit_width,
-            out_requant=out_requant,
-            interpret=jax.default_backend() == "cpu")
+        num_heads = int(attrs["num_heads"])
+        operands = (xq.data.astype(jnp.int8), xk.data.astype(jnp.int8),
+                    xv.data.astype(jnp.int8))
+
+        def call(q_, k_, v_, heads=num_heads):
+            return fused_attention_hs(
+                q_, k_, v_,
+                num_heads=heads,
+                # fp-tolerance serving mode (bfloat16 float segments):
+                # fewer-VPU-passes softmax; f32 keeps the bit-exact path
+                fast=_config.float_dtype == jnp.bfloat16,
+                scaling=float(attrs["scaling"]),
+                sq=float(np.float32(xq.scale)), zq=zp_of(xq),
+                sk=float(np.float32(xk.scale)), zk=zp_of(xk),
+                sv=float(np.float32(xv.scale)), zv=zp_of(xv),
+                sp=float(attrs["probs_scale"]),
+                zp_p=int(attrs["probs_zero_point"]),
+                bit_width=xq.bit_width,
+                out_requant=out_requant,
+                interpret=jax.default_backend() == "cpu")
+
+        if _EXEC_MESH is not None and _EXEC_MESH[0] is not None:
+            # GSPMD: Pallas kernels need shard_map -- batch over the
+            # data axis, heads over the model axis (heads independent)
+            import functools as _ft
+            spec, tp = _attention_shard_spec(operands[0].shape[0],
+                                             num_heads, 3)
+            out = _shard_map_kernel(
+                _ft.partial(call, heads=num_heads // tp), operands,
+                (spec,) * 3, spec)
+        else:
+            out = call(*operands)
         if out_requant is not None:
             scale, zp = out_requant
             return [QTensor(out, xq.bit_width, np.float32(scale),

@@ -364,10 +364,14 @@ class PackedQTensor:
 
     def unpack(self) -> QTensor:
         from .kernels.pack import unpack_bitplanes
+        from .quantization import container_int_dtype, x64_enabled
         vals = unpack_bitplanes(self.planes, self.bit_width, self.k)
-        from .quantization import container_int_dtype
-        return QTensor(vals.astype(container_int_dtype()), self.bit_width,
-                       self.scale, None)
+        # int8 physical container in TPU mode (the dot consumes int8
+        # anyway; int32 copies would quadruple the transient footprint)
+        dtype = jnp.int8 if self.bit_width <= 8 and not x64_enabled() \
+            else container_int_dtype()
+        return QTensor(vals.astype(dtype), self.bit_width,
+                       self.scale, None, colsum=self.colsum)
 
     def __repr__(self):
         return (f"PackedQTensor(shape=({self.k}, {self.n}), "

@@ -105,3 +105,54 @@ def test_mlp_dp_quantized():
     qmodel._jit_cache.clear()
     actual = qmodel([X])[0]
     np.testing.assert_array_equal(actual, expected)
+
+
+@requires_8_devices
+def test_dp_tp_optimized_bit_exact_trained_vit():
+    """DP x TP quantized inference WITH the fused attention kernel and
+    the int8_dataflow pass is BIT-EXACT vs single device, on the
+    trained 4-layer ViT fixture (realistic dims: hidden 128, 4 heads,
+    65 tokens). Integer collectives are exact (int32 psum), float
+    segments stay replicated per data shard under the Megatron rules,
+    and the Pallas kernel runs under shard_map over (data, model)."""
+    from numpy_quant_tpu.models import fixtures as F
+
+    m = F.trained_vit_onnx(batch_size=8)
+    x, _ = F.make_batch(np.random.default_rng(5), 8)
+
+    single = nq.Model.from_onnx(m)
+    calib, _ = F.make_batch(np.random.default_rng(6), 4)
+    q_single = single.quantize([calib], bit_width=8)
+    stats_opt = q_single.optimize()
+    assert stats_opt["fuse_attention"] == 4  # one per layer (HS kernel)
+    expected = q_single([x])[0]
+
+    sharded = nq.Model.from_onnx(m)
+    q_sharded = sharded.quantize([calib], bit_width=8)
+    q_sharded.optimize()
+    mesh = par.make_dp_tp_mesh(8, tp=2)
+    par.shard_model(q_sharded, mesh, data_axis="data", rules=par.vit_tp_rules)
+    actual = q_sharded([x])[0]
+    np.testing.assert_array_equal(actual, expected)
+
+
+@requires_8_devices
+def test_dp_fused_attention_bit_exact():
+    """Pure DP (8-way) with the fused attention kernel: bit-exact vs
+    single device."""
+    from numpy_quant_tpu.models import fixtures as F
+
+    m = F.trained_vit_onnx(batch_size=8)
+    x, _ = F.make_batch(np.random.default_rng(15), 8)
+    calib, _ = F.make_batch(np.random.default_rng(16), 4)
+
+    single = nq.Model.from_onnx(m)
+    q_single = single.quantize([calib], bit_width=8)
+    q_single.fuse_attention()
+    expected = q_single([x])[0]
+
+    sharded = nq.Model.from_onnx(m)
+    q_sharded = sharded.quantize([calib], bit_width=8)
+    q_sharded.fuse_attention()
+    par.shard_model(q_sharded, par.make_mesh(8, axes=("data",)))
+    np.testing.assert_array_equal(q_sharded([x])[0], expected)
