@@ -119,71 +119,104 @@ def _attention_kernel(q_ref, kt_ref, v_ref, o_ref, *, n_real, d_real,
 def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
                          d, scaling, sq, zq, sk, zk, sv, zv, sp, zp_p,
                          bit_width, out_requant, hijack, fast):
-    """Head-splitting kernel body: one batch row per grid step, heads
+    """Head-splitting kernel body: G batch rows per grid step, heads
     unrolled, NT score dots on 64-lane head slices -- no XLA-side head
     reshuffles or d-padding at all.
 
     ``fast=False`` replicates the unfused float op sequence bit-for-bit.
     ``fast=True`` (used only under the fp-tolerance bfloat16 serving
-    mode) computes the same math with fewer VPU passes: combined
-    dequant*scaling constant, an additive -inf mask built once per grid
-    step, and the softmax division folded into the probs-quantize
-    multiply -- same values up to f32 rounding, ~25% fewer VPU ops on
-    the [N, N] score tensors that dominate the kernel.
+    mode) computes the same math with fewer VPU passes over the [N, N]
+    score tensors that dominate the kernel:
+      * the score dots accumulate directly in float32 on the MXU --
+        exact (|score| < 2^24), saves the int32->f32 convert pass;
+      * exp2 with log2(e) folded into the dequant constant (exp lowers
+        to exp2 + multiply anyway; the multiply is pre-folded);
+      * the -inf column mask and the per-column zero-point correction
+        merge into ONE tiny [1, n_lane] additive row, applied in a
+        single broadcast add;
+      * the softmax division folds into the probs-quantize multiply;
+      * the probs clip bounds are elided when the calibrated
+        (scale, zp) provably cannot exceed them (probs are in [0, 1]).
+    Same values up to f32 rounding; roughly a third fewer VPU passes.
     """
     n_sub = q_ref.shape[-2]   # query rows (round_up(n+1, 8), NOT 128)
     n_lane = k_ref.shape[-2]  # key rows = score lanes (round_up(n, 128))
-    qa = q_ref[0]   # [n_sub, H*D] int8 (row n_real = ones when zq)
-    ka = k_ref[0]   # [n_lane, H*D] int8 (row n_real = ones when zk)
-    va = v_ref[0]   # [n_lane, H*D] int8 (pad rows = zv)
+    qa = q_ref[...]   # [G, n_sub, H*D] int8 (row n_real = ones when zq)
+    ka = k_ref[...]   # [G, n_lane, H*D] int8 (row n_real = ones when zk)
+    va = v_ref[...]   # [G, n_lane, H*D] int8 (pad rows = zv)
+    g = qa.shape[0]
     min_q = -2.0 ** (bit_width - 1)
     max_q = 2.0 ** (bit_width - 1) - 1.0
 
     if fast:
-        col = jax.lax.broadcasted_iota(jnp.int32, (n_sub, n_lane), 1)
-        neg_mask = jnp.where(col < n_real, 0.0, -jnp.inf)  # once per step
+        # clip elision: probs are exactly in [0, 1], so the quantized
+        # value lies in [zp, 1/sp + zp]; drop each clip bound the
+        # calibrated params provably cannot cross (0.3 margin covers
+        # the few-ulp float error of e * r)
+        need_lo = zp_p < min_q
+        need_hi = 1.0 / sp + zp_p > max_q - 0.3
+        col1 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_lane), 2)
+        c2 = np.float32(np.float32(sq * sk) * np.float32(scaling)
+                        * np.float32(np.log2(np.e)))
 
     for h in range(num_heads):
         sl = slice(h * d, (h + 1) * d)
-        qh, kh, vh = qa[:, sl], ka[:, sl], va[:, sl]
-        # scores = q @ k^T (NT dot; contraction over the head lanes)
-        raw = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+        qh, kh, vh = qa[:, :, sl], ka[:, :, sl], va[:, :, sl]
+        # scores = q @ k^T (batched NT dot over the head lanes; the MXU
+        # int8 path accumulates int32 -- Mosaic rejects a float acc)
+        raw = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
                                   preferred_element_type=jnp.int32)
-        scores = raw
-        # zero-point correction (reference: numpy_quantization.py:58-60).
-        # The row/col sums fall out of the SAME dot: the ones planted in
-        # q/k's pad row n_real turn score col/row n_real into the exact
-        # integer sums (pad region is discarded/masked afterwards).
-        if zk != 0 and not fast:
-            # per-ROW correction term: softmax is invariant to row
-            # shifts, so the fast (fp-tolerance) path drops it entirely
-            rs = jax.lax.slice_in_dim(raw, n_real, n_real + 1, axis=1) \
-                if hijack else jnp.sum(qh.astype(jnp.int32), 1, keepdims=True)
-            scores = scores - rs * np.int32(zk)
-        if zq != 0:
-            # k col sums [1, n_lane]: one per key token, summed over the
-            # head lanes (an NT dot against ones in the fallback)
-            cs = jax.lax.slice_in_dim(raw, n_real, n_real + 1, axis=0) \
-                if hijack else \
-                jax.lax.dot_general(
-                    jnp.ones((1, d), jnp.int8), kh,
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-            scores = scores - cs * np.int32(zq)
-        if zq != 0 and zk != 0 and not fast:
-            scores = scores + np.int32(zq) * np.int32(zk) * np.int32(d)
         if fast:
-            s = scores.astype(jnp.float32) * np.float32(
-                np.float32(sq * sk) * np.float32(scaling)) + neg_mask
+            # percol = -inf mask + column zero-point correction, one
+            # tiny [G, 1, n_lane] row added in a single broadcast pass:
+            #   s = (raw - cs*zq) * c + mask  ==  raw*c + (mask - cs*zq*c)
+            # (the zk per-ROW term is a row shift -- softmax-invariant,
+            # dropped entirely on this fp-tolerance path)
+            if zq != 0:
+                cs = jax.lax.slice_in_dim(raw, n_real, n_real + 1, axis=1) \
+                    if hijack else \
+                    jnp.sum(kh.astype(jnp.int32), axis=2, keepdims=True) \
+                    .transpose(0, 2, 1)
+                percol = jnp.where(col1 < n_real,
+                                   cs.astype(jnp.float32)
+                                   * np.float32(-zq * c2), -jnp.inf)
+            else:
+                percol = jnp.where(col1 < n_real, 0.0, -jnp.inf)
+                percol = jnp.broadcast_to(percol, (g, 1, n_lane))
+            s = raw.astype(jnp.float32) * c2 + percol
             m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - m)
+            e = jnp.exp2(s - m)
             r = 1.0 / (jnp.sum(e, axis=-1, keepdims=True) * np.float32(sp))
-            pq = jnp.rint(jnp.clip(e * r + np.float32(zp_p),
-                                   min_q, max_q)).astype(jnp.int8)
+            pq = e * r + np.float32(zp_p)
+            if need_lo or need_hi:
+                pq = jnp.clip(pq, min_q if need_lo else None,
+                              max_q if need_hi else None)
+            pq = jnp.rint(pq).astype(jnp.int8)
         else:
+            scores = raw
+            # zero-point correction (reference: numpy_quantization.py:
+            # 58-60). The row/col sums fall out of the SAME dot: the
+            # ones planted in q/k's pad row n_real turn score col/row
+            # n_real into the exact integer sums (pad region is
+            # discarded/masked afterwards).
+            if zk != 0:
+                rs = jax.lax.slice_in_dim(raw, n_real, n_real + 1, axis=2) \
+                    if hijack else \
+                    jnp.sum(qh.astype(jnp.int32), 2, keepdims=True)
+                scores = scores - rs * np.int32(zk)
+            if zq != 0:
+                # k col sums [G, 1, n_lane]: one per key token, summed
+                # over the head lanes
+                cs = jax.lax.slice_in_dim(raw, n_real, n_real + 1, axis=1) \
+                    if hijack else \
+                    jnp.sum(kh.astype(jnp.int32), axis=2, keepdims=True) \
+                    .transpose(0, 2, 1)
+                scores = scores - cs * np.int32(zq)
+            if zq != 0 and zk != 0:
+                scores = scores + np.int32(zq) * np.int32(zk) * np.int32(d)
             s = scores.astype(jnp.float32) * np.float32(sq * sk)
             s = s * np.float32(scaling)
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
             s = jnp.where(col < n_real, s, -jnp.inf)
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m)
@@ -195,28 +228,28 @@ def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
         pq2 = pq
         if zp_p != 0 and hijack:
             # ones row -> ctx row n_real = v column sums
-            row = jax.lax.broadcasted_iota(jnp.int32, pq.shape, 0)
+            row = jax.lax.broadcasted_iota(jnp.int32, pq.shape, 1)
             pq2 = jnp.where(row == n_real, np.int8(1), pq)
         vh2 = vh
         if zv != 0:
             # ones column in the lane tail -> ctx lane d = pq row sums
             vh2 = jnp.concatenate(
-                [vh, jnp.ones((n_lane, 1), jnp.int8)], axis=1)
-        ctx_ext = jax.lax.dot_general(pq2, vh2, (((1,), (0,)), ((), ())),
+                [vh, jnp.ones((g, n_lane, 1), jnp.int8)], axis=2)
+        ctx_ext = jax.lax.dot_general(pq2, vh2, (((2,), (1,)), ((0,), (0,))),
                                       preferred_element_type=jnp.int32)
-        ctx = jax.lax.slice_in_dim(ctx_ext, 0, d, axis=1) if zv != 0 \
+        ctx = jax.lax.slice_in_dim(ctx_ext, 0, d, axis=2) if zv != 0 \
             else ctx_ext
         if zv != 0:
-            pq_rowsum = jax.lax.slice_in_dim(ctx_ext, d, d + 1, axis=1)
+            pq_rowsum = jax.lax.slice_in_dim(ctx_ext, d, d + 1, axis=2)
             ctx = ctx - pq_rowsum * np.int32(zv)
         if zp_p != 0:
-            vcol = jax.lax.slice_in_dim(ctx_ext, n_real, n_real + 1, axis=0) \
+            vcol = jax.lax.slice_in_dim(ctx_ext, n_real, n_real + 1, axis=1) \
                 if hijack else \
                 jax.lax.dot_general(
-                    jnp.ones((1, n_lane), jnp.int8), vh2,
-                    (((1,), (0,)), ((), ())),
+                    jnp.ones((g, 1, n_lane), jnp.int8), vh2,
+                    (((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.int32)
-            ctx = ctx - jax.lax.slice_in_dim(vcol, 0, d, axis=1) \
+            ctx = ctx - jax.lax.slice_in_dim(vcol, 0, d, axis=2) \
                 * np.int32(zp_p)
         if zp_p != 0 and zv != 0:
             ctx = ctx + np.int32(zp_p) * np.int32(zv) * np.int32(n_lane)
@@ -230,10 +263,10 @@ def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
                 yq = y / np.float32(res_scale)
             if res_zp is not None:
                 yq = yq + np.float32(res_zp)
-            o_ref[0, :, sl] = jnp.rint(jnp.clip(yq, min_q, max_q)) \
+            o_ref[:, :, sl] = jnp.rint(jnp.clip(yq, min_q, max_q)) \
                 .astype(jnp.int8)
         else:
-            o_ref[0, :, sl] = ctx.astype(jnp.float32) * np.float32(sp * sv)
+            o_ref[:, :, sl] = ctx.astype(jnp.float32) * np.float32(sp * sv)
 
 
 @functools.partial(
@@ -288,20 +321,25 @@ def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
          None if out_requant[1] is None else np.float32(out_requant[1])),
         hijack=hijack, fast=fast)
 
+    # G batch rows per grid step amortizes the per-step fixed cost
+    # (mask/iota builds, op dispatch) over G images; per-head VPU score
+    # temps are [G, n_sub, n_lane] f32, so cap G to keep them plus the
+    # int8 in/out blocks comfortably VMEM-resident.
+    g = _largest_divisor(b, 4)
     out_dtype = jnp.float32 if out_requant is None else jnp.int8
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, n_sub, hd), out_dtype),
-        grid=(b,),
+        grid=(b // g,),
         in_specs=[
-            pl.BlockSpec((1, n_sub, hd), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, n_sub, hd), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_lane, hd), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, n_lane, hd), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_lane, hd), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, n_lane, hd), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n_sub, hd), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((g, n_sub, hd), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
