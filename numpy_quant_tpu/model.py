@@ -158,7 +158,7 @@ class Model:
         if data.ndim != 2:
             return None
         if not value.outputs or not all(
-                n.op == "MatMul" and len(n.inputs) > 1
+                n.op in ("MatMul", "MatMulSplit") and len(n.inputs) > 1
                 and n.inputs[1] is value for n in value.outputs):
             return None
         cs = data.astype(np.int64).sum(axis=0, keepdims=True)
@@ -920,6 +920,95 @@ class QModel(Model):
         dead = rq[2] + rk[2] + rv[2] + [tr_out, rs_out]
         return (rq[0], rk[0], rv[0], rs_out.outputs[0], rq[1], dead)
 
+    def merge_parallel_matmuls(self) -> int:
+        """Horizontally fuse MatMul nodes that share the same activation
+        input into ONE wide dot (weights concatenated along the
+        output-channel axis) plus in-graph splitting -- the ViT Q/K/V
+        projection pattern. One MXU dot of [M, K] x [K, 3N] replaces
+        three [M, K] x [K, N] dots: the wider N feeds the 128x128
+        systolic array better and the activation tile is read once
+        instead of three times.
+
+        Bit-identical: the merged weight carries a per-column scale
+        vector, each output column's dequantize multiplies by the SAME
+        f32 scale as before, and the per-segment output slices carry
+        the original scalar qparams -- every downstream f32 op is
+        unchanged (asserted in tests/test_kernels.py).
+
+        Returns the number of merged groups.
+        """
+        # group mergeable MatMuls by their shared activation value
+        groups: dict[int, list[Node]] = {}
+        order = {id(n): i for i, n in enumerate(self.nodes)}
+        for node in self.nodes:
+            if node.op != "MatMul" or len(node.inputs) != 2:
+                continue
+            w = node.inputs[1]
+            if not isinstance(w, Constant) or not isinstance(w.data, QTensor):
+                continue
+            qt = w.data
+            if np.asarray(qt.data).ndim != 2 or qt.zero_point is not None:
+                continue
+            if getattr(qt.scale, "ndim", 0) > 0:
+                continue  # per-channel weights: scales are already vectors
+            if len(w.outputs) != 1:
+                continue  # weight shared by several nodes: leave alone
+            groups.setdefault(id(node.inputs[0]), []).append(node)
+
+        merged = 0
+        for nodes in groups.values():
+            nodes = [n for n in nodes
+                     if np.asarray(n.inputs[1].data.data).shape[0]
+                     == np.asarray(nodes[0].inputs[1].data.data).shape[0]
+                     and n.inputs[1].data.bit_width
+                     == nodes[0].inputs[1].data.bit_width]
+            if len(nodes) < 2:
+                continue
+            nodes.sort(key=lambda n: order[id(n)])
+            x_val = nodes[0].inputs[0]
+            weights = [n.inputs[1].data for n in nodes]
+            segs = [int(np.asarray(w.data).shape[1]) for w in weights]
+            seg_scales = [float(np.float32(w.scale)) for w in weights]
+            wdata = np.concatenate([np.asarray(w.data) for w in weights],
+                                   axis=1)
+            scale_vec = np.concatenate(
+                [np.full((1, s), np.float32(sc), np.float32)
+                 for s, sc in zip(segs, seg_scales)], axis=1)
+            bw = weights[0].bit_width
+            mname = f"{nodes[0].name}/merged_w"
+            mconst = Constant(mname, [], QTensor(wdata, bw, scale_vec, None))
+            self.quant_params[mname] = QuantizationParams(scale_vec, None)
+
+            fnode = Node(f"{nodes[0].name}/merged", "MatMulSplit",
+                         {"segments": segs, "segment_scales": seg_scales},
+                         [x_val, mconst],
+                         [n.outputs[0] for n in nodes])
+            mconst.outputs = [fnode]
+            # splice: new node at the first group member's position
+            idx = self.nodes.index(nodes[0])
+            self.nodes[idx] = fnode
+            for n in nodes[1:]:
+                self.nodes.remove(n)
+            # relink values
+            x_val.outputs = [fnode if n in nodes else n for n in x_val.outputs]
+            x_val.outputs = list(dict.fromkeys(x_val.outputs))
+            for n in nodes:
+                old_w = n.inputs[1]
+                if old_w in self.values:
+                    self.values.remove(old_w)
+                n.outputs[0].inputs = [fnode]
+            self.values.append(mconst)
+            merged += 1
+
+        if merged:
+            if "MatMulSplit" not in self.quantized_ops:
+                self.quantized_ops = tuple(self.quantized_ops) \
+                    + ("MatMulSplit",)
+            self._jit_cache.clear()
+            self._dp_cache = None
+            self._sharded_param_cache = None
+        return merged
+
     def int8_dataflow(self) -> int:
         """Plan EARLY quantization: a value whose consumers all quantize
         it anyway -- quantized ops directly ("TinyqQuant",
@@ -1014,8 +1103,16 @@ class QModel(Model):
         and early int8 quantization (bit-identical layout change).
         Returns a {pass: count} summary."""
         fused = self.fuse_attention()
+        # merge_parallel_matmuls stays OPT-IN: on v5e the separate QKV
+        # dots already run near the practical dot ceiling and XLA
+        # declines to multi-output-fuse the wide dot's three epilogue
+        # chains, materializing the int32 accumulator to HBM -- measured
+        # 14% SLOWER end-to-end (BENCH_HISTORY.md round 2).
+        merged = self.merge_parallel_matmuls() \
+            if getattr(self, "_opt_merge_matmuls", False) else 0
         planned = self.int8_dataflow()
-        return {"fuse_attention": fused, "int8_dataflow": planned}
+        return {"fuse_attention": fused, "merge_parallel_matmuls": merged,
+                "int8_dataflow": planned}
 
     def pack_weights(self) -> int:
         """Switch 2-D symmetric MatMul weights to packed sub-byte
@@ -1035,7 +1132,7 @@ class QModel(Model):
                 continue
             # only weights consumed exclusively as MatMul rhs
             if not value.outputs or not all(
-                    n.op == "MatMul" and len(n.inputs) > 1
+                    n.op in ("MatMul", "MatMulSplit") and len(n.inputs) > 1
                     and n.inputs[1] is value for n in value.outputs):
                 continue
             value.data = pack_qtensor(qt)

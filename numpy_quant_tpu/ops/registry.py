@@ -211,6 +211,34 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
             # full-speed int8 dot -- same values, HBM stays sub-byte
             return [a.matmul(b.unpack())]
         return [a.matmul(b)]
+    elif op == "MatMulSplit":
+        # Produced by QModel.merge_parallel_matmuls(): one wide MXU dot
+        # against horizontally-concatenated weights, split back into the
+        # original per-matmul outputs. Each segment keeps its original
+        # scalar (s_x * s_w) f32 scale, so downstream values are
+        # bit-identical to the unmerged dots.
+        a, w = inputs[0], inputs[1]
+        segments = [int(s) for s in attrs["segments"]]
+        seg_scales = [np.float32(s) for s in attrs["segment_scales"]]
+        if isinstance(w, PackedQTensor):
+            w = w.unpack()
+        y = a.matmul(w)
+        a_scale = np.float32(a.scale) if isinstance(a, QTensor) else None
+        outs = []
+        start = 0
+        for n_i, s_i in zip(segments, seg_scales):
+            sl = (Ellipsis, slice(start, start + n_i))
+            if isinstance(y, QTensor):
+                zp = y.zero_point
+                if zp is not None and getattr(zp, "ndim", 0) > 0:
+                    zp = zp[sl]
+                # same f32 product q_matmul computes for the unmerged dot
+                outs.append(QTensor(y.data[sl], y.bit_width,
+                                    np.float32(a_scale * s_i), zp))
+            else:
+                outs.append(FTensor(y.data[sl]))
+            start += n_i
+        return outs
     elif op == "Mul":
         return [inputs[0] * inputs[1]]
     elif op == "ReduceMean":

@@ -277,6 +277,35 @@ def test_int8_dataflow_bit_identical_mlp():
     np.testing.assert_array_equal(qmodel([x])[0], ref)
 
 
+def test_merge_parallel_matmuls_bit_identical():
+    """QModel.merge_parallel_matmuls (horizontal QKV fusion: one wide
+    dot + in-graph split) is bit-identical to the separate dots, alone
+    and composed with the other optimize() passes."""
+    import numpy_quant_tpu as nq
+    from numpy_quant_tpu.models.vit import vit_image_classifier
+    from transformers import ViTConfig
+
+    cfg = ViTConfig(image_size=32, patch_size=8, hidden_size=24,
+                    num_attention_heads=3, intermediate_size=48,
+                    num_hidden_layers=2, num_labels=5)
+    m = vit_image_classifier(config=cfg, batch_size=4, seed=0)
+    x = RNG.normal(size=(4, 3, 32, 32)).astype(np.float32)
+    model = nq.Model.from_onnx(m)
+    qmodel = model.quantize([x], bit_width=8)
+    ref = qmodel([x])[0]
+    # one q/k/v group per encoder layer merges
+    assert qmodel.merge_parallel_matmuls() == 2
+    assert any(n.op == "MatMulSplit" for n in qmodel.nodes)
+    np.testing.assert_array_equal(qmodel([x])[0], ref)
+    # composes with attention fusion + early-int8 layout (opt-in:
+    # optimize() only runs the pass when _opt_merge_matmuls is set)
+    qmodel2 = model.quantize([x], bit_width=8)
+    qmodel2._opt_merge_matmuls = True
+    stats = qmodel2.optimize()
+    assert stats["merge_parallel_matmuls"] == 2
+    np.testing.assert_array_equal(qmodel2([x])[0], ref)
+
+
 def test_fused_attention_hs_kernel_direct():
     """fused_attention_hs == per-head reference math, incl. the MXU
     ones-hijack correction paths (all zero points nonzero) and the
