@@ -62,6 +62,60 @@ def unpack_bitplanes_np(planes: np.ndarray, bits: int, k: int) -> np.ndarray:
     return (vals - offset).astype(np.int8)
 
 
+def pack_splitk(q: np.ndarray, bits: int) -> np.ndarray:
+    """[K, N] signed b-bit integers -> uint8[ceil(K/r), N], r = 8//bits
+    (b in {1, 2, 4}; b == 8 stores plain int8 -- see pack_qtensor).
+
+    SPLIT-K layout: byte (k, n) holds the values of rows
+    k, k + KR, k + 2*KR, ..., (KR = ceil(K/r)), value j in bit field
+    [j*b, (j+1)*b), offset-binary (v + 2^(b-1)). The matmul never
+    materializes the [K, N] weight: sub-dot j contracts x's CONTIGUOUS
+    column block [j*KR, (j+1)*KR) against ((P >> j*b) & mask) - offset,
+    so unpacking is 3 cheap VPU passes per sub-dot and no sublane
+    interleave at all (the bit-plane layout needs an 8-way broadcast +
+    relayout, ~10x the VPU work).
+    """
+    assert bits in (1, 2, 4), bits
+    q = np.asarray(q)
+    assert q.ndim == 2, "pack_splitk packs 2-D weights"
+    k, n = q.shape
+    r = 8 // bits
+    kr = -(-k // r)
+    offset = 1 << (bits - 1)
+    u = (q.astype(np.int64) + offset).astype(np.uint8)
+    assert u.max(initial=0) < (1 << bits), "values exceed bit width"
+    if kr * r != k:
+        # pad rows encode VALUE 0 (offset-binary `offset`)
+        u = np.concatenate([u, np.full((kr * r - k, n), offset, np.uint8)],
+                           axis=0)
+    packed = np.zeros((kr, n), np.uint8)
+    for j in range(r):
+        packed |= u[j * kr:(j + 1) * kr] << np.uint8(j * bits)
+    return packed
+
+
+def unpack_splitk_np(packed: np.ndarray, bits: int, k: int) -> np.ndarray:
+    """Host-side inverse of pack_splitk: uint8[KR, N] -> int8[K, N]."""
+    packed = np.asarray(packed, np.uint8)
+    r = 8 // bits
+    mask = (1 << bits) - 1
+    offset = 1 << (bits - 1)
+    segs = [((packed >> (j * bits)) & mask).astype(np.int16) - offset
+            for j in range(r)]
+    return np.concatenate(segs, axis=0)[:k].astype(np.int8)
+
+
+def unpack_splitk(packed, bits: int, k: int):
+    """jnp inverse of pack_splitk (interpret-mode tests; the fused
+    matmul kernel unpacks per sub-dot and never builds [K, N])."""
+    r = 8 // bits
+    mask = (1 << bits) - 1
+    offset = 1 << (bits - 1)
+    p = packed.astype(jnp.int32)
+    segs = [((p >> (j * bits)) & mask) - offset for j in range(r)]
+    return jnp.concatenate(segs, axis=0)[:k].astype(jnp.int8)
+
+
 def unpack_bitplanes(planes, bits: int, k: int):
     """uint8[b, K/8, N] bit-planes -> int8[K, N] signed values.
 

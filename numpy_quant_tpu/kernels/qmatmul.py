@@ -89,6 +89,170 @@ def _packed_matmul_kernel(x_ref, planes_ref, colsum_ref, scale_ref, bias_ref,
             o_ref[:] = y
 
 
+def _splitk_matmul_kernel(x_ref, packed_ref, colsum_ref, scale_ref, bias_ref,
+                          o_ref, *, bits, kr, x_scale, x_zp, bit_width,
+                          has_bias, quantize_x, out_requant):
+    """Split-K packed matmul: sub-dot j contracts x's contiguous column
+    block [j*KR, (j+1)*KR) against bit field j of the packed bytes --
+    the [K, N] weight is never materialized and unpacking is 3 VPU ops
+    (shift, mask, offset-subtract) per sub-dot."""
+    if quantize_x:
+        xq = _quantize_tile(x_ref[:], x_scale, x_zp, bit_width)
+    else:
+        xq = x_ref[:].astype(jnp.int8)
+    p = packed_ref[:]
+    r = 8 // bits
+    mask = (1 << bits) - 1
+    offset = 1 << (bits - 1)
+    acc = None
+    for j in range(r):
+        if bits == 8:
+            w = p  # native int8, no transform
+        else:
+            w = (((p.astype(jnp.int32) >> np.int32(j * bits))
+                  & np.int32(mask)) - np.int32(offset)).astype(jnp.int8)
+        xs = jax.lax.slice_in_dim(xq, j * kr, (j + 1) * kr, axis=1)
+        d = jax.lax.dot_general(xs, w, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        acc = d if acc is None else acc + d
+    if x_zp is not None:
+        acc = acc - colsum_ref[:] * np.int32(x_zp)
+    y = acc.astype(jnp.float32) * scale_ref[:]
+    if has_bias:
+        y = y + bias_ref[:]
+    if out_requant is not None:
+        res_scale, res_zp, res_bits = out_requant
+        min_q = -2.0 ** (res_bits - 1)
+        max_q = 2.0 ** (res_bits - 1) - 1.0
+        q = y * np.float32(1.0 / np.float32(res_scale))
+        if res_zp is not None:
+            q = q + np.float32(res_zp)
+        o_ref[:] = jnp.clip(jnp.rint(q), min_q, max_q).astype(o_ref.dtype)
+    else:
+        o_ref[:] = y
+
+
+def _splitk_pad_byte(bits: int) -> int:
+    """Packed byte whose every bit field decodes to weight VALUE 0
+    (offset-binary 2^(bits-1))."""
+    if bits == 8:
+        return 0
+    r = 8 // bits
+    offset = 1 << (bits - 1)
+    return sum(offset << (j * bits) for j in range(r))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "bit_width", "x_scale", "x_zp", "w_scale",
+                     "block_m", "block_n", "interpret", "quantize_x",
+                     "out_requant"))
+def splitk_qmatmul(x, packed, colsum, bias=None, w_scale_vec=None, *,
+                   bits: int, bit_width: int, x_scale: float,
+                   x_zp: int | None, w_scale: float | None = None,
+                   block_m: int = 256, block_n: int = 512,
+                   interpret: bool = False, quantize_x: bool = True,
+                   out_requant: tuple | None = None):
+    """y = dequant( quant(x) @ unpack_splitk(packed) ) + bias.
+
+    x: [M, K] float32 (or already-quantized integers when
+    ``quantize_x=False``). packed: uint8[KR, N] (pack_splitk; int8[K, N]
+    raw for bits == 8). colsum: int32[1, N] column sums of the quantized
+    weight. Same epilogue surface as packed_qmatmul (scalar or
+    per-channel scales, bias, fused requantize). K is kept whole per
+    grid step (no k-grid): ViT-class K (<= ~8K) fits VMEM comfortably
+    and Mosaic pipelines the HBM fetches across the (M, N) grid.
+    """
+    m, k = x.shape
+    n = packed.shape[1]
+    r = 8 // bits
+    kr = packed.shape[0]
+    assert kr * r >= k, (packed.shape, bits, k)
+    if w_scale_vec is None:
+        assert w_scale is not None
+        w_scale_vec = jnp.full((1, n), np.float32(x_scale)
+                               * np.float32(w_scale), jnp.float32)
+    else:
+        w_scale_vec = (np.float32(x_scale)
+                       * jnp.asarray(w_scale_vec, jnp.float32)).reshape(1, n)
+
+    block_m = min(block_m, _round_up(m, 8))
+    block_n = min(block_n, _round_up(n, 128))
+    mp, np_ = _round_up(m, block_m), _round_up(n, block_n)
+    krp = _round_up(kr, 128)  # sub-dot contraction dim: MXU-tile aligned
+    if (kr, n) != (krp, np_):
+        packed = jnp.pad(packed, ((0, krp - kr), (0, np_ - n)),
+                         constant_values=_splitk_pad_byte(bits))
+    kp = r * krp
+    if (m, k) != (mp, kp):
+        # x columns follow the segment layout: column j*KR+i contracts
+        # against bit field j of packed row i; zero-padding is exact
+        # (0 * anything) -- but note the LAST segment's real columns
+        # must land at j*KRp, so re-split when KR != KRp
+        if kr != krp and k > kr:
+            segs = [x[:, j * kr:(j + 1) * kr] for j in range(r)]
+            segs = [jnp.pad(s, ((0, mp - m), (0, krp - s.shape[1])))
+                    for s in segs]
+            x = jnp.concatenate(segs, axis=1)
+        else:
+            x = jnp.pad(x, ((0, mp - m), (0, kp - k)))
+    if colsum.shape[1] != np_:
+        colsum = jnp.pad(colsum, ((0, 0), (0, np_ - n)))
+    if w_scale_vec.shape[1] != np_:
+        w_scale_vec = jnp.pad(w_scale_vec, ((0, 0), (0, np_ - n)))
+    has_bias = bias is not None
+    if has_bias and bias.shape[1] != np_:
+        bias = jnp.pad(bias, ((0, 0), (0, np_ - bias.shape[1])))
+
+    grid = (mp // block_m, np_ // block_n)
+    kernel = functools.partial(
+        _splitk_matmul_kernel, bits=bits, kr=krp,
+        x_scale=np.float32(x_scale),
+        x_zp=None if x_zp is None else int(x_zp),
+        bit_width=bit_width, has_bias=has_bias,
+        quantize_x=quantize_x, out_requant=out_requant)
+
+    in_specs = [
+        pl.BlockSpec((block_m, kp), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((krp, block_n), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_n), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_n), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [x, packed, colsum, w_scale_vec]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((1, block_n), lambda i, j: (0, j),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(bias)
+    else:
+        in_specs.append(pl.BlockSpec((1, 128), lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(jnp.zeros((1, 128), jnp.float32))
+
+    out_dtype = jnp.float32 if out_requant is None else jnp.int8
+    y = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp + krp * np_ + mp * np_ * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(*inputs)
+    if (mp, np_) != (m, n):
+        y = y[:m, :n]
+    return y
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("bits", "bit_width", "x_scale", "x_zp", "w_scale",

@@ -196,7 +196,13 @@ class Model:
         from .tensor import PackedQTensor
         data = value.data
         if isinstance(data, FTensor):
-            return FTensor(params[value.name])
+            t = FTensor(params[value.name])
+            if data.data.size <= 64:
+                # host shadow: tiny float constants (Resize scales/roi,
+                # Pad values) are shape-domain for some ops -- they must
+                # be readable at trace time like ITensors are
+                t.host = np.asarray(data.data, np.float32)
+            return t
         if isinstance(data, QTensor):
             return QTensor(params[value.name], data.bit_width, data.scale,
                            data.zero_point,
@@ -204,7 +210,8 @@ class Model:
         if isinstance(data, PackedQTensor):
             planes, colsum = params[value.name]
             return PackedQTensor(planes, colsum, data.k, data.n,
-                                 data.bit_width, data.scale)
+                                 data.bit_width, data.scale,
+                                 layout=data.layout)
         return data  # host ITensor
 
     # ------------------------------------------------------------------
@@ -503,9 +510,22 @@ class Model:
                     return None
             return axes.pop() if len(axes) == 1 else None
 
+        # Float constants feeding only SHAPE-DOMAIN op positions carry
+        # graph structure, not data (Resize scales/roi, Pad values):
+        # quantizing them would corrupt semantics (and the reference has
+        # no such ops). They stay float verbatim.
+        def _is_shape_domain_const(value) -> bool:
+            return bool(value.outputs) and all(
+                n.op in ("Resize", "Pad") and value is not n.inputs[0]
+                for n in value.outputs)
+
         for value in self.values:
             if isinstance(value, Constant):
                 if isinstance(value.data, ITensor):
+                    qvalues_dict[value.name] = Constant(value.name, [],
+                                                        value.data.copy())
+                    continue
+                if _is_shape_domain_const(value):
                     qvalues_dict[value.name] = Constant(value.name, [],
                                                         value.data.copy())
                     continue

@@ -15,16 +15,21 @@ import jax.numpy as jnp
 from .. import config
 
 
-def conv2d_nchw(x, w, b, pads, strides):
-    """x: [B, C, H, W]; w: [O, C, KH, KW]; b: [O] or None.
-    pads: ONNX order (PH0, PW0, PH1, PW1); strides: (SH, SW)."""
+def conv2d_nchw(x, w, b, pads, strides, dilations=(1, 1), group=1):
+    """x: [B, C, H, W]; w: [O, C/group, KH, KW]; b: [O] or None.
+    pads: ONNX order (PH0, PW0, PH1, PW1); strides: (SH, SW).
+    Grouped and dilated convs map directly onto XLA's convolution
+    (feature_group_count / rhs_dilation) -- one MXU conv either way."""
     ph0, pw0, ph1, pw1 = (int(p) for p in pads)
     sh, sw = (int(s) for s in strides)
+    dh, dw = (int(d) for d in dilations)
     y = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(sh, sw),
         padding=((ph0, ph1), (pw0, pw1)),
+        rhs_dilation=(dh, dw),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=int(group),
         precision=config.float_matmul_precision,
     )
     if b is not None:
@@ -59,23 +64,29 @@ def extract_sliding_windows_nhwc(x, ksize, pads, strides):
     return patches.reshape(b, oh, ow, kh * kw * c)
 
 
-def extract_patches_exact(x, ksize, pads, strides, pad_value):
+def extract_patches_exact(x, ksize, pads, strides, pad_value,
+                          dilations=(1, 1)):
     """im2col patches via pure data movement (slices/reshapes) -- exact
     for integer data, with a configurable pad value (asymmetric
     quantization pads with the zero point, not 0).
 
     x: [B, H, W, C] -> [B, OH, OW, KH*KW*C] (patch layout (KH, KW, C),
     matching the reference's window extraction,
-    numpy_helper.py:18-70)."""
+    numpy_helper.py:18-70). Dilation samples window element (i, j) at
+    spatial offset (i*DH, j*DW)."""
     kh, kw = ksize
     ph0, pw0, ph1, pw1 = (int(p) for p in pads)
     sh, sw = (int(s) for s in strides)
+    dh, dw = (int(d) for d in dilations)
     x = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)),
                 constant_values=pad_value)
     b, h, w_, c = x.shape
-    oh = (h - kh) // sh + 1
-    ow = (w_ - kw) // sw + 1
-    if (sh, sw) == (kh, kw) and h % kh == 0 and w_ % kw == 0:
+    ekh = dh * (kh - 1) + 1  # effective (dilated) kernel extent
+    ekw = dw * (kw - 1) + 1
+    oh = (h - ekh) // sh + 1
+    ow = (w_ - ekw) // sw + 1
+    if (dh, dw) == (1, 1) and (sh, sw) == (kh, kw) \
+            and h % kh == 0 and w_ % kw == 0:
         # non-overlapping windows (ViT patch embed): pure reshape
         p = x.reshape(b, oh, kh, ow, kw, c)
         p = jnp.transpose(p, (0, 1, 3, 2, 4, 5))
@@ -83,8 +94,9 @@ def extract_patches_exact(x, ksize, pads, strides, pad_value):
     slices = []
     for i in range(kh):
         for j in range(kw):
-            slices.append(x[:, i:i + (oh - 1) * sh + 1:sh,
-                            j:j + (ow - 1) * sw + 1:sw, :])
+            i0, j0 = i * dh, j * dw
+            slices.append(x[:, i0:i0 + (oh - 1) * sh + 1:sh,
+                            j0:j0 + (ow - 1) * sw + 1:sw, :])
     p = jnp.stack(slices, axis=3)  # [B, OH, OW, KH*KW, C]
     return p.reshape(b, oh, ow, kh * kw * c)
 

@@ -72,7 +72,7 @@ def _packed_matmul(a: QTensor, b: PackedQTensor) -> FTensor:
 
     if a.zero_point is not None and getattr(a.zero_point, "ndim", 0) > 0:
         return a.matmul(b.unpack()).dequantize()
-    from ..kernels.qmatmul import packed_qmatmul
+    from ..kernels.qmatmul import packed_qmatmul, splitk_qmatmul
 
     data = a.data
     lead = data.shape[:-1]
@@ -82,7 +82,8 @@ def _packed_matmul(a: QTensor, b: PackedQTensor) -> FTensor:
                     .reshape(1, b.n)}
     else:
         scale_kw = {"w_scale": float(np.float32(b.scale))}
-    y2 = packed_qmatmul(
+    kernel_fn = splitk_qmatmul if b.layout == "splitk" else packed_qmatmul
+    y2 = kernel_fn(
         x2, b.planes, b.colsum, None,
         bits=b.bit_width, bit_width=a.bit_width,
         x_scale=float(np.float32(a.scale)),
@@ -100,6 +101,113 @@ def _resolve_reshape_shape(x_shape, shape: np.ndarray, allowzero: int) -> tuple:
             if d == 0:
                 out[i] = int(x_shape[i])
     return tuple(out)
+
+
+def _resize_coords(out_size: int, in_size: int, scale: float, ctm: str):
+    """Source coordinate of each output index per the ONNX Resize
+    coordinate_transformation_mode."""
+    i = np.arange(out_size, dtype=np.float64)
+    if ctm == "half_pixel":
+        return (i + 0.5) / scale - 0.5
+    if ctm == "pytorch_half_pixel":
+        return (i + 0.5) / scale - 0.5 if out_size > 1 else np.zeros(1)
+    if ctm == "asymmetric":
+        return i / scale
+    if ctm == "align_corners":
+        if out_size == 1:
+            return np.zeros(1)
+        return i * (in_size - 1) / (out_size - 1)
+    raise ValueError(f"Resize coordinate_transformation_mode {ctm!r} "
+                     "not supported")
+
+
+def _resize(inputs, attrs):
+    """ONNX Resize (nearest/linear), axis-separable implementation:
+    each resized axis is one static gather (nearest) or a two-gather
+    lerp (linear) -- XLA-friendly static shapes, no dynamic indexing."""
+    x = inputs[0]
+    xd = x.data
+    rank = len(xd.shape)
+
+    def _s(v, default):
+        v = attrs.get(v, default)
+        return v.decode() if isinstance(v, bytes) else v
+
+    mode = _s("mode", "nearest")
+    ctm = _s("coordinate_transformation_mode", "half_pixel")
+    nearest_mode = _s("nearest_mode", "round_prefer_floor")
+    if mode not in ("nearest", "linear"):
+        raise ValueError(f"Resize mode {mode!r} not supported")
+
+    axes = attrs.get("axes")
+    axes = list(range(rank)) if axes is None \
+        else [int(a) % rank for a in axes]
+    # optional roi/scales/sizes: empty-name inputs are dropped at import
+    # (graph.py), so classify by dtype/length -- sizes is int64; scales
+    # is float of len(axes); roi is float of 2*len(axes) and unused
+    # outside tf_crop_and_resize (unsupported). Float constants carry a
+    # trace-time host shadow (model._wrap_constant); Resize output
+    # shapes are static under jit, so runtime-computed scales cannot be
+    # supported.
+    scales = sizes = None
+    for t in inputs[1:]:
+        if isinstance(t, ITensor):
+            arr = np.asarray(t.data)
+            if arr.size:
+                sizes = arr.astype(np.int64).reshape(-1)
+            continue
+        host = getattr(t, "host", None)
+        if host is None:
+            raise ValueError(
+                "Resize scales must be graph constants (static shapes)")
+        if host.size == len(axes):
+            scales = host.astype(np.float64).reshape(-1)
+    if scales is None and sizes is None:
+        raise ValueError("Resize needs scales or sizes")
+
+    in_shape = [int(d) for d in xd.shape]
+    out_shape = list(in_shape)
+    ax_scale = {}
+    for i, a in enumerate(axes):
+        if sizes is not None:
+            out_shape[a] = int(sizes[i])
+            ax_scale[a] = out_shape[a] / in_shape[a]
+        else:
+            out_shape[a] = int(np.floor(in_shape[a] * scales[i]))
+            ax_scale[a] = float(scales[i])
+
+    y = xd
+    for a in range(rank):
+        if out_shape[a] == in_shape[a] and ax_scale.get(a, 1.0) == 1.0:
+            continue
+        coords = _resize_coords(out_shape[a], in_shape[a], ax_scale[a], ctm)
+        if mode == "nearest":
+            if nearest_mode == "floor":
+                idx = np.floor(coords)
+            elif nearest_mode == "ceil":
+                idx = np.ceil(coords)
+            elif nearest_mode == "round_prefer_ceil":
+                idx = np.floor(coords + 0.5)
+            else:  # round_prefer_floor (default)
+                idx = np.ceil(coords - 0.5)
+            idx = np.clip(idx, 0, in_shape[a] - 1).astype(np.int64)
+            y = jnp.take(y, jnp.asarray(idx), axis=a)
+        else:  # linear, separable per axis
+            # clamp the source coordinate BEFORE the floor/lerp (edge
+            # pixels replicate past the border, like torch/ORT)
+            coords = np.clip(coords, 0.0, in_shape[a] - 1)
+            i0 = np.floor(coords).astype(np.int64)
+            i1 = np.clip(i0 + 1, 0, in_shape[a] - 1)
+            w = (coords - i0).astype(np.float32)
+            wshape = [1] * rank
+            wshape[a] = -1
+            wj = jnp.asarray(w.reshape(wshape))
+            y0 = jnp.take(y, jnp.asarray(i0), axis=a)
+            y1 = jnp.take(y, jnp.asarray(i1), axis=a)
+            y = y0 * (1.0 - wj) + y1 * wj
+    if isinstance(x, ITensor) and mode == "nearest":
+        return ITensor(np.asarray(y))
+    return FTensor(y)
 
 
 def onnx_operator_implementation(op: str, inputs: list[Tensor],
@@ -134,17 +242,13 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         x, w = inputs[0], inputs[1]
         b = inputs[2] if len(inputs) > 2 else None
         group = int(attrs.get("group", 1))
-        if group != 1:
-            raise ValueError("grouped Conv not supported")
         pads = tuple(attrs.get("pads", (0, 0, 0, 0)))
         strides = tuple(attrs.get("strides", (1, 1)))
         dils = tuple(attrs.get("dilations", (1, 1)))
-        if tuple(dils) != (1, 1):
-            raise ValueError("dilated Conv not supported")
         if isinstance(x, QTensor):
             from ..tensor import qconv2d
-            return [qconv2d(x, w, b, pads, strides)]
-        return [fconv2d(x, w, b, pads, strides)]
+            return [qconv2d(x, w, b, pads, strides, dils, group)]
+        return [fconv2d(x, w, b, pads, strides, dils, group)]
     elif op == "Div":
         return [inputs[0].div(inputs[1])]
     elif op == "Equal":
@@ -519,6 +623,95 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         axes = tuple(int(a) for a in attrs.get("axes", ())) or None
         keepdims = bool(attrs.get("keepdims", 1))
         return [FTensor(jnp.max(x.data, axis=axes, keepdims=keepdims))]
+    elif op == "ReduceMin":
+        x = inputs[0]
+        axes = tuple(int(a) for a in attrs.get("axes", ())) or None
+        keepdims = bool(attrs.get("keepdims", 1))
+        return [FTensor(jnp.min(x.data, axis=axes, keepdims=keepdims))]
+    elif op in ("Min", "Max"):
+        fn = jnp.minimum if op == "Min" else jnp.maximum
+        y = inputs[0].data
+        for t in inputs[1:]:
+            y = fn(y, t.data)
+        return [ITensor(np.asarray(y)) if isinstance(inputs[0], ITensor)
+                else FTensor(y)]
+    elif op == "Pad":
+        x = inputs[0]
+        mode = attrs.get("mode", "constant")
+        if isinstance(mode, bytes):
+            mode = mode.decode()
+        rank = len(x.data.shape)
+        if len(inputs) > 1:
+            pads = np.asarray(inputs[1].data, np.int64).reshape(-1)
+        else:  # opset <11 carried pads as an attribute
+            pads = np.asarray(attrs["pads"], np.int64).reshape(-1)
+        # optional constant_value / axes: empty-name inputs are dropped
+        # at import (graph.py), so classify the remainder by class and
+        # shape metadata (values may be traced) -- the constant_value
+        # matches x's class and is a scalar; axes is an int64 list
+        cval = 0.0
+        axes = None
+        for t in inputs[2:]:
+            if isinstance(t, ITensor) and not isinstance(x, ITensor):
+                axes = [int(a) % rank for a in np.asarray(t.data).reshape(-1)]
+            elif t.data.size == 1 and axes is None \
+                    and not isinstance(cval, (FTensor, ITensor)):
+                cval = t  # may be traced; jnp.pad takes it as-is
+            else:
+                axes = [int(a) % rank for a in np.asarray(t.data).reshape(-1)]
+        if axes is None:
+            axes = list(range(rank))
+        if isinstance(cval, (FTensor, ITensor)):
+            cval = jnp.reshape(cval.data, ()) \
+                if not isinstance(cval, ITensor) else \
+                np.asarray(cval.data).reshape(())
+        before = {a: int(pads[i]) for i, a in enumerate(axes)}
+        after = {a: int(pads[i + len(axes)]) for i, a in enumerate(axes)}
+        widths = [(max(before.get(a, 0), 0), max(after.get(a, 0), 0))
+                  for a in range(rank)]
+        kw = {"constant_values": cval} if mode == "constant" else {}
+        y = jnp.pad(x.data, widths,
+                    mode={"constant": "constant", "edge": "edge",
+                          "reflect": "reflect", "wrap": "wrap"}[mode], **kw)
+        # negative pads crop (ONNX allows them)
+        if any(before.get(a, 0) < 0 or after.get(a, 0) < 0
+               for a in range(rank)):
+            sl = tuple(slice(-min(before.get(a, 0), 0),
+                             y.shape[a] + min(after.get(a, 0), 0))
+                       for a in range(rank))
+            y = y[sl]
+        return [ITensor(np.asarray(y)) if isinstance(x, ITensor)
+                else FTensor(y)]
+    elif op == "Resize":
+        return [_resize(inputs, attrs)]
+    elif op == "Gelu":
+        # exact mode composes the SAME erf the float path uses
+        # (ops/erf.py A&S polynomial) for bit-compatible numerics
+        x = inputs[0]
+        approximate = attrs.get("approximate", "none")
+        if isinstance(approximate, bytes):
+            approximate = approximate.decode()
+        if approximate == "tanh":
+            xd = x.data
+            inner = np.float32(np.sqrt(2.0 / np.pi)) \
+                * (xd + np.float32(0.044715) * xd * xd * xd)
+            return [FTensor(np.float32(0.5) * xd * (1.0 + jnp.tanh(inner)))]
+        half = FTensor(np.float32(0.5))
+        one = FTensor(np.float32(1.0))
+        u = x * FTensor(np.float32(1.0 / np.sqrt(2.0)))
+        return [x * half * (u.erf() + one)]
+    elif op == "InstanceNormalization":
+        x, scale, bias = inputs[0], inputs[1], inputs[2]
+        eps = float(attrs.get("epsilon", 1e-5))
+        xd = x.data
+        sp = tuple(range(2, len(xd.shape)))  # spatial axes of [B, C, ...]
+        mean = jnp.mean(xd, axis=sp, keepdims=True)
+        d = xd - mean
+        var = jnp.mean(d * d, axis=sp, keepdims=True)
+        bshape = (1, -1) + (1,) * len(sp)
+        y = d / jnp.sqrt(var + np.float32(eps)) \
+            * scale.data.reshape(bshape) + bias.data.reshape(bshape)
+        return [FTensor(y)]
     elif op == "GlobalAveragePool":
         x = inputs[0]  # [B, C, H, W]
         return [FTensor(jnp.mean(x.data, axis=(2, 3), keepdims=True))]

@@ -336,16 +336,23 @@ class QTensor:
 
 
 class PackedQTensor:
-    """Sub-byte packed quantized weight: bit-plane payload in HBM
-    (uint8[b, K/8, N], kernels/pack.py) + precomputed column sums for
-    the zero-point-correction epilogue. Exactly bit_width bits per value
-    in HBM vs the reference's int64 containers (tensor.py:158-166).
+    """Sub-byte packed quantized weight in HBM + precomputed column
+    sums for the zero-point-correction epilogue. Exactly bit_width bits
+    per value in HBM vs the reference's int64 containers
+    (tensor.py:158-166). Two layouts (kernels/pack.py):
+
+      * "splitk" (bits 1/2/4; 8 = plain int8): uint8[K/r, N], bit
+        field j of byte (k, n) holds weight row k + j*K/r. The fused
+        kernel runs r sub-dots on x's contiguous column blocks --
+        3 VPU ops of unpacking per sub-dot, no relayout.
+      * "bitplanes" (any bits, incl. 3/5/6/7): uint8[b, K/8, N].
 
     Only 2-D symmetric weights (MatMul rhs) pack; the fused Pallas
     kernel (kernels/qmatmul.py) unpacks tiles in VMEM on the fly.
     """
 
-    def __init__(self, planes, colsum, k: int, n: int, bit_width: int, scale):
+    def __init__(self, planes, colsum, k: int, n: int, bit_width: int, scale,
+                 layout: str = "bitplanes"):
         self.planes = jnp.asarray(planes)
         self.colsum = jnp.asarray(colsum)
         self.k = int(k)
@@ -353,6 +360,7 @@ class PackedQTensor:
         self.bit_width = int(bit_width)
         self.scale = scale
         self.zero_point = None  # packing requires symmetric weights
+        self.layout = layout
 
     @property
     def shape(self):
@@ -363,9 +371,13 @@ class PackedQTensor:
         return self.planes
 
     def unpack(self) -> QTensor:
-        from .kernels.pack import unpack_bitplanes
+        from .kernels.pack import unpack_bitplanes, unpack_splitk
         from .quantization import container_int_dtype, x64_enabled
-        vals = unpack_bitplanes(self.planes, self.bit_width, self.k)
+        if self.layout == "splitk":
+            vals = self.planes if self.bit_width == 8 else \
+                unpack_splitk(self.planes, self.bit_width, self.k)
+        else:
+            vals = unpack_bitplanes(self.planes, self.bit_width, self.k)
         # int8 physical container in TPU mode (the dot consumes int8
         # anyway; int32 copies would quadruple the transient footprint)
         dtype = jnp.int8 if self.bit_width <= 8 and not x64_enabled() \
@@ -375,18 +387,27 @@ class PackedQTensor:
 
     def __repr__(self):
         return (f"PackedQTensor(shape=({self.k}, {self.n}), "
-                f"bit_width={self.bit_width})")
+                f"bit_width={self.bit_width}, layout={self.layout!r})")
 
 
 def pack_qtensor(qt: QTensor) -> PackedQTensor:
-    """QTensor (2-D, symmetric) -> bit-plane packed weight."""
-    from .kernels.pack import pack_bitplanes
+    """QTensor (2-D, symmetric) -> packed weight. bits 1/2/4/8 use the
+    split-K layout (kernel-friendly); odd widths fall back to
+    bit-planes."""
+    from .kernels.pack import pack_bitplanes, pack_splitk
     assert qt.zero_point is None, "only symmetric weights pack"
     data = np.asarray(qt.data)
     assert data.ndim == 2, "only 2-D weights pack"
     k, n = data.shape
-    planes = pack_bitplanes(data.astype(np.int32), qt.bit_width)
     colsum = data.astype(np.int64).sum(axis=0, keepdims=True).astype(np.int32)
+    if qt.bit_width == 8:
+        return PackedQTensor(data.astype(np.int8), colsum, k, n,
+                             qt.bit_width, qt.scale, layout="splitk")
+    if qt.bit_width in (1, 2, 4):
+        payload = pack_splitk(data.astype(np.int32), qt.bit_width)
+        return PackedQTensor(payload, colsum, k, n, qt.bit_width, qt.scale,
+                             layout="splitk")
+    planes = pack_bitplanes(data.astype(np.int32), qt.bit_width)
     return PackedQTensor(planes, colsum, k, n, qt.bit_width, qt.scale)
 
 
@@ -437,48 +458,87 @@ def where(condition: ITensor, a: Tensor, b: Tensor):
     raise ValueError(f"where of {type(a)} not supported")
 
 
-def fconv2d(x: FTensor, w: FTensor, b: FTensor, pads, strides) -> FTensor:
+def fconv2d(x: FTensor, w: FTensor, b: FTensor, pads, strides,
+            dilations=(1, 1), group=1) -> FTensor:
     """Float conv2d on NCHW input (reference: numpy_quant/tensor.py:256-264
     + numpy_helper.py:73-92), lowered to lax.conv_general_dilated."""
     return FTensor(conv2d_nchw(x.data, w.data, b.data if b is not None else None,
-                               pads, strides))
+                               pads, strides, dilations, group))
 
 
-def qconv2d(x: QTensor, w: QTensor, b: Optional[QTensor], pads, strides) -> QTensor:
+def qconv2d(x: QTensor, w: QTensor, b: Optional[QTensor], pads, strides,
+            dilations=(1, 1), group=1) -> QTensor:
     """Integer conv2d: im2col + q_matmul on the MXU (parity-plus; the
     reference runs quantized-graph Conv in float, SURVEY.md §3.4).
 
     x: NCHW QTensor (asymmetric activations pad with their zero point);
-    w: OIHW QTensor (symmetric weights); b: optional 4x-bit-width bias
-    at scale sx*sw. Returns a 4x-bit-width accumulator QTensor.
+    w: [O, C/group, KH, KW] QTensor (symmetric weights); b: optional
+    4x-bit-width bias at scale sx*sw. Returns a 4x-bit-width accumulator
+    QTensor. Grouped convs run as ONE batched integer matmul over the
+    group axis (channels of a patch split per group); dilation dilates
+    the patch extraction.
     """
     from .ops.conv import extract_patches_exact
     from .quantization import q_matmul as _q_matmul
 
     assert x.bit_width == w.bit_width, f"{x.bit_width} != {w.bit_width}"
     bit_width = x.bit_width
-    o, c, kh, kw = w.data.shape
+    o, cg, kh, kw = w.data.shape
+    g = int(group)
+    c = cg * g
+    assert x.data.shape[1] == c, (x.data.shape, w.data.shape, g)
+    assert o % g == 0, (o, g)
     zp_x = x.zero_point
     pad_value = 0 if zp_x is None else int(zp_x)
 
     xd = jnp.transpose(x.data, (0, 2, 3, 1))  # NHWC
-    patches = extract_patches_exact(xd, (kh, kw), pads, strides, pad_value)
+    patches = extract_patches_exact(xd, (kh, kw), pads, strides, pad_value,
+                                    dilations)
     bsz, oh, ow, kkc = patches.shape
-    w2d = jnp.transpose(w.data, (2, 3, 1, 0)).reshape(kh * kw * c, o)
-
-    acc, scale, zp = _q_matmul(patches.reshape(bsz * oh * ow, kkc),
-                               x.scale, x.zero_point,
-                               w2d, w.scale, w.zero_point,
-                               bit_width=bit_width)
-    acc = acc.reshape(bsz, oh, ow, o)
+    if g == 1:
+        w2d = jnp.transpose(w.data, (2, 3, 1, 0)).reshape(kh * kw * c, o)
+        acc, scale, zp = _q_matmul(patches.reshape(bsz * oh * ow, kkc),
+                                   x.scale, x.zero_point,
+                                   w2d, w.scale, w.zero_point,
+                                   bit_width=bit_width)
+        acc = acc.reshape(bsz, oh, ow, o)
+    else:
+        # patches are (KH, KW, C)-ordered; split C per group and batch
+        # the contraction over the group axis: [G, M, KH*KW*C/G] x
+        # [G, KH*KW*C/G, O/G] in one stacked integer matmul
+        m = bsz * oh * ow
+        pg = patches.reshape(m, kh * kw, g, cg)
+        pg = jnp.transpose(pg, (2, 0, 1, 3)).reshape(g, m, kh * kw * cg)
+        # w [O, C/G, KH, KW] -> [G, KH*KW*C/G, O/G]
+        wg = w.data.reshape(g, o // g, cg, kh, kw)
+        wg = jnp.transpose(wg, (0, 3, 4, 2, 1)).reshape(g, kh * kw * cg,
+                                                        o // g)
+        w_scale = np.asarray(w.scale, np.float32)
+        if w_scale.ndim > 0:  # per-channel scales follow the group split
+            w_scale = w_scale.reshape(g, 1, o // g)
+        acc, scale, zp = _q_matmul(pg, x.scale, x.zero_point,
+                                   wg, w_scale, w.zero_point,
+                                   bit_width=bit_width)
+        # [G, M, O/G] -> [M, O]
+        acc = jnp.transpose(acc, (1, 0, 2)).reshape(bsz, oh, ow, o)
+        if zp is not None:
+            zp = jnp.broadcast_to(zp, (g, m, o // g))
+            zp = jnp.transpose(zp, (1, 0, 2)).reshape(bsz, oh, ow, o)
+        if np.asarray(scale, np.float32).ndim > 0:
+            # (G, 1, O/G) group-major flattening IS the natural O order
+            scale = np.asarray(scale, np.float32).reshape(o)
     acc = jnp.transpose(acc, (0, 3, 1, 2))  # NCHW
     if zp is not None:
-        if zp.shape[-2] == 1:
+        if zp.ndim == 4:  # grouped path already [B, OH, OW, O]
+            zp = jnp.transpose(zp, (0, 3, 1, 2))
+        elif zp.shape[-2] == 1:
             # w-colsum * zp_x correction: [1, O] -> NCHW broadcast shape
             zp = zp.reshape(1, o, 1, 1)
         else:
             zp = jnp.broadcast_to(zp, (bsz * oh * ow, o)).reshape(
                 bsz, oh, ow, o).transpose(0, 3, 1, 2)
+    if np.asarray(scale, np.float32).ndim > 0:
+        scale = np.asarray(scale, np.float32).reshape(1, o, 1, 1)
     out = QTensor(acc, 4 * bit_width, scale, zp)
     if b is not None:
         bias = b.data.reshape(1, o, 1, 1)

@@ -71,14 +71,17 @@ def save_qmodel(qmodel: QModel, path, source_onnx: O.ModelProto) -> None:
             new_inits.append(init)
             continue
         if isinstance(value.data, PackedQTensor):
-            # sub-byte bit-plane payload stored verbatim (uint8[b, K/8, N],
-            # exactly bit_width bits per value on disk too); colsum is
+            # packed payload stored verbatim (exactly bit_width bits per
+            # value on disk too, except native int8); colsum is
             # recomputed at load time
             pq = value.data
-            new_inits.append(O.from_array(np.asarray(pq.planes, np.uint8),
-                                          init.name))
+            payload = np.asarray(pq.planes)
+            payload = payload.astype(np.int8) if payload.dtype == np.int8 \
+                else payload.astype(np.uint8)
+            new_inits.append(O.from_array(payload, init.name))
             tensor_meta[init.name] = {
                 "packed": True,
+                "layout": pq.layout,
                 "bit_width": pq.bit_width,
                 "k": pq.k,
                 "n": pq.n,
@@ -149,14 +152,23 @@ def import_onnx_quantized(model_proto: O.ModelProto, tensor_meta: dict):
         arr = O.to_array(t)
         meta = tensor_meta.get(t.name)
         if meta is not None and meta.get("packed"):
-            from ..kernels.pack import unpack_bitplanes_np
-            planes = arr.astype(np.uint8)
-            vals = unpack_bitplanes_np(planes, meta["bit_width"], meta["k"])
+            from ..kernels.pack import unpack_bitplanes_np, unpack_splitk_np
+            layout = meta.get("layout", "bitplanes")
+            if layout == "splitk":
+                planes = arr.astype(np.int8) if meta["bit_width"] == 8 \
+                    else arr.astype(np.uint8)
+                vals = planes if meta["bit_width"] == 8 else \
+                    unpack_splitk_np(planes, meta["bit_width"], meta["k"])
+            else:
+                planes = arr.astype(np.uint8)
+                vals = unpack_bitplanes_np(planes, meta["bit_width"],
+                                           meta["k"])
             colsum = vals.astype(np.int64).sum(axis=0,
                                                keepdims=True).astype(np.int32)
             data = PackedQTensor(planes, colsum, meta["k"], meta["n"],
                                  meta["bit_width"],
-                                 _scale_from_json(meta["scale"]))
+                                 _scale_from_json(meta["scale"]),
+                                 layout=layout)
         elif meta is not None:
             zp = meta["zero_point"]
             data = QTensor(arr.astype(np.int32), meta["bit_width"],

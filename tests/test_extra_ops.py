@@ -1,0 +1,255 @@
+"""Extended op set: grouped/dilated Conv, Pad, Resize, Gelu,
+InstanceNormalization, Min/Max/ReduceMin.
+
+These ops are beyond the reference's 26-op set (reference:
+numpy_quant/model.py:65-213), so torch/numpy closed forms are the
+oracles (the reference interpreter cannot run these graphs).
+"""
+import numpy as np
+import pytest
+
+from numpy_quant_tpu import onnx as O
+from numpy_quant_tpu.model import Model
+
+RNG = np.random.default_rng(0)
+
+
+def _run(nodes, in_infos, out_infos, inits, inputs):
+    g = O.make_graph(nodes, "g", in_infos, out_infos, initializer=inits)
+    model = Model.from_onnx(O.make_model(g))
+    return model(inputs)
+
+
+# ---------------------------------------------------------------- Conv
+
+
+@pytest.mark.parametrize("group,dils", [(2, (1, 1)), (1, (2, 3)),
+                                        (4, (2, 1)), (8, (1, 1))])
+def test_conv_grouped_dilated_vs_torch(group, dils):
+    torch = pytest.importorskip("torch")
+    b, c, o = 2, 8, 8
+    kh, kw = 3, 2
+    pads, strides = (1, 0, 2, 1), (2, 1)
+    x = RNG.normal(size=(b, c, 11, 9)).astype(np.float32)
+    w = RNG.normal(size=(o, c // group, kh, kw)).astype(np.float32)
+    bias = RNG.normal(size=o).astype(np.float32)
+
+    inp = O.make_tensor_value_info("x", O.TensorProto.FLOAT, list(x.shape))
+    out = O.make_tensor_value_info("y", O.TensorProto.FLOAT, None)
+    node = O.make_node("Conv", ["x", "w", "b"], ["y"], name="c",
+                       pads=list(pads), strides=list(strides),
+                       dilations=list(dils), group=group,
+                       kernel_shape=[kh, kw])
+    actual = _run([node], [inp], [out],
+                  [O.from_array(w, "w"), O.from_array(bias, "b")], [x])[0]
+
+    tx = torch.nn.functional.pad(torch.tensor(x),
+                                 (pads[1], pads[3], pads[0], pads[2]))
+    desired = torch.nn.functional.conv2d(
+        tx, torch.tensor(w), torch.tensor(bias), stride=strides,
+        dilation=dils, groups=group).numpy()
+    np.testing.assert_allclose(actual, desired, atol=1e-4)
+
+
+@pytest.mark.parametrize("group,dils", [(2, (1, 1)), (1, (2, 2)),
+                                        (4, (2, 1))])
+def test_qconv2d_grouped_dilated_integer_exact(group, dils):
+    """Integer grouped/dilated conv accumulators match an exact f64
+    conv oracle on the zero-point-corrected integers."""
+    torch = pytest.importorskip("torch")
+    from numpy_quant_tpu.tensor import QTensor, qconv2d
+
+    b, c, o = 2, 8, 8
+    kh, kw = 3, 3
+    pads, strides = (1, 1, 1, 1), (2, 2)
+    xq = RNG.integers(-128, 128, size=(b, c, 9, 9)).astype(np.int32)
+    wq = RNG.integers(-64, 64, size=(o, c // group, kh, kw)).astype(np.int32)
+    zp_x = 7
+    sx, sw = np.float32(0.02), np.float32(0.005)
+
+    x = QTensor(xq, 8, sx, np.int64(zp_x))
+    w = QTensor(wq, 8, sw, None)
+    out = qconv2d(x, w, None, pads, strides, dils, group)
+
+    # oracle: conv((xq - zp_x), wq) in f64 (exact for these magnitudes)
+    tx = torch.tensor((xq - zp_x).astype(np.float64))
+    tx = torch.nn.functional.pad(tx, (pads[1], pads[3], pads[0], pads[2]))
+    desired = torch.nn.functional.conv2d(
+        tx, torch.tensor(wq.astype(np.float64)), None, stride=strides,
+        dilation=dils, groups=group).numpy()
+
+    acc = np.asarray(out.data, np.int64)
+    zp = out.zero_point
+    corrected = acc - (np.asarray(zp, np.int64) if zp is not None else 0)
+    np.testing.assert_array_equal(corrected, desired.astype(np.int64))
+    assert out.bit_width == 32
+
+
+# ----------------------------------------------------------------- Pad
+
+
+def test_pad_constant_with_value():
+    x = RNG.normal(size=(2, 3)).astype(np.float32)
+    pads = np.array([1, 0, 0, 2], np.int64)  # (b0, b1, e0, e1)
+    inp = O.make_tensor_value_info("x", O.TensorProto.FLOAT, [2, 3])
+    out = O.make_tensor_value_info("y", O.TensorProto.FLOAT, None)
+    node = O.make_node("Pad", ["x", "p", "v"], ["y"], name="p", mode="constant")
+    actual = _run([node], [inp], [out],
+                  [O.from_array(pads, "p"),
+                   O.from_array(np.float32(2.5), "v")], [x])[0]
+    desired = np.pad(x, ((1, 0), (0, 2)), constant_values=2.5)
+    np.testing.assert_array_equal(actual, desired)
+
+
+@pytest.mark.parametrize("mode", ["reflect", "edge", "wrap"])
+def test_pad_modes(mode):
+    x = RNG.normal(size=(3, 4)).astype(np.float32)
+    pads = np.array([1, 2, 1, 1], np.int64)
+    inp = O.make_tensor_value_info("x", O.TensorProto.FLOAT, [3, 4])
+    out = O.make_tensor_value_info("y", O.TensorProto.FLOAT, None)
+    node = O.make_node("Pad", ["x", "p"], ["y"], name="p", mode=mode)
+    actual = _run([node], [inp], [out], [O.from_array(pads, "p")], [x])[0]
+    desired = np.pad(x, ((1, 1), (2, 1)), mode=mode)
+    np.testing.assert_array_equal(actual, desired)
+
+
+def test_pad_negative_crops():
+    x = RNG.normal(size=(4, 5)).astype(np.float32)
+    pads = np.array([-1, 1, 0, -2], np.int64)
+    inp = O.make_tensor_value_info("x", O.TensorProto.FLOAT, [4, 5])
+    out = O.make_tensor_value_info("y", O.TensorProto.FLOAT, None)
+    node = O.make_node("Pad", ["x", "p"], ["y"], name="p", mode="constant")
+    actual = _run([node], [inp], [out], [O.from_array(pads, "p")], [x])[0]
+    desired = np.pad(x, ((0, 0), (1, 0)))[1:, :-2]
+    np.testing.assert_array_equal(actual, desired)
+
+
+def test_pad_axes_subset():
+    x = RNG.normal(size=(2, 3, 4)).astype(np.float32)
+    pads = np.array([1, 2], np.int64)  # axis 2 only: begin 1, end 2
+    axes = np.array([2], np.int64)
+    inp = O.make_tensor_value_info("x", O.TensorProto.FLOAT, [2, 3, 4])
+    out = O.make_tensor_value_info("y", O.TensorProto.FLOAT, None)
+    # constant_value omitted (empty input name dropped at import)
+    node = O.make_node("Pad", ["x", "p", "", "ax"], ["y"], name="p",
+                       mode="constant")
+    actual = _run([node], [inp], [out],
+                  [O.from_array(pads, "p"), O.from_array(axes, "ax")], [x])[0]
+    desired = np.pad(x, ((0, 0), (0, 0), (1, 2)))
+    np.testing.assert_array_equal(actual, desired)
+
+
+# -------------------------------------------------------------- Resize
+
+
+def test_resize_nearest_vs_torch():
+    torch = pytest.importorskip("torch")
+    x = RNG.normal(size=(1, 3, 5, 7)).astype(np.float32)
+    scales = np.array([1.0, 1.0, 2.0, 3.0], np.float32)
+    inp = O.make_tensor_value_info("x", O.TensorProto.FLOAT, list(x.shape))
+    out = O.make_tensor_value_info("y", O.TensorProto.FLOAT, None)
+    # torch interpolate(nearest) == asymmetric + floor
+    node = O.make_node("Resize", ["x", "", "s"], ["y"], name="r",
+                       mode="nearest",
+                       coordinate_transformation_mode="asymmetric",
+                       nearest_mode="floor")
+    actual = _run([node], [inp], [out], [O.from_array(scales, "s")], [x])[0]
+    desired = torch.nn.functional.interpolate(
+        torch.tensor(x), scale_factor=(2.0, 3.0), mode="nearest").numpy()
+    np.testing.assert_array_equal(actual, desired)
+
+
+def test_resize_linear_vs_torch():
+    torch = pytest.importorskip("torch")
+    x = RNG.normal(size=(2, 3, 6, 5)).astype(np.float32)
+    scales = np.array([1.0, 1.0, 2.0, 1.6], np.float32)
+    inp = O.make_tensor_value_info("x", O.TensorProto.FLOAT, list(x.shape))
+    out = O.make_tensor_value_info("y", O.TensorProto.FLOAT, None)
+    # torch interpolate(bilinear, align_corners=False) == pytorch_half_pixel
+    node = O.make_node("Resize", ["x", "", "s"], ["y"], name="r",
+                       mode="linear",
+                       coordinate_transformation_mode="pytorch_half_pixel")
+    actual = _run([node], [inp], [out], [O.from_array(scales, "s")], [x])[0]
+    desired = torch.nn.functional.interpolate(
+        torch.tensor(x), scale_factor=(2.0, 1.6), mode="bilinear",
+        align_corners=False).numpy()
+    np.testing.assert_allclose(actual, desired, atol=1e-6)
+
+
+def test_resize_sizes_align_corners():
+    torch = pytest.importorskip("torch")
+    x = RNG.normal(size=(1, 2, 4, 4)).astype(np.float32)
+    sizes = np.array([1, 2, 7, 9], np.int64)
+    inp = O.make_tensor_value_info("x", O.TensorProto.FLOAT, list(x.shape))
+    out = O.make_tensor_value_info("y", O.TensorProto.FLOAT, None)
+    node = O.make_node("Resize", ["x", "", "", "sz"], ["y"], name="r",
+                       mode="linear",
+                       coordinate_transformation_mode="align_corners")
+    actual = _run([node], [inp], [out], [O.from_array(sizes, "sz")], [x])[0]
+    desired = torch.nn.functional.interpolate(
+        torch.tensor(x), size=(7, 9), mode="bilinear",
+        align_corners=True).numpy()
+    np.testing.assert_allclose(actual, desired, atol=1e-6)
+
+
+# ---------------------------------------------------- Gelu / InstanceNorm
+
+
+@pytest.mark.parametrize("approximate", ["none", "tanh"])
+def test_gelu_vs_torch(approximate):
+    torch = pytest.importorskip("torch")
+    x = RNG.normal(size=(3, 17)).astype(np.float32) * 3
+    inp = O.make_tensor_value_info("x", O.TensorProto.FLOAT, [3, 17])
+    out = O.make_tensor_value_info("y", O.TensorProto.FLOAT, None)
+    node = O.make_node("Gelu", ["x"], ["y"], name="g",
+                       approximate=approximate)
+    actual = _run([node], [inp], [out], [], [x])[0]
+    desired = torch.nn.functional.gelu(
+        torch.tensor(x), approximate="tanh" if approximate == "tanh"
+        else "none").numpy()
+    np.testing.assert_allclose(actual, desired, atol=2e-5)
+
+
+def test_instance_normalization_vs_torch():
+    torch = pytest.importorskip("torch")
+    x = RNG.normal(size=(2, 4, 5, 6)).astype(np.float32)
+    scale = RNG.normal(size=4).astype(np.float32)
+    bias = RNG.normal(size=4).astype(np.float32)
+    inp = O.make_tensor_value_info("x", O.TensorProto.FLOAT, list(x.shape))
+    out = O.make_tensor_value_info("y", O.TensorProto.FLOAT, None)
+    node = O.make_node("InstanceNormalization", ["x", "s", "b"], ["y"],
+                       name="in", epsilon=1e-5)
+    actual = _run([node], [inp], [out],
+                  [O.from_array(scale, "s"), O.from_array(bias, "b")], [x])[0]
+    desired = torch.nn.functional.instance_norm(
+        torch.tensor(x), weight=torch.tensor(scale),
+        bias=torch.tensor(bias), eps=1e-5).numpy()
+    np.testing.assert_allclose(actual, desired, atol=1e-5)
+
+
+# ------------------------------------------------- Min / Max / ReduceMin
+
+
+def test_min_max_nary():
+    a = RNG.normal(size=(2, 3)).astype(np.float32)
+    b = RNG.normal(size=(2, 3)).astype(np.float32)
+    c = RNG.normal(size=(1, 3)).astype(np.float32)  # broadcast
+    infos = [O.make_tensor_value_info(n, O.TensorProto.FLOAT, list(t.shape))
+             for n, t in (("a", a), ("b", b), ("c", c))]
+    outs = [O.make_tensor_value_info("lo", O.TensorProto.FLOAT, None),
+            O.make_tensor_value_info("hi", O.TensorProto.FLOAT, None)]
+    nodes = [O.make_node("Min", ["a", "b", "c"], ["lo"], name="mn"),
+             O.make_node("Max", ["a", "b", "c"], ["hi"], name="mx")]
+    lo, hi = _run(nodes, infos, outs, [], [a, b, c])
+    np.testing.assert_array_equal(lo, np.minimum(np.minimum(a, b), c))
+    np.testing.assert_array_equal(hi, np.maximum(np.maximum(a, b), c))
+
+
+def test_reduce_min():
+    x = RNG.normal(size=(3, 4, 5)).astype(np.float32)
+    inp = O.make_tensor_value_info("x", O.TensorProto.FLOAT, [3, 4, 5])
+    out = O.make_tensor_value_info("y", O.TensorProto.FLOAT, None)
+    node = O.make_node("ReduceMin", ["x"], ["y"], name="rm",
+                       axes=[1], keepdims=0)
+    actual = _run([node], [inp], [out], [], [x])[0]
+    np.testing.assert_allclose(actual, x.min(axis=1), atol=0)

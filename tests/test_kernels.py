@@ -10,9 +10,12 @@ import numpy_quant_tpu.quantization as Q
 from numpy_quant_tpu.kernels import (
     dequantize_pallas,
     pack_bitplanes,
+    pack_splitk,
     packed_qmatmul,
     quantize_pallas,
+    splitk_qmatmul,
     unpack_bitplanes,
+    unpack_splitk,
 )
 
 RNG = np.random.default_rng(0)
@@ -27,6 +30,89 @@ def test_pack_roundtrip(bits):
     assert planes.shape == (bits, 5, 19)  # ceil(37/8) = 5 -> b/8 bytes/value
     out = np.asarray(unpack_bitplanes(jnp.asarray(planes), bits, 37))
     np.testing.assert_array_equal(out, q.astype(np.int8))
+
+
+@pytest.mark.parametrize("bits", [1, 2, 4])
+def test_pack_splitk_roundtrip(bits):
+    from numpy_quant_tpu.kernels.pack import unpack_splitk_np
+    lo, hi = -(2 ** (bits - 1)), 2 ** (bits - 1) - 1
+    q = RNG.integers(lo, hi + 1, size=(37, 19)).astype(np.int32)
+    packed = pack_splitk(q, bits)
+    assert packed.dtype == np.uint8
+    r = 8 // bits
+    assert packed.shape == (-(-37 // r), 19)  # bits/8 bytes per value
+    np.testing.assert_array_equal(unpack_splitk_np(packed, bits, 37),
+                                  q.astype(np.int8))
+    out = np.asarray(unpack_splitk(jnp.asarray(packed), bits, 37))
+    np.testing.assert_array_equal(out, q.astype(np.int8))
+
+
+@pytest.mark.parametrize("bits", [1, 2, 4, 8])
+def test_splitk_qmatmul_matches_reference_chain(bits):
+    """splitk_qmatmul == quantize -> q_matmul -> dequantize (+bias) from
+    the core, including asymmetric-activation zero-point correction and
+    K/N padding to MXU tiles."""
+    M, K, N = 37, 96, 43
+    x = (RNG.random((M, K)).astype(np.float32) - 0.4) * 3
+    w = (RNG.random((K, N)).astype(np.float32) - 0.5) * 2
+
+    def mm(v):
+        return (np.minimum(v.min(), np.float32(0)),
+                np.maximum(v.max(), np.float32(0)))
+
+    sx, zx = Q.quant_parameters(*mm(x), bits, True)
+    sw, zw = Q.quant_parameters(*mm(w), bits, False)
+    qx = np.asarray(Q.quantize(x, bits, sx, zx))
+    qw = np.asarray(Q.quantize(w, bits, sw, zw))
+    acc, s, zp = Q.q_matmul(qx, sx, zx, qw, sw, zw, bit_width=bits)
+    desired = np.asarray(Q.dequantize(
+        np.asarray(acc), s, None if zp is None else np.asarray(zp)))
+    bias = RNG.random((1, N)).astype(np.float32)
+
+    payload = qw.astype(np.int8) if bits == 8 else \
+        pack_splitk(qw.astype(np.int32), bits)
+    colsum = qw.sum(axis=0, keepdims=True).astype(np.int32)
+    y = np.asarray(splitk_qmatmul(
+        jnp.asarray(x), jnp.asarray(payload), jnp.asarray(colsum),
+        jnp.asarray(bias), bits=bits, bit_width=bits,
+        x_scale=float(sx), x_zp=int(zx), w_scale=float(sw),
+        block_m=16, block_n=128, interpret=True))
+    np.testing.assert_allclose(y, desired + bias, atol=5e-5)
+
+
+def test_splitk_qmatmul_fused_requantize_and_per_channel():
+    """int8-output epilogue + per-channel scale rows on the split-K
+    kernel, bit-exact vs the unpacked core chain."""
+    bits = 4
+    M, K, N = 24, 70, 40
+    x = (RNG.random((M, K)).astype(np.float32) - 0.5) * 2
+    qw = RNG.integers(-8, 8, size=(K, N)).astype(np.int32)
+    sw_vec = (0.01 + RNG.random(N).astype(np.float32) * 0.05)
+
+    def mm(v):
+        return (np.minimum(v.min(), np.float32(0)),
+                np.maximum(v.max(), np.float32(0)))
+
+    sx, zx = Q.quant_parameters(*mm(x), bits, True)
+    qx = np.asarray(Q.quantize(x, bits, sx, zx))
+    acc, s, zp = Q.q_matmul(qx, sx, zx, qw, sw_vec.reshape(1, N), None,
+                            bit_width=bits)
+    res_s, res_zp = np.float32(0.07), 3
+    # requantize = rint-then-clip float path (numpy_quantization.py:64-72)
+    desired = np.asarray(Q.requantize(
+        np.asarray(acc), s, None if zp is None else np.asarray(zp),
+        res_s, res_zp, 8))
+
+    payload = pack_splitk(qw, bits)
+    colsum = qw.sum(axis=0, keepdims=True).astype(np.int32)
+    got = np.asarray(splitk_qmatmul(
+        jnp.asarray(x), jnp.asarray(payload), jnp.asarray(colsum), None,
+        w_scale_vec=jnp.asarray(sw_vec), bits=bits, bit_width=bits,
+        x_scale=float(sx), x_zp=int(zx),
+        out_requant=(float(res_s), int(res_zp), 8),
+        block_m=8, block_n=128, interpret=True))
+    np.testing.assert_array_equal(got.astype(np.int64),
+                                  desired.astype(np.int64))
 
 
 @pytest.mark.parametrize("bits", [2, 3, 4, 7, 8])
