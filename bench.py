@@ -65,10 +65,13 @@ def main():
         # bit-identical graph passes: VMEM-resident int8 attention kernel
         # (head split/merge in-kernel) + early-int8 activation layout
         qmodel.optimize()
-    if os.environ.get("NQ_TPU_BENCH_PACKED", "0") == "1":
-        # sub-byte bit-plane weight storage (HBM weights at bit_width/8
-        # bytes per value); costs ~5% throughput in this compute-bound
-        # int8 config (BENCH_HISTORY.md), so the headline runs unpacked
+    if os.environ.get("NQ_TPU_BENCH_PACKED", "1") == "1":
+        # packed weight storage (bit_width/8 bytes per value in HBM,
+        # split-K layout, kernels/pack.py). For int8 the packed payload
+        # IS the native int8 tensor, so the default "unpack" execution
+        # compiles to the identical dot -- packing is free at 8 bits and
+        # sub-byte at 4/2/1 (where the split-K kernel also beats XLA's
+        # int8 dot like-for-like; BENCH_HISTORY.md round 2).
         qmodel.pack_weights()
 
     import jax.numpy as jnp

@@ -150,7 +150,7 @@ def _splitk_pad_byte(bits: int) -> int:
 def splitk_qmatmul(x, packed, colsum, bias=None, w_scale_vec=None, *,
                    bits: int, bit_width: int, x_scale: float,
                    x_zp: int | None, w_scale: float | None = None,
-                   block_m: int = 256, block_n: int = 512,
+                   block_m: int = 512, block_n: int = 1024,
                    interpret: bool = False, quantize_x: bool = True,
                    out_requant: tuple | None = None):
     """y = dequant( quant(x) @ unpack_splitk(packed) ) + bias.

@@ -1135,9 +1135,9 @@ class QModel(Model):
                 "int8_dataflow": planned}
 
     def pack_weights(self) -> int:
-        """Switch 2-D symmetric MatMul weights to packed sub-byte
-        bit-plane storage (kernels/pack.py): exactly bit_width bits per
-        value in HBM, unpacked in VMEM by the fused Pallas matmul kernel.
+        """Switch 2-D symmetric MatMul weights to packed storage
+        (kernels/pack.py; split-K layout for bits 1/2/4/8, bit-planes
+        for odd widths): exactly bit_width bits per value in HBM.
         Returns the number of packed weights."""
         from .tensor import pack_qtensor
 
@@ -1160,4 +1160,10 @@ class QModel(Model):
         self._jit_cache.clear()
         self._sharded_param_cache = None
         self._dp_cache = None
+        if packed and self.mesh is not None:
+            # refresh shardings: packed payloads column-shard over the
+            # model axis where the logical weight did (parallel/sharding)
+            from .parallel.sharding import param_shardings
+            self.parameter_shardings = param_shardings(
+                self, self.mesh, getattr(self, "_shard_rules", None))
         return packed

@@ -42,13 +42,44 @@ def param_shardings(model, mesh: Mesh, rules=None) -> dict:
     """NamedSharding per device parameter of a Model.
 
     ``rules(name, ndim) -> PartitionSpec``; None means fully replicated.
+
+    Packed weight payloads ((planes, colsum) tuples) shard over the
+    OUTPUT-CHANNEL axis when the rule column-shards the logical [K, N]
+    weight: N is the last axis of both packed layouts (split-K
+    uint8[KR, N], bit-planes uint8[b, K/8, N]) and of the [1, N]
+    colsum, so each device stores only its slice of the sub-byte
+    payload. Row-(K-)sharding cannot map onto packed bytes (packed rows
+    interleave split-K segments / bit groups), so those replicate.
     """
+    from ..graph import Constant
+    from ..tensor import PackedQTensor
+
+    packed = {}
+    for v in getattr(model, "values", []):
+        if isinstance(v, Constant) and isinstance(v.data, PackedQTensor):
+            packed[v.name] = v.data
+
     out = {}
     for name, arr in model._device_params().items():
-        if isinstance(arr, tuple):  # packed weight payloads: replicate
-            spec = P()
-        else:
-            spec = rules(name, arr.ndim) if rules is not None else P()
+        if isinstance(arr, tuple):  # (planes, colsum) packed payload
+            pq = packed.get(name)
+            spec = rules(name, 2) if rules is not None else P()
+            parts = tuple(spec)
+            col_sharded = (pq is not None and len(parts) >= 1
+                           and parts[-1] is not None
+                           and all(s is None for s in parts[:-1]))
+            if col_sharded:
+                ax = parts[-1]
+                planes_nd = len(pq.planes.shape)
+                out[name] = (
+                    NamedSharding(mesh, P(*([None] * (planes_nd - 1)), ax)),
+                    NamedSharding(mesh, P(None, ax)),
+                )
+            else:
+                out[name] = (NamedSharding(mesh, P()),
+                             NamedSharding(mesh, P()))
+            continue
+        spec = rules(name, arr.ndim) if rules is not None else P()
         out[name] = NamedSharding(mesh, spec)
     return out
 
@@ -61,4 +92,5 @@ def shard_model(model, mesh: Mesh, data_axis: str | None = "data",
     collectives (psum/all-gather over ICI)."""
     model.mesh = mesh
     model.data_axis = data_axis
+    model._shard_rules = rules
     model.parameter_shardings = param_shardings(model, mesh, rules)

@@ -58,3 +58,66 @@ def test_vit_base_quantized_label_parity():
     qlogits = qmodel([x])[0]
     assert np.mean(np.abs(qlogits - logits)) < 0.2
     assert (qlogits.argmax(1) == logits.argmax(1)).mean() >= 0.75
+
+
+slow_any = pytest.mark.skipif(
+    os.environ.get("NQ_RUN_SLOW") != "1",
+    reason="set NQ_RUN_SLOW=1 to run")
+
+
+@slow_any
+def test_vit_base_quantize_loop_memory():
+    """Repeated quantize + inference at ViT-Base scale must not
+    accumulate memory (reference: test/long_running/test_delete.py --
+    the MLP-scale analogue is tests/test_mlp.py::test_memory_teardown;
+    this one exercises the ~330 MB weight graph so a single leaked
+    parameter copy per iteration is unmissable).
+
+    Runs in a subprocess with TPU-mode numerics (no x64): that is the
+    serving configuration, and the x64 exact mode the suite runs under
+    would make 6 ViT-Base quantize loops take tens of minutes."""
+    import subprocess
+    import sys
+
+    code = """
+import gc, os, sys
+import numpy as np
+sys.path.insert(0, %r)
+import numpy_quant_tpu as nq
+from numpy_quant_tpu.models import vit as V
+from transformers import ViTConfig
+
+def rss_mb():
+    with open('/proc/self/statm') as f:
+        pages = int(f.read().split()[1])
+    return pages * os.sysconf('SC_PAGE_SIZE') / 1e6
+
+cfg = ViTConfig(num_labels=1000)
+m = V.vit_image_classifier(config=cfg, batch_size=None, seed=0)
+nq.onnx.make_dim_param_fixed(m.graph, 'B', 1)
+rng = np.random.default_rng(0)
+x = rng.normal(size=(1, 3, 224, 224)).astype(np.float32) * 0.5
+model = nq.Model.from_onnx(m)
+samples = []
+for i in range(6):
+    qmodel = model.quantize([x], bit_width=8, calibration_mode='eager')
+    out = qmodel([x])[0]
+    assert np.all(np.isfinite(out))
+    del qmodel, out
+    gc.collect()
+    samples.append(rss_mb())
+print('RSS_MB', [round(s) for s in samples])
+# steady state after warm-up: a leaked QModel would add ~330+ MB per
+# loop (quantized params + calibration activations)
+growth = samples[-1] - samples[1]
+assert growth < 300, f'RSS grew {growth:.0f} MB over loop: {samples}'
+print('OK')
+""" % (os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))),)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # axon sitecustomize override
+    result = subprocess.run([sys.executable, "-c", code], env=env,
+                            capture_output=True, text=True, timeout=1200)
+    assert result.returncode == 0 and "OK" in result.stdout, (
+        result.stdout[-2000:], result.stderr[-2000:])

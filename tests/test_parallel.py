@@ -156,3 +156,40 @@ def test_dp_fused_attention_bit_exact():
     q_sharded.fuse_attention()
     par.shard_model(q_sharded, par.make_mesh(8, axes=("data",)))
     np.testing.assert_array_equal(q_sharded([x])[0], expected)
+
+
+@requires_8_devices
+def test_tp_packed_weights_shard_over_model_axis():
+    """Packed sub-byte payloads shard over the model axis where the
+    logical weight is column-sharded (ROADMAP: packed planes no longer
+    replicate across the mesh), and the packed DP x TP forward matches
+    the unpacked one bit-for-bit."""
+    from jax.sharding import PartitionSpec as P
+    from numpy_quant_tpu.tensor import PackedQTensor
+
+    m = V.vit(8, 16, 4, 24, 16, 4)
+    x = RNG.normal(size=(8, 3, 16, 16)).astype(np.float32)
+    model = nq.Model.from_onnx(m)
+    qmodel = model.quantize([x], bit_width=8)
+    mesh = par.make_dp_tp_mesh(8, tp=2)
+    par.shard_model(qmodel, mesh, data_axis="data", rules=par.vit_tp_rules)
+    expected = qmodel([x])[0]
+
+    assert qmodel.pack_weights() >= 3
+    # column-sharded packed payloads carry a model-axis sharding
+    packed_names = [v.name for v in qmodel.values
+                    if isinstance(getattr(v, "data", None), PackedQTensor)]
+    col_sharded = [n for n in packed_names
+                   if tuple(par.vit_tp_rules(n, 2)) == (None, "model")]
+    assert col_sharded, packed_names
+    for name in col_sharded:
+        planes_sh, colsum_sh = qmodel.parameter_shardings[name]
+        assert planes_sh.spec == P(None, "model"), (name, planes_sh.spec)
+        assert colsum_sh.spec == P(None, "model"), (name, colsum_sh.spec)
+    placed = qmodel._placed_params()
+    for name in col_sharded:
+        planes, _ = placed[name]
+        assert planes.sharding.spec == P(None, "model"), name
+
+    actual = qmodel([x])[0]
+    np.testing.assert_array_equal(actual, expected)
