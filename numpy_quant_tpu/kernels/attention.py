@@ -42,6 +42,11 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# batch rows per grid step of the head-split kernel (tuned on v5e at
+# ViT-Base shapes; overridable for experiments)
+_ATTN_G = 4
+
+
 def _largest_divisor(n: int, cap: int) -> int:
     for g in range(min(cap, n), 0, -1):
         if n % g == 0:
@@ -325,7 +330,7 @@ def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
     # (mask/iota builds, op dispatch) over G images; per-head VPU score
     # temps are [G, n_sub, n_lane] f32, so cap G to keep them plus the
     # int8 in/out blocks comfortably VMEM-resident.
-    g = _largest_divisor(b, 4)
+    g = _largest_divisor(b, _ATTN_G)
     out_dtype = jnp.float32 if out_requant is None else jnp.int8
     out = pl.pallas_call(
         kernel,
