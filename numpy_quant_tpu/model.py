@@ -84,13 +84,18 @@ class Model:
     def __del__(self):
         # Break node<->value links so large arrays free without waiting
         # for the cycle collector (reference: numpy_quant/model.py:236-247).
-        for node in getattr(self, "nodes", []):
-            node.inputs = []
-            node.outputs = []
-        for value in getattr(self, "values", []):
-            if isinstance(value, Variable):
-                value.inputs = []
-            value.outputs = []
+        try:
+            for node in getattr(self, "nodes", []):
+                node.inputs = []
+                node.outputs = []
+            for value in getattr(self, "values", []):
+                if isinstance(value, Variable):
+                    value.inputs = []
+                value.outputs = []
+        except Exception:
+            # interpreter shutdown: module globals (Variable) may already
+            # be torn down -- nothing left worth unlinking then
+            pass
 
     @classmethod
     def from_onnx(cls, onnx_model: onnx_lib.ModelProto) -> "Model":

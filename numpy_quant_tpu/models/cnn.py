@@ -65,3 +65,144 @@ def cnn_classifier(batch: int, image_size: int = 32, channels: int = 3,
 
     model._torch_forward = torch_forward
     return model
+
+
+def mobilenet_classifier(batch: int, image_size: int = 32,
+                         channels: int = 3, widths=(16, 32),
+                         n_classes: int = 10, seed: int = 0) -> O.ModelProto:
+    """Depthwise-separable CNN (MobileNet-style): each block is a
+    3x3 DEPTHWISE Conv (group = channels) + 1x1 pointwise Conv, both
+    quantizable. Exercises grouped Conv through the full import ->
+    calibrate -> quantize -> execute path."""
+    rng = np.random.default_rng(seed)
+    g = GraphBuilder("mobilenet_classifier")
+    x = g.input("input", [batch, channels, image_size, image_size])
+
+    c_in = channels
+    h = x
+    for i, c_out in enumerate(widths):
+        wd = g.init(f"dw{i}.weight",
+                    (rng.standard_normal((c_in, 1, 3, 3)) / 3.0)
+                    .astype(np.float32))
+        bd = g.init(f"dw{i}.bias",
+                    (rng.standard_normal(c_in) * 0.1).astype(np.float32))
+        h = g.node("Conv", [h, wd, bd], out=f"/dw{i}_out",
+                   kernel_shape=[3, 3], pads=[1, 1, 1, 1],
+                   strides=[2, 2], group=c_in)
+        h = g.node("Relu", [h], out=f"/dwrelu{i}_out")
+        wp = g.init(f"pw{i}.weight",
+                    (rng.standard_normal((c_out, c_in, 1, 1)) /
+                     np.sqrt(c_in)).astype(np.float32))
+        bp = g.init(f"pw{i}.bias",
+                    (rng.standard_normal(c_out) * 0.1).astype(np.float32))
+        h = g.node("Conv", [h, wp, bp], out=f"/pw{i}_out",
+                   kernel_shape=[1, 1], pads=[0, 0, 0, 0], strides=[1, 1])
+        h = g.node("Relu", [h], out=f"/pwrelu{i}_out")
+        c_in = c_out
+
+    h = g.node("GlobalAveragePool", [h], out="/gap_out")
+    h = g.node("Flatten", [h], out="/flat_out", axis=1)
+    wf = g.init("fc.weight",
+                (rng.standard_normal((n_classes, c_in)) /
+                 np.sqrt(c_in)).astype(np.float32))
+    bf = g.init("fc.bias",
+                (rng.standard_normal(n_classes) * 0.1).astype(np.float32))
+    g.node("Gemm", [h, wf, bf], out="logits", alpha=1.0, beta=1.0, transB=1)
+    g.output("logits", [batch, n_classes])
+    model = g.model()
+
+    def torch_forward(x_np):
+        import torch
+        t = torch.tensor(x_np)
+        inits = {i.name: torch.tensor(O.to_array(i))
+                 for i in model.graph.initializer}
+        groups = channels
+        for i in range(len(widths)):
+            t = torch.nn.functional.conv2d(
+                t, inits[f"dw{i}.weight"], inits[f"dw{i}.bias"],
+                stride=2, padding=1, groups=groups)
+            t = torch.relu(t)
+            t = torch.nn.functional.conv2d(
+                t, inits[f"pw{i}.weight"], inits[f"pw{i}.bias"])
+            t = torch.relu(t)
+            groups = t.shape[1]
+        t = t.mean(dim=(2, 3))
+        t = t @ inits["fc.weight"].T + inits["fc.bias"]
+        return t.numpy()
+
+    model._torch_forward = torch_forward
+    return model
+
+
+def unet_segmenter(batch: int, image_size: int = 32, channels: int = 3,
+                   width: int = 8, n_classes: int = 4,
+                   seed: int = 0) -> O.ModelProto:
+    """Tiny encoder-decoder segmentation net: two strided Conv encoder
+    stages, a nearest-neighbor Resize (2x) decoder stage with a skip
+    Concat, and a 1x1 head producing per-pixel class logits. Exercises
+    Resize through the full quantization path (the Resize scales
+    constant must stay float -- shape-domain constants are excluded from
+    PTQ)."""
+    rng = np.random.default_rng(seed)
+    g = GraphBuilder("unet_segmenter")
+    x = g.input("input", [batch, channels, image_size, image_size])
+
+    def conv(name, h, c_in, c_out, stride, k=3):
+        w = g.init(f"{name}.weight",
+                   (rng.standard_normal((c_out, c_in, k, k)) /
+                    np.sqrt(k * k * c_in)).astype(np.float32))
+        b = g.init(f"{name}.bias",
+                   (rng.standard_normal(c_out) * 0.1).astype(np.float32))
+        pad = (k - 1) // 2
+        return g.node("Conv", [h, w, b], out=f"/{name}_out",
+                      kernel_shape=[k, k], pads=[pad] * 4,
+                      strides=[stride, stride])
+
+    e1 = conv("enc1", x, channels, width, 1)
+    e1 = g.node("Relu", [e1], out="/enc1_relu")
+    e2 = conv("enc2", e1, width, 2 * width, 2)
+    e2 = g.node("Relu", [e2], out="/enc2_relu")
+    mid = conv("mid", e2, 2 * width, 2 * width, 1)
+    mid = g.node("Relu", [mid], out="/mid_relu")
+
+    scales = g.init("up.scales", np.array([1, 1, 2, 2], np.float32))
+    up = g.node("Resize", [mid, "", scales], out="/up_out",
+                mode="nearest", coordinate_transformation_mode="asymmetric",
+                nearest_mode="floor")
+    cat = g.node("Concat", [up, e1], out="/cat_out", axis=1)
+    d1 = conv("dec1", cat, 3 * width, width, 1)
+    d1 = g.node("Relu", [d1], out="/dec1_relu")
+    g.node("Conv", [d1,
+                    g.init("head.weight",
+                           (rng.standard_normal((n_classes, width, 1, 1)) /
+                            np.sqrt(width)).astype(np.float32)),
+                    g.init("head.bias",
+                           (rng.standard_normal(n_classes) * 0.1)
+                           .astype(np.float32))],
+           out="mask_logits", kernel_shape=[1, 1], pads=[0, 0, 0, 0],
+           strides=[1, 1])
+    g.output("mask_logits", [batch, n_classes, image_size, image_size])
+    model = g.model()
+
+    def torch_forward(x_np):
+        import torch
+
+        inits = {i.name: torch.tensor(O.to_array(i))
+                 for i in model.graph.initializer}
+
+        def c(name, t, stride=1, pad=1):
+            return torch.nn.functional.conv2d(
+                t, inits[f"{name}.weight"], inits[f"{name}.bias"],
+                stride=stride, padding=pad)
+
+        t = torch.tensor(x_np)
+        e1t = torch.relu(c("enc1", t))
+        e2t = torch.relu(c("enc2", e1t, stride=2))
+        midt = torch.relu(c("mid", e2t))
+        upt = torch.nn.functional.interpolate(midt, scale_factor=2,
+                                              mode="nearest")
+        d1t = torch.relu(c("dec1", torch.cat([upt, e1t], dim=1)))
+        return c("head", d1t, pad=0).numpy()
+
+    model._torch_forward = torch_forward
+    return model

@@ -253,3 +253,51 @@ def test_reduce_min():
                        axes=[1], keepdims=0)
     actual = _run([node], [inp], [out], [], [x])[0]
     np.testing.assert_allclose(actual, x.min(axis=1), atol=0)
+
+
+# ------------------------------------------- model families (new ops e2e)
+
+
+def test_mobilenet_classifier_float_and_quantized():
+    """Depthwise-separable CNN: float parity vs the torch oracle, then
+    the full PTQ path (grouped convs run integer with
+    quantize_conv=True)."""
+    pytest.importorskip("torch")
+    from numpy_quant_tpu.models.cnn import mobilenet_classifier
+
+    m = mobilenet_classifier(batch=4, image_size=16, widths=(8, 16),
+                             n_classes=5, seed=0)
+    x = RNG.normal(size=(4, 3, 16, 16)).astype(np.float32)
+    model = Model.from_onnx(m)
+    yf = model([x])[0]
+    np.testing.assert_allclose(yf, m._torch_forward(x), atol=1e-4)
+
+    q = model.quantize([x], bit_width=8)
+    yq = q([x])[0]
+    assert np.abs(yq - yf).mean() < 0.1
+    q2 = model.quantize([x], bit_width=8, quantize_conv=True)
+    yq2 = q2([x])[0]
+    assert np.abs(yq2 - yf).mean() < 0.1
+
+
+def test_unet_segmenter_float_and_quantized():
+    """Encoder-decoder segmentation net with an in-graph Resize: float
+    parity vs torch, quantized output within PTQ noise, and the Resize
+    scales constant survives quantization unquantized."""
+    pytest.importorskip("torch")
+    from numpy_quant_tpu.models.cnn import unet_segmenter
+    from numpy_quant_tpu.tensor import FTensor
+
+    m = unet_segmenter(batch=2, image_size=16, width=6, n_classes=3,
+                       seed=0)
+    x = RNG.normal(size=(2, 3, 16, 16)).astype(np.float32)
+    model = Model.from_onnx(m)
+    yf = model([x])[0]
+    assert yf.shape == (2, 3, 16, 16)
+    np.testing.assert_allclose(yf, m._torch_forward(x), atol=1e-4)
+
+    q = model.quantize([x], bit_width=8)
+    scales_const = next(v for v in q.values if v.name == "up.scales")
+    assert isinstance(scales_const.data, FTensor)  # shape-domain: float
+    yq = q([x])[0]
+    assert np.abs(yq - yf).mean() < 0.15

@@ -193,3 +193,27 @@ def test_tp_packed_weights_shard_over_model_axis():
 
     actual = qmodel([x])[0]
     np.testing.assert_array_equal(actual, expected)
+
+
+@requires_8_devices
+def test_w4a8_full_stack_dp_tp():
+    """The full serving stack composed: W4A8 per-channel weights +
+    fused attention + early-int8 layout + packed split-K weights +
+    DP x TP sharding — one configuration, bit-identical to the same
+    stack on a single device."""
+    m = V.vit(8, 16, 4, 24, 16, 4)
+    x = RNG.normal(size=(8, 3, 16, 16)).astype(np.float32)
+    model = nq.Model.from_onnx(m)
+
+    def build():
+        q = model.quantize([x], bit_width=8, weight_bit_width=4,
+                           per_channel_weights=True)
+        q.optimize()
+        assert q.pack_weights() > 0
+        return q
+
+    expected = build()([x])[0]
+    q2 = build()
+    mesh = par.make_dp_tp_mesh(8, tp=2)
+    par.shard_model(q2, mesh, data_axis="data", rules=par.vit_tp_rules)
+    np.testing.assert_array_equal(q2([x])[0], expected)

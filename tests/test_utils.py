@@ -125,3 +125,28 @@ def test_qmodel_save_load_quantize_conv(tmp_path):
     q2 = load_qmodel(path)
     assert "Conv" in q2.quantized_ops
     np.testing.assert_array_equal(q2([x])[0], expected)
+
+
+def test_qmodel_save_load_packed_int8_native(tmp_path):
+    # int8 "packing" is native int8 storage under the split-K layout;
+    # it must round-trip through serialization like sub-byte payloads.
+    from numpy_quant_tpu.models.vit import vit_image_classifier
+    from transformers import ViTConfig
+    rng = np.random.default_rng(4)
+    cfg = ViTConfig(image_size=16, patch_size=4, hidden_size=16,
+                    num_attention_heads=2, intermediate_size=32,
+                    num_hidden_layers=1, num_labels=4)
+    mv = vit_image_classifier(config=cfg, batch_size=2, seed=0)
+    vit_model = nq.Model.from_onnx(mv)
+    xv = rng.normal(size=(2, 3, 16, 16)).astype(np.float32)
+    q8 = vit_model.quantize([xv], bit_width=8)
+    assert q8.pack_weights() > 0
+    expected = q8([xv])[0]
+    path = tmp_path / "vit_q8_packed.onnx"
+    save_qmodel(q8, path, mv)
+    q2 = load_qmodel(path)
+    from numpy_quant_tpu.tensor import PackedQTensor
+    layouts = {v.data.layout for v in q2.values
+               if isinstance(getattr(v, "data", None), PackedQTensor)}
+    assert layouts == {"splitk"}
+    np.testing.assert_array_equal(q2([xv])[0], expected)
