@@ -1,5 +1,6 @@
 from .parity import compare_all_values, record_all_values
-from .profiling import device_trace, profile_results_plot
+from .profiling import (device_trace, profile_results_plot,
+                        summarize_device_trace)
 from .serialization import (
     load_calibration_stats,
     load_qmodel,

@@ -40,3 +40,55 @@ def device_trace(fn, *args, trace_dir: str = "/tmp/nq_tpu_trace"):
         out = fn(*args)
         jax.block_until_ready(out)
     return out
+
+
+def summarize_device_trace(trace_dir: str, top: int = 20,
+                           group_stems: bool = True) -> list[tuple]:
+    """Aggregate device-side kernel times from a ``device_trace`` /
+    ``jax.profiler.trace`` capture.
+
+    Parses the chrome-trace JSON the profiler writes
+    (``<trace_dir>/plugins/profile/*/\\*.trace.json.gz``), keeps only
+    complete events on device (TPU/accelerator) tracks, and returns
+    ``[(kernel_name, total_seconds, count), ...]`` sorted by total time.
+    ``group_stems=True`` merges XLA's numbered instances
+    (``fusion.123`` -> ``fusion``). Executable wrappers (``jit_*``,
+    ``while``) are excluded so times attribute to real kernels.
+
+    This is the profile-reading half of the reference's per-op timing
+    story (reference: model.py:311-313 accumulates wall-clock per op
+    type) for the jitted execution mode, where only the XLA device
+    trace knows where time went.
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+    import re
+
+    files = sorted(glob.glob(
+        f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
+    if not files:
+        raise FileNotFoundError(f"no trace.json.gz under {trace_dir}")
+    with gzip.open(files[-1]) as fh:
+        trace = json.load(fh)
+    events = trace.get("traceEvents", [])
+    pid_name = {e["pid"]: e["args"].get("name", "") for e in events
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "args" in e}
+    device_pids = {p for p, n in pid_name.items()
+                   if "TPU" in n or "/device" in n or "Core" in n}
+    agg = collections.Counter()
+    cnt = collections.Counter()
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids \
+                or "dur" not in e:
+            continue
+        name = e["name"]
+        if name.startswith("jit_") or name.startswith("while"):
+            continue
+        if group_stems:
+            name = re.sub(r"\.\d+$", "", name)
+        agg[name] += e["dur"]
+        cnt[name] += 1
+    return [(k, v / 1e6, cnt[k]) for k, v in agg.most_common(top)]

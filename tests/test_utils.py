@@ -150,3 +150,36 @@ def test_qmodel_save_load_packed_int8_native(tmp_path):
                if isinstance(getattr(v, "data", None), PackedQTensor)}
     assert layouts == {"splitk"}
     np.testing.assert_array_equal(q2([xv])[0], expected)
+
+
+def test_summarize_device_trace(tmp_path):
+    """summarize_device_trace parses a chrome-trace capture, keeps only
+    device-track kernels, groups numbered instances, and excludes
+    executable wrappers."""
+    import gzip
+    import json
+
+    from numpy_quant_tpu.utils import summarize_device_trace
+
+    d = tmp_path / "plugins" / "profile" / "2026_01_01"
+    d.mkdir(parents=True)
+    events = [
+        {"ph": "M", "name": "process_name", "pid": 1,
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "name": "process_name", "pid": 2,
+         "args": {"name": "host threads"}},
+        {"ph": "X", "pid": 1, "name": "fusion.1", "ts": 0, "dur": 100},
+        {"ph": "X", "pid": 1, "name": "fusion.2", "ts": 200, "dur": 300},
+        {"ph": "X", "pid": 1, "name": "jit_fn", "ts": 0, "dur": 1000},
+        {"ph": "X", "pid": 1, "name": "while.3", "ts": 0, "dur": 900},
+        {"ph": "X", "pid": 1, "name": "custom-call.7", "ts": 50, "dur": 50},
+        {"ph": "X", "pid": 2, "name": "fusion.9", "ts": 0, "dur": 777},
+    ]
+    with gzip.open(d / "vm.trace.json.gz", "wt") as fh:
+        json.dump({"traceEvents": events}, fh)
+
+    rows = summarize_device_trace(str(tmp_path))
+    assert rows[0] == ("fusion", 400 / 1e6, 2)  # host pid-2 excluded
+    names = [r[0] for r in rows]
+    assert "jit_fn" not in names and "while" not in names
+    assert ("custom-call", 50 / 1e6, 1) in rows
