@@ -206,3 +206,58 @@ def unet_segmenter(batch: int, image_size: int = 32, channels: int = 3,
 
     model._torch_forward = torch_forward
     return model
+
+
+def lstm_classifier(seq: int, batch: int, input_size: int = 8,
+                    hidden: int = 16, n_classes: int = 4,
+                    seed: int = 0) -> O.ModelProto:
+    """Sequence classifier: LSTM (lax.scan recurrence) -> last hidden
+    state -> Gemm head. The LSTM runs float (like every non-matmul op
+    in the reference's quantized executor); the head quantizes."""
+    rng = np.random.default_rng(seed)
+    g = GraphBuilder("lstm_classifier")
+    x = g.input("input", [seq, batch, input_size])
+
+    def u(shape):
+        bound = 1.0 / np.sqrt(hidden)
+        return rng.uniform(-bound, bound, size=shape).astype(np.float32)
+
+    w = g.init("lstm.W", u((1, 4 * hidden, input_size)))
+    r = g.init("lstm.R", u((1, 4 * hidden, hidden)))
+    b = g.init("lstm.B", u((1, 8 * hidden)))
+    y = g.node("LSTM", [x, w, r, b], out="/lstm", n_outputs=3,
+               hidden_size=hidden)
+    yh = y[1]  # [1, batch, hidden] final hidden state
+    flat = g.node("Squeeze", [yh, g.init("axes0", np.array([0], np.int64))],
+                  out="/yh_flat")
+    wf = g.init("fc.weight", u((n_classes, hidden)))
+    bf = g.init("fc.bias", u((n_classes,)))
+    g.node("Gemm", [flat, wf, bf], out="logits", alpha=1.0, beta=1.0,
+           transB=1)
+    g.output("logits", [batch, n_classes])
+    model = g.model()
+
+    def torch_forward(x_np):
+        import torch
+        inits = {i.name: O.to_array(i) for i in model.graph.initializer}
+        h = inits["lstm.W"].shape[1] // 4
+        lstm = torch.nn.LSTM(x_np.shape[2], h)
+        # ONNX iofc -> torch ifgo row order
+        perm = np.concatenate([np.arange(0, h),          # i
+                               np.arange(2 * h, 3 * h),  # f (onnx row 2)
+                               np.arange(3 * h, 4 * h),  # g <- onnx c
+                               np.arange(h, 2 * h)])     # o (onnx row 1)
+        with torch.no_grad():
+            lstm.weight_ih_l0.copy_(torch.tensor(inits["lstm.W"][0][perm]))
+            lstm.weight_hh_l0.copy_(torch.tensor(inits["lstm.R"][0][perm]))
+            lstm.bias_ih_l0.copy_(
+                torch.tensor(inits["lstm.B"][0, :4 * h][perm]))
+            lstm.bias_hh_l0.copy_(
+                torch.tensor(inits["lstm.B"][0, 4 * h:][perm]))
+            _, (hT, _) = lstm(torch.tensor(x_np))
+            logits = hT[0] @ torch.tensor(inits["fc.weight"]).T \
+                + torch.tensor(inits["fc.bias"])
+        return logits.numpy()
+
+    model._torch_forward = torch_forward
+    return model

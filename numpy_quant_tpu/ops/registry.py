@@ -210,6 +210,112 @@ def _resize(inputs, attrs):
     return FTensor(y)
 
 
+def _recurrent(op: str, inputs: list[Tensor], attrs: dict) -> list[Tensor]:
+    """ONNX LSTM / GRU via lax.scan (compiler-friendly recurrence: one
+    compiled loop body, weights resident, no Python unrolling).
+
+    Supported subset: layout=0 (seq-major), default activations
+    (sigmoid/tanh), forward / reverse / bidirectional, optional bias and
+    initial states, GRU linear_before_reset both ways. sequence_lens
+    must be absent or uniform (static shapes under jit).
+    """
+    import jax
+
+    from .. import config
+
+    hidden = int(attrs["hidden_size"])
+    direction = attrs.get("direction", "forward")
+    if isinstance(direction, bytes):
+        direction = direction.decode()
+    if int(attrs.get("layout", 0)) != 0:
+        raise ValueError(f"{op} layout=1 not supported")
+    n_gates = 4 if op == "LSTM" else 3
+    lbr = int(attrs.get("linear_before_reset", 0))
+
+    x, w, r = inputs[0], inputs[1], inputs[2]
+    xd = x.data  # [seq, batch, input]
+    seq, batch, _ = xd.shape
+    # optional inputs arrive in order with empty names dropped at import
+    # (graph.py): classify by class/rank -- B is 2-D float,
+    # sequence_lens is int, initial_h then initial_c are 3-D float
+    b = seq_lens = None
+    states = []
+    for t in inputs[3:]:
+        if isinstance(t, ITensor):
+            seq_lens = np.asarray(t.data)
+        elif len(t.data.shape) == 2:
+            b = t.data
+        else:
+            states.append(t.data)
+    if seq_lens is not None and not np.all(seq_lens == seq):
+        raise ValueError(f"{op} per-sample sequence_lens not supported "
+                         "(static shapes)")
+
+    num_dir = w.data.shape[0]
+    dirs = []
+    for d in range(num_dir):
+        wd = w.data[d]          # [n_gates*H, input]
+        rd = r.data[d]          # [n_gates*H, H]
+        if b is not None:
+            wb = b[d, :n_gates * hidden]
+            rb = b[d, n_gates * hidden:]
+        else:
+            wb = rb = jnp.zeros((n_gates * hidden,), xd.dtype)
+        h0 = states[0][d] if states else jnp.zeros((batch, hidden), xd.dtype)
+        c0 = states[1][d] if len(states) > 1 else \
+            jnp.zeros((batch, hidden), xd.dtype)
+        reverse = (direction == "reverse") or (d == 1)
+        xs = xd[::-1] if reverse else xd
+        # hoist the input projections out of the scan: one big matmul
+        xproj = jnp.einsum("sbi,gi->sbg", xs, wd,
+                           precision=config.float_matmul_precision) + wb
+
+        if op == "LSTM":
+            def step(carry, xp, rd=rd, rb=rb):
+                h, c = carry
+                gates = xp + h @ rd.T + rb
+                i, o, f, g = (gates[:, k * hidden:(k + 1) * hidden]
+                              for k in range(4))  # ONNX iofc order
+                i = jax.nn.sigmoid(i)
+                o = jax.nn.sigmoid(o)
+                f = jax.nn.sigmoid(f)
+                c_new = f * c + i * jnp.tanh(g)
+                h_new = o * jnp.tanh(c_new)
+                return (h_new, c_new), h_new
+
+            (hT, cT), ys = jax.lax.scan(step, (h0, c0), xproj)
+        else:  # GRU, ONNX zrh order
+            def step(h, xp, rd=rd, rb=rb):
+                z_x, r_x, h_x = (xp[:, k * hidden:(k + 1) * hidden]
+                                 for k in range(3))
+                rproj = h @ rd.T + rb
+                z_r, r_r, h_r = (rproj[:, k * hidden:(k + 1) * hidden]
+                                 for k in range(3))
+                z = jax.nn.sigmoid(z_x + z_r)
+                rt = jax.nn.sigmoid(r_x + r_r)
+                if lbr:
+                    ht = jnp.tanh(h_x + rt * h_r)
+                else:
+                    rh = rd[2 * hidden:3 * hidden]
+                    rbh = rb[2 * hidden:3 * hidden]
+                    ht = jnp.tanh(h_x + (rt * h) @ rh.T + rbh)
+                h_new = (1 - z) * ht + z * h
+                return h_new, h_new
+
+            hT, ys = jax.lax.scan(step, h0, xproj)
+            cT = None
+        if reverse:
+            ys = ys[::-1]
+        dirs.append((ys, hT, cT))
+
+    y = jnp.stack([d[0] for d in dirs], axis=1)    # [seq, nd, batch, H]
+    y_h = jnp.stack([d[1] for d in dirs], axis=0)  # [nd, batch, H]
+    outs = [FTensor(y), FTensor(y_h)]
+    if op == "LSTM":
+        outs.append(FTensor(jnp.stack([d[2] for d in dirs], axis=0)))
+    return outs
+
+
 def onnx_operator_implementation(op: str, inputs: list[Tensor],
                                  attrs: dict[str, object]) -> list[Tensor]:
     if op == "Add":
@@ -684,6 +790,8 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
                 else FTensor(y)]
     elif op == "Resize":
         return [_resize(inputs, attrs)]
+    elif op in ("LSTM", "GRU"):
+        return _recurrent(op, inputs, attrs)
     elif op == "Gelu":
         # exact mode composes the SAME erf the float path uses
         # (ops/erf.py A&S polynomial) for bit-compatible numerics

@@ -301,3 +301,115 @@ def test_unet_segmenter_float_and_quantized():
     assert isinstance(scales_const.data, FTensor)  # shape-domain: float
     yq = q([x])[0]
     assert np.abs(yq - yf).mean() < 0.15
+
+
+# -------------------------------------------------------- LSTM / GRU
+
+
+def _onnx_lstm_weights(torch_lstm, layer=0, suffix=""):
+    """torch LSTM (ifgo gate order) -> ONNX W/R/B slabs (iofc order)."""
+    import torch
+    h = torch_lstm.hidden_size
+    perm = np.concatenate([np.arange(0, h),          # i
+                           np.arange(3 * h, 4 * h),  # o <- torch o
+                           np.arange(h, 2 * h),      # f
+                           np.arange(2 * h, 3 * h)]) # c <- torch g
+    wi = getattr(torch_lstm, f"weight_ih_l{layer}{suffix}").detach().numpy()
+    wh = getattr(torch_lstm, f"weight_hh_l{layer}{suffix}").detach().numpy()
+    bi = getattr(torch_lstm, f"bias_ih_l{layer}{suffix}").detach().numpy()
+    bh = getattr(torch_lstm, f"bias_hh_l{layer}{suffix}").detach().numpy()
+    return wi[perm], wh[perm], np.concatenate([bi[perm], bh[perm]])
+
+
+@pytest.mark.parametrize("direction", ["forward", "reverse",
+                                       "bidirectional"])
+def test_lstm_vs_torch(direction):
+    torch = pytest.importorskip("torch")
+    seq, batch, inp_sz, h = 7, 3, 5, 4
+    torch.manual_seed(0)
+    bidir = direction == "bidirectional"
+    lstm = torch.nn.LSTM(inp_sz, h, bidirectional=bidir)
+    x = RNG.normal(size=(seq, batch, inp_sz)).astype(np.float32)
+
+    slabs = [_onnx_lstm_weights(lstm)]
+    if bidir:
+        slabs.append(_onnx_lstm_weights(lstm, suffix="_reverse"))
+    if direction == "reverse":
+        # torch has no pure-reverse mode: flip the input as the oracle
+        tx = torch.tensor(x[::-1].copy())
+    else:
+        tx = torch.tensor(x)
+    out_t, (h_t, c_t) = lstm(tx)
+    desired = out_t.detach().numpy().reshape(seq, batch, len(slabs), h) \
+        .transpose(0, 2, 1, 3)
+    if direction == "reverse":
+        desired = desired[::-1]
+
+    W = np.stack([s[0] for s in slabs])
+    R = np.stack([s[1] for s in slabs])
+    B = np.stack([s[2] for s in slabs])
+    inp = O.make_tensor_value_info("x", O.TensorProto.FLOAT,
+                                   [seq, batch, inp_sz])
+    outs = [O.make_tensor_value_info("y", O.TensorProto.FLOAT, None),
+            O.make_tensor_value_info("yh", O.TensorProto.FLOAT, None),
+            O.make_tensor_value_info("yc", O.TensorProto.FLOAT, None)]
+    node = O.make_node("LSTM", ["x", "w", "r", "b"], ["y", "yh", "yc"],
+                       name="l", hidden_size=h, direction=direction)
+    y, yh, yc = _run([node], [inp], outs,
+                     [O.from_array(W.astype(np.float32), "w"),
+                      O.from_array(R.astype(np.float32), "r"),
+                      O.from_array(B.astype(np.float32), "b")], [x])
+    np.testing.assert_allclose(y, desired, atol=2e-6)
+    np.testing.assert_allclose(yh, h_t.detach().numpy(), atol=2e-6)
+    np.testing.assert_allclose(yc, c_t.detach().numpy(), atol=2e-6)
+
+
+def test_gru_vs_torch():
+    torch = pytest.importorskip("torch")
+    seq, batch, inp_sz, h = 6, 2, 4, 5
+    torch.manual_seed(1)
+    gru = torch.nn.GRU(inp_sz, h)
+    x = RNG.normal(size=(seq, batch, inp_sz)).astype(np.float32)
+    h0 = RNG.normal(size=(1, batch, h)).astype(np.float32)
+    out_t, h_t = gru(torch.tensor(x), torch.tensor(h0))
+
+    # torch rzn -> ONNX zrh
+    perm = np.concatenate([np.arange(h, 2 * h),      # z <- torch z
+                           np.arange(0, h),          # r <- torch r
+                           np.arange(2 * h, 3 * h)]) # h <- torch n
+    wi = gru.weight_ih_l0.detach().numpy()[perm]
+    wh = gru.weight_hh_l0.detach().numpy()[perm]
+    bi = gru.bias_ih_l0.detach().numpy()[perm]
+    bh = gru.bias_hh_l0.detach().numpy()[perm]
+    inp = O.make_tensor_value_info("x", O.TensorProto.FLOAT,
+                                   [seq, batch, inp_sz])
+    outs = [O.make_tensor_value_info("y", O.TensorProto.FLOAT, None),
+            O.make_tensor_value_info("yh", O.TensorProto.FLOAT, None)]
+    # initial_h with the bias present and sequence_lens omitted
+    node = O.make_node("GRU", ["x", "w", "r", "b", "", "h0"], ["y", "yh"],
+                       name="g", hidden_size=h,
+                       linear_before_reset=1)  # torch semantics
+    y, yh = _run([node], [inp], outs,
+                 [O.from_array(wi[None], "w"), O.from_array(wh[None], "r"),
+                  O.from_array(np.concatenate([bi, bh])[None], "b"),
+                  O.from_array(h0, "h0")], [x])
+    np.testing.assert_allclose(y[:, 0], out_t.detach().numpy(), atol=2e-6)
+    np.testing.assert_allclose(yh, h_t.detach().numpy(), atol=2e-6)
+
+
+def test_lstm_classifier_float_and_quantized():
+    """LSTM zoo config: float parity vs torch, quantized head within
+    PTQ noise (the recurrence itself runs float, like every non-matmul
+    op in the reference's quantized executor)."""
+    pytest.importorskip("torch")
+    from numpy_quant_tpu.models.cnn import lstm_classifier
+
+    m = lstm_classifier(seq=9, batch=5, input_size=6, hidden=8,
+                        n_classes=3, seed=0)
+    x = RNG.normal(size=(9, 5, 6)).astype(np.float32)
+    model = Model.from_onnx(m)
+    yf = model([x])[0]
+    np.testing.assert_allclose(yf, m._torch_forward(x), atol=1e-5)
+    q = model.quantize([x], bit_width=8)
+    yq = q([x])[0]
+    assert np.abs(yq - yf).mean() < 0.05

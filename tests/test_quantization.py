@@ -230,3 +230,42 @@ def test_gemm_beta_zero_quantized_path():
     out = qmodel([X])[0]
     denom = f.max() - f.min()
     assert np.mean(np.abs(out - f)) / denom < 0.05
+
+
+def test_percentile_calibration_clips_outliers():
+    """percentile= calibration (parity-plus: the reference knows only
+    min/max) clips activation ranges to the requested quantiles while
+    weights keep exact min/max; at low bit widths the outlier-robust
+    scale cuts quantization error on the bulk of the data."""
+    import numpy_quant_tpu as nq
+    from numpy_quant_tpu import onnx as O
+    from numpy_quant_tpu.graph import Constant
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(16, 16)).astype(np.float32) * 0.1
+    x = rng.normal(size=(256, 16)).astype(np.float32)
+    x[0, 0] = 80.0  # one huge activation outlier
+    inp = O.make_tensor_value_info("x", O.TensorProto.FLOAT, [256, 16])
+    out = O.make_tensor_value_info("y", O.TensorProto.FLOAT, None)
+    node = O.make_node("MatMul", ["x", "w"], ["y"], name="mm")
+    g = O.make_graph([node], "g", [inp], [out],
+                     initializer=[O.from_array(w, "w")])
+    model = nq.Model.from_onnx(O.make_model(g))
+
+    stats_mm = model.calibration_stats([x])
+    stats_p = model.calibration_stats([x], percentile=99.5)
+    # activation range shrinks to the quantile; the weight Constant's
+    # range is untouched
+    assert stats_p["x"][1] < 5.0 < stats_mm["x"][1]
+    np.testing.assert_allclose(stats_p["w"], stats_mm["w"], rtol=1e-6)
+    lo, hi = np.quantile(x, [0.005, 0.995])
+    np.testing.assert_allclose(stats_p["x"], (lo, hi), atol=1e-2)
+
+    f = model([x])[0]
+    q_minmax = model.quantize([x], bit_width=4)
+    q_pct = model.quantize([x], bit_width=4, percentile=99.5)
+    mask = np.ones(256, bool)
+    mask[0] = False  # error on the bulk, not the outlier row
+    err_mm = np.abs(q_minmax([x])[0] - f)[mask].mean()
+    err_p = np.abs(q_pct([x])[0] - f)[mask].mean()
+    assert err_p < err_mm * 0.5, (err_p, err_mm)
