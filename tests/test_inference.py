@@ -195,3 +195,23 @@ def test_record_mode_populates_values():
     by_name = {v.name: v for v in model.values}
     assert by_name["output"].data is not None
     np.testing.assert_array_equal(np.asarray(by_name["input"].data.data), x)
+
+
+def test_map_batches_matches_per_call():
+    """map_batches (one scanned device program over a steps axis)
+    returns exactly what per-batch __call__ returns, float and
+    quantized."""
+    import numpy_quant_tpu as nq
+
+    mlp = nq.onnx.load("numpy_quant_tpu/models/mlp.onnx")
+    model = Model.from_onnx(mlp)
+    xs = RNG.normal(size=(5, 16, 2)).astype(np.float32)
+    got = model.map_batches([xs])[0]
+    assert got.shape[0] == 5
+    for s in range(5):
+        np.testing.assert_allclose(got[s], model([xs[s]])[0], atol=1e-6)
+
+    q = model.quantize([xs.reshape(-1, 2)], bit_width=8)
+    qgot = q.map_batches([xs])[0]
+    for s in range(5):
+        np.testing.assert_array_equal(qgot[s], q([xs[s]])[0])
