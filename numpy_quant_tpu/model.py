@@ -384,12 +384,11 @@ class Model:
         per-call dispatch overhead of ``__call__`` is paid once for the
         whole dataset instead of per batch.
         """
-        arrays = [np.asarray(a) if _np_dtype(a) == np.int64 else a
-                  for a in inputs]
-        if any(_np_dtype(a) == np.int64 for a in arrays):
+        if any(_np_dtype(a) == np.int64 for a in inputs):
             raise ValueError("map_batches supports float inputs only "
                              "(int64 inputs are shape-domain, static "
                              "under jit)")
+        arrays = list(inputs)
         key = ("map_batches",
                tuple((tuple(a.shape), str(a.dtype)) for a in arrays),
                bool(jax.config.jax_enable_x64))
@@ -1107,6 +1106,12 @@ class QModel(Model):
             self._jit_cache.clear()
             self._dp_cache = None
             self._sharded_param_cache = None
+            if self.mesh is not None:
+                # the merged '<node>/merged_w' params need sharding
+                # entries like pack_weights' payloads do
+                from .parallel.sharding import param_shardings
+                self.parameter_shardings = param_shardings(
+                    self, self.mesh, getattr(self, "_shard_rules", None))
         return merged
 
     def int8_dataflow(self) -> int:

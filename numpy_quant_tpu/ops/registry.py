@@ -138,6 +138,14 @@ def _resize(inputs, attrs):
     nearest_mode = _s("nearest_mode", "round_prefer_floor")
     if mode not in ("nearest", "linear"):
         raise ValueError(f"Resize mode {mode!r} not supported")
+    if int(attrs.get("antialias", 0)):
+        raise ValueError("Resize antialias not supported")
+    if int(attrs.get("exclude_outside", 0)):
+        raise ValueError("Resize exclude_outside not supported")
+    karp = _s("keep_aspect_ratio_policy", "stretch")
+    if karp != "stretch":
+        raise ValueError(f"Resize keep_aspect_ratio_policy {karp!r} "
+                         "not supported")
 
     axes = attrs.get("axes")
     axes = list(range(rank)) if axes is None \
@@ -236,20 +244,30 @@ def _recurrent(op: str, inputs: list[Tensor], attrs: dict) -> list[Tensor]:
     xd = x.data  # [seq, batch, input]
     seq, batch, _ = xd.shape
     # optional inputs arrive in order with empty names dropped at import
-    # (graph.py): classify by class/rank -- B is 2-D float,
-    # sequence_lens is int, initial_h then initial_c are 3-D float
+    # (graph.py): classify by class/rank/width -- B is 2-D float of
+    # 2*n_gates*H columns, sequence_lens is int, initial_h then
+    # initial_c are 3-D float; an LSTM peephole P ([nd, 3H] 2-D float)
+    # is detected by width and rejected explicitly
     b = seq_lens = None
     states = []
     for t in inputs[3:]:
         if isinstance(t, ITensor):
             seq_lens = np.asarray(t.data)
         elif len(t.data.shape) == 2:
+            if t.data.shape[1] != 2 * n_gates * hidden:
+                raise ValueError(f"{op} peephole weights not supported")
             b = t.data
         else:
             states.append(t.data)
     if seq_lens is not None and not np.all(seq_lens == seq):
         raise ValueError(f"{op} per-sample sequence_lens not supported "
                          "(static shapes)")
+    if op == "LSTM" and len(states) == 1:
+        # empty-name optional inputs lose their position at import, so
+        # a lone 3-D state is ambiguous between initial_h and initial_c
+        raise ValueError("LSTM needs BOTH initial_h and initial_c or "
+                         "neither (a lone initial state is positionally "
+                         "ambiguous once empty inputs are dropped)")
 
     num_dir = w.data.shape[0]
     dirs = []
@@ -724,16 +742,16 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
             axes = tuple(int(a) for a in attrs.get("axes", ())) or None
         keepdims = bool(attrs.get("keepdims", 1))
         return [FTensor(jnp.sum(x.data, axis=axes, keepdims=keepdims))]
-    elif op == "ReduceMax":
+    elif op in ("ReduceMax", "ReduceMin"):
         x = inputs[0]
-        axes = tuple(int(a) for a in attrs.get("axes", ())) or None
+        # axes moved from attr to input at opset 18
+        if len(inputs) > 1 and inputs[1] is not None:
+            axes = tuple(int(a) for a in inputs[1].data) or None
+        else:
+            axes = tuple(int(a) for a in attrs.get("axes", ())) or None
         keepdims = bool(attrs.get("keepdims", 1))
-        return [FTensor(jnp.max(x.data, axis=axes, keepdims=keepdims))]
-    elif op == "ReduceMin":
-        x = inputs[0]
-        axes = tuple(int(a) for a in attrs.get("axes", ())) or None
-        keepdims = bool(attrs.get("keepdims", 1))
-        return [FTensor(jnp.min(x.data, axis=axes, keepdims=keepdims))]
+        fn = jnp.max if op == "ReduceMax" else jnp.min
+        return [FTensor(fn(x.data, axis=axes, keepdims=keepdims))]
     elif op in ("Min", "Max"):
         fn = jnp.minimum if op == "Min" else jnp.maximum
         y = inputs[0].data
@@ -754,11 +772,18 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         # optional constant_value / axes: empty-name inputs are dropped
         # at import (graph.py), so classify the remainder by class and
         # shape metadata (values may be traced) -- the constant_value
-        # matches x's class and is a scalar; axes is an int64 list
+        # matches x's class and is a scalar; axes is an int64 list.
+        # When x itself is int64 both optionals are ITensors: pads has
+        # 2*len(axes) entries, so the axes width is pads.size//2 (and
+        # pads covering every dim means no axes input at all).
         cval = 0.0
         axes = None
+        n_axes = pads.size // 2
         for t in inputs[2:]:
-            if isinstance(t, ITensor) and not isinstance(x, ITensor):
+            is_axes = (isinstance(t, ITensor) and not isinstance(x, ITensor))
+            if isinstance(x, ITensor):
+                is_axes = n_axes < rank and t.data.size == n_axes
+            if is_axes:
                 axes = [int(a) % rank for a in np.asarray(t.data).reshape(-1)]
             elif t.data.size == 1 and axes is None \
                     and not isinstance(cval, (FTensor, ITensor)):
@@ -776,9 +801,16 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         widths = [(max(before.get(a, 0), 0), max(after.get(a, 0), 0))
                   for a in range(rank)]
         kw = {"constant_values": cval} if mode == "constant" else {}
-        y = jnp.pad(x.data, widths,
-                    mode={"constant": "constant", "edge": "edge",
-                          "reflect": "reflect", "wrap": "wrap"}[mode], **kw)
+        mode_name = {"constant": "constant", "edge": "edge",
+                     "reflect": "reflect", "wrap": "wrap"}[mode]
+        if isinstance(x, ITensor):
+            # host (shape) domain stays numpy -- jnp would trace it
+            if mode == "constant":
+                kw = {"constant_values": int(np.asarray(cval).reshape(-1)[0])
+                      if not isinstance(cval, float) else int(cval)}
+            y = np.pad(x.data, widths, mode=mode_name, **kw)
+        else:
+            y = jnp.pad(x.data, widths, mode=mode_name, **kw)
         # negative pads crop (ONNX allows them)
         if any(before.get(a, 0) < 0 or after.get(a, 0) < 0
                for a in range(rank)):

@@ -65,9 +65,11 @@ def param_shardings(model, mesh: Mesh, rules=None) -> dict:
             pq = packed.get(name)
             spec = rules(name, 2) if rules is not None else P()
             parts = tuple(spec)
-            col_sharded = (pq is not None and len(parts) >= 1
-                           and parts[-1] is not None
-                           and all(s is None for s in parts[:-1]))
+            # PartitionSpec entries bind to LEADING axes: a full-rank
+            # (None, axis) spec is column-sharding; a short P(axis)
+            # binds axis 0 (row-sharding) and must replicate
+            col_sharded = (pq is not None and len(parts) == 2
+                           and parts[0] is None and parts[1] is not None)
             if col_sharded:
                 ax = parts[-1]
                 planes_nd = len(pq.planes.shape)

@@ -413,3 +413,68 @@ def test_lstm_classifier_float_and_quantized():
     q = model.quantize([x], bit_width=8)
     yq = q([x])[0]
     assert np.abs(yq - yf).mean() < 0.05
+
+
+# ------------------------------------------- review regression fixes
+
+
+def test_pad_int_data_with_axes():
+    """Pad on int64 data with an axes input (both optionals are int
+    tensors -- classified by the pads width)."""
+    x = np.arange(12, dtype=np.int64).reshape(3, 4)
+    pads = np.array([1, 1], np.int64)  # one axis: begin 1, end 1
+    axes = np.array([1], np.int64)
+    inp = O.make_tensor_value_info("x", O.TensorProto.INT64, [3, 4])
+    out = O.make_tensor_value_info("y", O.TensorProto.INT64, None)
+    node = O.make_node("Pad", ["x", "p", "", "ax"], ["y"], name="p",
+                       mode="constant")
+    actual = _run([node], [inp], [out],
+                  [O.from_array(pads, "p"), O.from_array(axes, "ax")], [x])[0]
+    np.testing.assert_array_equal(actual, np.pad(x, ((0, 0), (1, 1))))
+
+
+def test_reduce_min_max_axes_input():
+    """opset-18 form: axes arrive as a second INPUT, not an attr."""
+    x = RNG.normal(size=(3, 4, 5)).astype(np.float32)
+    inp = O.make_tensor_value_info("x", O.TensorProto.FLOAT, [3, 4, 5])
+    outs = [O.make_tensor_value_info("lo", O.TensorProto.FLOAT, None),
+            O.make_tensor_value_info("hi", O.TensorProto.FLOAT, None)]
+    nodes = [O.make_node("ReduceMin", ["x", "ax"], ["lo"], name="rmn",
+                         keepdims=0),
+             O.make_node("ReduceMax", ["x", "ax"], ["hi"], name="rmx",
+                         keepdims=0)]
+    lo, hi = _run(nodes, [inp], outs,
+                  [O.from_array(np.array([2], np.int64), "ax")], [x])
+    np.testing.assert_allclose(lo, x.min(axis=2), atol=0)
+    np.testing.assert_allclose(hi, x.max(axis=2), atol=0)
+
+
+def test_resize_antialias_rejected():
+    x = RNG.normal(size=(1, 1, 4, 4)).astype(np.float32)
+    inp = O.make_tensor_value_info("x", O.TensorProto.FLOAT, list(x.shape))
+    out = O.make_tensor_value_info("y", O.TensorProto.FLOAT, None)
+    node = O.make_node("Resize", ["x", "", "s"], ["y"], name="r",
+                       mode="linear", antialias=1,
+                       coordinate_transformation_mode="half_pixel")
+    with pytest.raises(ValueError, match="antialias"):
+        _run([node], [inp], [out],
+             [O.from_array(np.array([1, 1, 0.5, 0.5], np.float32), "s")], [x])
+
+
+def test_lstm_lone_initial_state_rejected():
+    seq, batch, inp_sz, h = 3, 2, 4, 4
+    x = RNG.normal(size=(seq, batch, inp_sz)).astype(np.float32)
+    W = RNG.normal(size=(1, 4 * h, inp_sz)).astype(np.float32)
+    R = RNG.normal(size=(1, 4 * h, h)).astype(np.float32)
+    c0 = RNG.normal(size=(1, batch, h)).astype(np.float32)
+    inp = O.make_tensor_value_info("x", O.TensorProto.FLOAT,
+                                   [seq, batch, inp_sz])
+    out = O.make_tensor_value_info("y", O.TensorProto.FLOAT, None)
+    # initial_c given, initial_h empty -- positionally ambiguous after
+    # the importer drops empty names, so it must fail loudly
+    node = O.make_node("LSTM", ["x", "w", "r", "", "", "", "c0"], ["y"],
+                       name="l", hidden_size=h)
+    with pytest.raises(ValueError, match="initial_h and initial_c"):
+        _run([node], [inp], [out],
+             [O.from_array(W, "w"), O.from_array(R, "r"),
+              O.from_array(c0, "c0")], [x])

@@ -217,3 +217,19 @@ def test_w4a8_full_stack_dp_tp():
     mesh = par.make_dp_tp_mesh(8, tp=2)
     par.shard_model(q2, mesh, data_axis="data", rules=par.vit_tp_rules)
     np.testing.assert_array_equal(q2([x])[0], expected)
+
+
+@requires_8_devices
+def test_merge_parallel_matmuls_under_mesh():
+    """merge_parallel_matmuls on a sharded QModel refreshes
+    parameter_shardings for the new merged params (regression: the next
+    forward used to die with KeyError '<node>/merged_w')."""
+    m = V.vit(8, 16, 4, 24, 16, 4)
+    x = RNG.normal(size=(8, 3, 16, 16)).astype(np.float32)
+    model = nq.Model.from_onnx(m)
+    qmodel = model.quantize([x], bit_width=8)
+    expected = qmodel([x])[0]
+    mesh = par.make_dp_tp_mesh(8, tp=2)
+    par.shard_model(qmodel, mesh, data_axis="data", rules=par.vit_tp_rules)
+    assert qmodel.merge_parallel_matmuls() > 0
+    np.testing.assert_array_equal(qmodel([x])[0], expected)
