@@ -77,6 +77,13 @@ def wrap_array(arr: np.ndarray) -> Tensor:
         return FTensor(arr)
     if arr.dtype in (np.int64, np.int32, np.bool_):
         return ITensor(arr.astype(np.int64))
+    if arr.dtype in (np.int8, np.uint8, np.int16, np.uint16):
+        # narrow int payloads (QDQ-format quantized weights / zero
+        # points): values widen to the int64 host domain, the original
+        # dtype is kept for QuantizeLinear/DequantizeLinear range rules
+        t = ITensor(arr.astype(np.int64))
+        t.orig_dtype = arr.dtype
+        return t
     raise ValueError(f"Array dtype {arr.dtype} not supported")
 
 

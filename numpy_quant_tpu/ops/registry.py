@@ -824,6 +824,48 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         return [_resize(inputs, attrs)]
     elif op in ("LSTM", "GRU"):
         return _recurrent(op, inputs, attrs)
+    elif op in ("QuantizeLinear", "DequantizeLinear"):
+        # Standard ONNX QDQ interop: quantized models produced by OTHER
+        # tools (ORT quantizer, torch exporters) execute directly.
+        # ONNX semantics, NOT the reference's: QuantizeLinear saturates
+        # round(x/scale) + zp to the STORAGE dtype's range (uint8 by
+        # default -- the original narrow dtype survives import via
+        # ITensor.orig_dtype, graph.py::wrap_array).
+        x, scale = inputs[0], inputs[1]
+        zp = inputs[2] if len(inputs) > 2 else None
+        axis = int(attrs.get("axis", 1))
+        sdata = scale.data
+        rank = len(x.data.shape)
+        if getattr(sdata, "ndim", 0) > 0 and sdata.size > 1:
+            bshape = [1] * rank
+            bshape[axis % rank] = -1
+            sdata = sdata.reshape(bshape)
+        zdata = None
+        if zp is not None:
+            zdata = np.asarray(zp.data)
+            if zdata.size > 1:
+                zdata = zdata.reshape(np.shape(sdata))
+        if op == "QuantizeLinear":
+            dtype = np.dtype(np.uint8) if zp is None \
+                else getattr(zp, "orig_dtype", np.dtype(np.uint8))
+            info = np.iinfo(dtype)
+            q = jnp.rint(jnp.asarray(x.data, jnp.float32) / sdata)
+            if zdata is not None:
+                q = q + zdata
+            q = jnp.clip(q, info.min, info.max)
+            out = QTensor(q.astype(jnp.int32), 8, scale.data,
+                          None if zdata is None else zdata)
+            out.orig_dtype = dtype
+            return [out]
+        # DequantizeLinear: int payload (narrow initializer or a
+        # QuantizeLinear output) -> float, using THIS node's scale/zp
+        xd = x.data
+        if isinstance(x, ITensor):
+            xd = jnp.asarray(xd)
+        y = jnp.asarray(xd, jnp.float32)
+        if zdata is not None:
+            y = y - zdata
+        return [FTensor(y * jnp.asarray(sdata, jnp.float32))]
     elif op == "Gelu":
         # exact mode composes the SAME erf the float path uses
         # (ops/erf.py A&S polynomial) for bit-compatible numerics

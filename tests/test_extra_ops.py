@@ -478,3 +478,56 @@ def test_lstm_lone_initial_state_rejected():
         _run([node], [inp], [out],
              [O.from_array(W, "w"), O.from_array(R, "r"),
               O.from_array(c0, "c0")], [x])
+
+
+# ---------------------------------------------------- QDQ interop
+
+
+def test_qdq_format_model_executes():
+    """Standard ONNX QDQ quantized models (QuantizeLinear /
+    DequantizeLinear, int8 weight initializers, per-axis weight scales)
+    execute directly -- interop with models quantized by OTHER tools."""
+    rng = np.random.default_rng(0)
+    M, K, Nc = 6, 8, 5
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    wq = rng.integers(-127, 128, size=(K, Nc)).astype(np.int8)
+    w_scale = (0.01 + rng.random(Nc) * 0.05).astype(np.float32)
+    x_scale, x_zp = np.float32(0.05), np.uint8(120)
+
+    nodes = [
+        O.make_node("QuantizeLinear", ["x", "xs", "xzp"], ["xq"], name="q"),
+        O.make_node("DequantizeLinear", ["xq", "xs", "xzp"], ["xdq"],
+                    name="dq"),
+        O.make_node("DequantizeLinear", ["w", "ws"], ["wdq"], name="dqw",
+                    axis=1),
+        O.make_node("MatMul", ["xdq", "wdq"], ["y"], name="mm"),
+    ]
+    inits = [O.from_array(np.array(x_scale, np.float32), "xs"),
+             O.from_array(np.array(x_zp, np.uint8), "xzp"),
+             O.from_array(wq, "w"),
+             O.from_array(w_scale, "ws")]
+    inp = O.make_tensor_value_info("x", O.TensorProto.FLOAT, [M, K])
+    out = O.make_tensor_value_info("y", O.TensorProto.FLOAT, None)
+    actual = _run(nodes, [inp], [out], inits, [x])[0]
+
+    # ONNX semantics oracle: saturate(round(x/s) + zp) to uint8
+    xq = np.clip(np.rint(x / x_scale) + int(x_zp), 0, 255)
+    xdq = (xq - np.float32(x_zp)) * x_scale
+    wdq = wq.astype(np.float32) * w_scale.reshape(1, Nc)
+    desired = xdq.astype(np.float32) @ wdq
+    np.testing.assert_allclose(actual, desired, atol=1e-5)
+
+
+def test_qdq_int8_zero_point_range():
+    """int8 zero point selects the signed saturation range."""
+    x = np.array([[-10.0, 0.0, 10.0]], np.float32)
+    nodes = [O.make_node("QuantizeLinear", ["x", "s", "zp"], ["q"], name="q"),
+             O.make_node("DequantizeLinear", ["q", "s", "zp"], ["y"],
+                         name="dq")]
+    inits = [O.from_array(np.array(0.1, np.float32), "s"),
+             O.from_array(np.array(0, np.int8), "zp")]
+    inp = O.make_tensor_value_info("x", O.TensorProto.FLOAT, [1, 3])
+    out = O.make_tensor_value_info("y", O.TensorProto.FLOAT, None)
+    actual = _run(nodes, [inp], [out], inits, [x])[0]
+    # -10/0.1 = -100 (fits int8; would clip to 0 under uint8 rules)
+    np.testing.assert_allclose(actual, [[-10.0, 0.0, 10.0]], atol=1e-6)
