@@ -2,9 +2,11 @@ from .parity import compare_all_values, record_all_values
 from .profiling import (device_trace, profile_results_plot,
                         summarize_device_trace)
 from .serialization import (
+    export_qdq,
     load_calibration_stats,
     load_qmodel,
     save_calibration_stats,
     save_qmodel,
+    save_qmodel_qdq,
 )
 from .summary import summarize

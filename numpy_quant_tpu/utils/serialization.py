@@ -213,3 +213,156 @@ def import_onnx_quantized(model_proto: O.ModelProto, tensor_meta: dict):
 
     outputs = [value_dict[vi.name] for vi in graph.output]
     return list(nodes.values()), list(value_dict.values()), inputs, outputs
+
+
+def export_qdq(qmodel: QModel, source_onnx: O.ModelProto) -> O.ModelProto:
+    """Export a QModel as a STANDARD QDQ-format ONNX model
+    (QuantizeLinear/DequantizeLinear) that any ONNX runtime can serve.
+
+    Structure mirrors the executor's semantics (reference:
+    numpy_quant/model.py:486-565): matmul weights become int8
+    initializers + DequantizeLinear (per-tensor or per-axis scales),
+    4x-bit-width biases become int32 initializers + DequantizeLinear at
+    the s_x*s_w scale, graph inputs and MatMul/Gemm activations get
+    QuantizeLinear->DequantizeLinear pairs with the calibrated
+    parameters, and Gemm outputs requantize through a Q/DQ pair
+    (producer-side renamed, so the model interface keeps its names).
+    Fake-quant in f32 equals the integer computation up to accumulator
+    rounding.
+
+    Requires bit_width <= 8 (int8 QDQ zero points; 16-bit QDQ needs
+    opset 21).
+    """
+    from ..kernels.pack import unpack_bitplanes_np, unpack_splitk_np
+    from ..tensor import PackedQTensor
+
+    assert qmodel.bit_width <= 8, "QDQ export needs bit_width <= 8"
+    model = O.load_from_string(source_onnx.SerializeToString())  # deep copy
+    g = model.graph
+    qconst = {v.name: v for v in qmodel.values if isinstance(v, Constant)}
+    qp = qmodel.quant_params
+
+    # ---- weights/biases -> int initializers + DequantizeLinear
+    new_inits = []
+    weight_dq_nodes = []
+    for init in g.initializer:
+        v = qconst.get(init.name)
+        data = getattr(v, "data", None)
+        if isinstance(data, PackedQTensor):
+            if data.layout == "splitk":
+                vals = np.asarray(data.planes, np.int8) \
+                    if data.bit_width == 8 else \
+                    unpack_splitk_np(np.asarray(data.planes),
+                                     data.bit_width, data.k)
+            else:
+                vals = unpack_bitplanes_np(np.asarray(data.planes),
+                                           data.bit_width, data.k)
+            data = QTensor(vals, data.bit_width, data.scale, None)
+        if not isinstance(data, QTensor) or data.zero_point is not None:
+            new_inits.append(init)  # float/shape-domain constants as-is
+            continue
+        arr = np.asarray(data.data)
+        scale = np.asarray(data.scale, np.float32).reshape(-1)
+        # b<=8 payloads store int8; 4x-bit-width biases store int32
+        store = arr.astype(np.int8) if data.bit_width <= 8 \
+            else arr.astype(np.int32)
+        qname = init.name + "/q"
+        sname = init.name + "/q_scale"
+        new_inits.append(O.from_array(store, qname))
+        kw = {}
+        if scale.size > 1:  # per-channel: locate the channel axis
+            axis = next(i for i, d in enumerate(arr.shape)
+                        if d == scale.size)
+            new_inits.append(O.from_array(scale.astype(np.float32), sname))
+            kw["axis"] = axis
+        else:
+            new_inits.append(O.from_array(np.float32(scale[0]), sname))
+        weight_dq_nodes.append(O.make_node(
+            "DequantizeLinear", [qname, sname], [init.name],
+            name=f"DQ_{init.name}", **kw))
+    init_names = {i.name for i in new_inits} | \
+        {n.output[0] for n in weight_dq_nodes}
+
+    # ---- activation Q/DQ pairs
+    extra_inits = []
+    new_nodes = list(weight_dq_nodes)
+    rename: dict[str, str] = {}   # applied to every later consumer
+    wrapped: dict[str, str] = {}
+
+    def _qdq_param_inits(name: str, p) -> list:
+        sname = f"{name}/qdq_scale"
+        extra_inits.append(O.from_array(np.float32(p.scale), sname))
+        names = [sname]
+        if p.zero_point is not None:
+            zname = f"{name}/qdq_zp"
+            extra_inits.append(O.from_array(np.int8(int(p.zero_point)),
+                                            zname))
+            names.append(zname)
+        return names
+
+    def _wrappable(p) -> bool:
+        # only activation-bit-width params export as int8 Q/DQ pairs;
+        # 4x-bit-width accumulator entries (wide zero points) do not
+        if p is None or np.asarray(p.scale).size > 1:
+            return False
+        zp = p.zero_point
+        return zp is None or -128 <= int(zp) <= 127
+
+    def ensure_qdq(name: str) -> str:
+        """Consumer-side wrap: Q/DQ after the existing value."""
+        if name in wrapped:
+            return wrapped[name]
+        p = qp.get(name)
+        if not _wrappable(p):
+            return name
+        pnames = _qdq_param_inits(name, p)
+        qout, dqout = f"{name}/qdq_q", f"{name}/qdq"
+        new_nodes.append(O.make_node("QuantizeLinear", [name] + pnames,
+                                     [qout], name=f"Q_{name}"))
+        new_nodes.append(O.make_node("DequantizeLinear", [qout] + pnames,
+                                     [dqout], name=f"DQ_{name}"))
+        wrapped[name] = dqout
+        return dqout
+
+    def wrap_producer(node) -> None:
+        """Producer-side wrap: the node emits '<out>/raw', the DQ
+        re-emits the ORIGINAL name -- downstream needs no renames."""
+        out = node.output[0]
+        p = qp.get(out)
+        if not _wrappable(p):
+            return
+        raw = out + "/raw"
+        node.output[0] = raw
+        pnames = _qdq_param_inits(out, p)
+        new_nodes.append(O.make_node("QuantizeLinear", [raw] + pnames,
+                                     [out + "/q"], name=f"Q_{out}"))
+        new_nodes.append(O.make_node("DequantizeLinear",
+                                     [out + "/q"] + pnames, [out],
+                                     name=f"DQ_{out}"))
+
+    # graph inputs quantize on entry (reference: model.py:488-495) --
+    # EVERY consumer sees the fake-quant value
+    for vi in g.input:
+        if vi.name not in init_names:
+            rename[vi.name] = ensure_qdq(vi.name)
+
+    for node in g.node:
+        node.input = [rename.get(i, i) for i in node.input]
+        if node.op_type in ("MatMul", "Gemm"):
+            # activations quantize on the fly per matmul ("TinyqQuant",
+            # model.py:503-527); other consumers of the same value keep
+            # the float original, hence no global rename here
+            node.input = [i if i in init_names else ensure_qdq(i)
+                          for i in node.input]
+        new_nodes.append(node)
+        if node.op_type == "Gemm" and node.output[0] in qp:
+            wrap_producer(node)  # requantize (model.py:544-548)
+
+    model.graph.node = new_nodes
+    model.graph.initializer = new_inits + extra_inits
+    return model
+
+
+def save_qmodel_qdq(qmodel: QModel, path, source_onnx: O.ModelProto) -> None:
+    """export_qdq + save: one standard ONNX file other runtimes serve."""
+    O.save(export_qdq(qmodel, source_onnx), path)

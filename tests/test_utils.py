@@ -183,3 +183,43 @@ def test_summarize_device_trace(tmp_path):
     names = [r[0] for r in rows]
     assert "jit_fn" not in names and "while" not in names
     assert ("custom-call", 50 / 1e6, 1) in rows
+
+
+def test_export_qdq_roundtrip(tmp_path):
+    """export_qdq emits a standard QDQ ONNX model that our own importer
+    (QuantizeLinear/DequantizeLinear ops) runs; fake-quant f32 matches
+    the integer QModel within accumulator rounding, on the MLP (Gemm,
+    requantized outputs) and a small ViT (MatMul weights)."""
+    from numpy_quant_tpu.utils import save_qmodel_qdq
+
+    rng = np.random.default_rng(0)
+
+    mlp = nq.onnx.load("numpy_quant_tpu/models/mlp.onnx")
+    model = nq.Model.from_onnx(mlp)
+    X = rng.normal(size=(64, 2)).astype(np.float32)
+    q = model.quantize([X], bit_width=8)
+    path = tmp_path / "mlp_qdq.onnx"
+    save_qmodel_qdq(q, path, mlp)
+    qdq = nq.Model.from_onnx(nq.onnx.load(path))
+    ops = {n.op for n in qdq.nodes}
+    assert "QuantizeLinear" in ops and "DequantizeLinear" in ops
+    np.testing.assert_allclose(qdq([X])[0], q([X])[0], atol=1e-4)
+
+    from numpy_quant_tpu.models.vit import vit_image_classifier
+    from transformers import ViTConfig
+    cfg = ViTConfig(image_size=16, patch_size=4, hidden_size=16,
+                    num_attention_heads=2, intermediate_size=32,
+                    num_hidden_layers=1, num_labels=4)
+    mv = vit_image_classifier(config=cfg, batch_size=2, seed=0)
+    vmodel = nq.Model.from_onnx(mv)
+    xv = rng.normal(size=(2, 3, 16, 16)).astype(np.float32)
+    qv = vmodel.quantize([xv], bit_width=8)
+    vpath = tmp_path / "vit_qdq.onnx"
+    save_qmodel_qdq(qv, vpath, mv)
+    qdqv = nq.Model.from_onnx(nq.onnx.load(vpath))
+    # fake-quant f32 accumulates with different rounding than the exact
+    # integer path; a few-ulp difference can flip an occasional rint by
+    # one quantization step, so the ViT comparison is statistical
+    a, b = qv([xv])[0], qdqv([xv])[0]
+    assert np.abs(a - b).mean() < 0.02, np.abs(a - b).mean()
+    assert np.array_equal(a.argmax(1), b.argmax(1))
