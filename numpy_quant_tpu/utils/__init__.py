@@ -4,6 +4,7 @@ from .profiling import (device_trace, profile_results_plot,
 from .serialization import (
     export_qdq,
     load_calibration_stats,
+    merge_calibration_stats,
     load_qmodel,
     save_calibration_stats,
     save_qmodel,

@@ -366,3 +366,20 @@ def export_qdq(qmodel: QModel, source_onnx: O.ModelProto) -> O.ModelProto:
 def save_qmodel_qdq(qmodel: QModel, path, source_onnx: O.ModelProto) -> None:
     """export_qdq + save: one standard ONNX file other runtimes serve."""
     O.save(export_qdq(qmodel, source_onnx), path)
+
+
+def merge_calibration_stats(*stats_dicts: dict) -> dict:
+    """Merge {value name: (min, max)} dicts from several calibration
+    batches into one running global min/max (the reductions are
+    associative, so batch-at-a-time calibration equals one big batch --
+    same semantics as the reference's global reduction,
+    numpy_quant/model.py:332-336)."""
+    merged: dict = {}
+    for stats in stats_dicts:
+        for name, (mn, mx) in stats.items():
+            if name in merged:
+                omn, omx = merged[name]
+                merged[name] = (np.minimum(omn, mn), np.maximum(omx, mx))
+            else:
+                merged[name] = (np.float32(mn), np.float32(mx))
+    return merged

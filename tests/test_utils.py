@@ -223,3 +223,24 @@ def test_export_qdq_roundtrip(tmp_path):
     a, b = qv([xv])[0], qdqv([xv])[0]
     assert np.abs(a - b).mean() < 0.02, np.abs(a - b).mean()
     assert np.array_equal(a.argmax(1), b.argmax(1))
+
+
+def test_merge_calibration_stats_equals_one_batch():
+    """Batch-at-a-time calibration merged with merge_calibration_stats
+    equals one-big-batch calibration (global min/max is associative)."""
+    from numpy_quant_tpu.utils import merge_calibration_stats
+
+    mlp = nq.onnx.load("numpy_quant_tpu/models/mlp.onnx")
+    model = nq.Model.from_onnx(mlp)
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(128, 2)).astype(np.float32)
+    full = model.calibration_stats([X])
+    merged = merge_calibration_stats(model.calibration_stats([X[:64]]),
+                                     model.calibration_stats([X[64:]]))
+    assert set(full) == set(merged)
+    for name in full:
+        np.testing.assert_allclose(merged[name], full[name], rtol=1e-6,
+                                   err_msg=name)
+    # quantizing from the merged stats works end-to-end
+    q = model.quantize(bit_width=8, stats=merged)
+    assert np.all(np.isfinite(q([X])[0]))
