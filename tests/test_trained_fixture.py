@@ -51,3 +51,14 @@ def test_trained_int4_per_channel_agreement():
     q4 = model.quantize([calib], bit_width=4, per_channel_weights=True)
     labels = np.argmax(q4([x])[0], -1)
     assert (labels == flabels).mean() >= 0.9
+
+
+def test_trained_int4_percentile_calibration_improves():
+    """Percentile-clipped calibration (parity-plus) lifts small-calib
+    int4 label agreement on the trained fixture (0.92 -> 0.98 measured,
+    BENCH_HISTORY.md); assert a safe floor above the min/max bound."""
+    model, x, y, calib, flabels = _setup()
+    q4 = model.quantize([calib], bit_width=4, per_channel_weights=True,
+                        percentile=99.5)
+    labels = np.argmax(q4([x])[0], -1)
+    assert (labels == flabels).mean() >= 0.95
