@@ -270,9 +270,20 @@ def export_qdq(qmodel: QModel, source_onnx: O.ModelProto) -> O.ModelProto:
         sname = init.name + "/q_scale"
         new_inits.append(O.from_array(store, qname))
         kw = {}
-        if scale.size > 1:  # per-channel: locate the channel axis
-            axis = next(i for i, d in enumerate(arr.shape)
-                        if d == scale.size)
+        if scale.size > 1:
+            # per-channel: channel axis comes from the CONSUMER (the
+            # per_channel_weights PTQ rule: MatMul rhs -> axis 1, Gemm
+            # transB -> axis 0) -- a square weight makes shape-matching
+            # ambiguous
+            axis = None
+            for n in getattr(v, "outputs", []):
+                if n.op == "Gemm":
+                    axis = 0 if n.attrs.get("transB") else 1
+                elif n.op in ("MatMul", "MatMulSplit"):
+                    axis = 1
+            if axis is None or arr.shape[axis] != scale.size:
+                axis = next(i for i, d in enumerate(arr.shape)
+                            if d == scale.size)
             new_inits.append(O.from_array(scale.astype(np.float32), sname))
             kw["axis"] = axis
         else:

@@ -244,3 +244,33 @@ def test_merge_calibration_stats_equals_one_batch():
     # quantizing from the merged stats works end-to-end
     q = model.quantize(bit_width=8, stats=merged)
     assert np.all(np.isfinite(q([X])[0]))
+
+
+def test_export_qdq_per_channel_square_weight(tmp_path):
+    """Per-channel weights export with the CONSUMER-derived channel
+    axis -- a square weight makes shape-matching ambiguous (Gemm transB
+    channels live on axis 0)."""
+    from numpy_quant_tpu.utils import save_qmodel_qdq
+    from numpy_quant_tpu import onnx as O
+
+    rng = np.random.default_rng(0)
+    D = 6  # square weight
+    w = rng.normal(size=(D, D)).astype(np.float32) * 0.3
+    b = rng.normal(size=D).astype(np.float32) * 0.1
+    inp = O.make_tensor_value_info("x", O.TensorProto.FLOAT, [8, D])
+    out = O.make_tensor_value_info("y", O.TensorProto.FLOAT, None)
+    node = O.make_node("Gemm", ["x", "w", "b"], ["y"], name="g", transB=1)
+    g = O.make_graph([node], "g", [inp], [out],
+                     initializer=[O.from_array(w, "w"), O.from_array(b, "b")])
+    src = O.make_model(g)
+    model = nq.Model.from_onnx(src)
+    x = rng.normal(size=(8, D)).astype(np.float32)
+    q = model.quantize([x], bit_width=8, per_channel_weights=True)
+    path = tmp_path / "gemm_pc_qdq.onnx"
+    save_qmodel_qdq(q, path, src)
+    loaded = nq.onnx.load(path)
+    dqw = next(n for n in loaded.graph.node if n.name == "DQ_w")
+    assert nq.onnx.get_attribute_value(
+        next(a for a in dqw.attribute if a.name == "axis")) == 0
+    qdq = nq.Model.from_onnx(loaded)
+    np.testing.assert_allclose(qdq([x])[0], q([x])[0], atol=1e-4)
