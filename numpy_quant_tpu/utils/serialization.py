@@ -276,12 +276,14 @@ def export_qdq(qmodel: QModel, source_onnx: O.ModelProto) -> O.ModelProto:
             # transB -> axis 0) -- a square weight makes shape-matching
             # ambiguous
             axis = None
-            for n in getattr(v, "outputs", []):
-                if n.op == "Gemm":
-                    axis = 0 if n.attrs.get("transB") else 1
-                elif n.op in ("MatMul", "MatMulSplit"):
-                    axis = 1
-            if axis is None or arr.shape[axis] != scale.size:
+            if arr.ndim == 2:  # weights; 1-D biases always use axis 0
+                for n in getattr(v, "outputs", []):
+                    if n.op == "Gemm":
+                        axis = 0 if n.attrs.get("transB") else 1
+                    elif n.op in ("MatMul", "MatMulSplit"):
+                        axis = 1
+            if axis is None or axis >= arr.ndim \
+                    or arr.shape[axis] != scale.size:
                 axis = next(i for i, d in enumerate(arr.shape)
                             if d == scale.size)
             new_inits.append(O.from_array(scale.astype(np.float32), sname))

@@ -274,3 +274,27 @@ def test_export_qdq_per_channel_square_weight(tmp_path):
         next(a for a in dqw.attribute if a.name == "axis")) == 0
     qdq = nq.Model.from_onnx(loaded)
     np.testing.assert_allclose(qdq([x])[0], q([x])[0], atol=1e-4)
+
+
+def test_export_qdq_per_channel_gemm_with_bias(tmp_path):
+    """Per-channel Gemm export incl. the 1-D bias (vector scale, axis 0)
+    round-trips within fake-quant tolerance."""
+    from numpy_quant_tpu.utils import save_qmodel_qdq
+    from numpy_quant_tpu import onnx as O
+
+    rng = np.random.default_rng(1)
+    w = rng.normal(size=(5, 7)).astype(np.float32) * 0.4
+    b = rng.normal(size=5).astype(np.float32) * 0.2
+    inp = O.make_tensor_value_info("x", O.TensorProto.FLOAT, [6, 7])
+    out = O.make_tensor_value_info("y", O.TensorProto.FLOAT, None)
+    node = O.make_node("Gemm", ["x", "w", "b"], ["y"], name="g", transB=1)
+    g = O.make_graph([node], "g", [inp], [out],
+                     initializer=[O.from_array(w, "w"), O.from_array(b, "b")])
+    src = O.make_model(g)
+    model = nq.Model.from_onnx(src)
+    x = rng.normal(size=(6, 7)).astype(np.float32)
+    q = model.quantize([x], bit_width=8, per_channel_weights=True)
+    path = tmp_path / "gemm_pc_bias_qdq.onnx"
+    save_qmodel_qdq(q, path, src)
+    qdq = nq.Model.from_onnx(nq.onnx.load(path))
+    np.testing.assert_allclose(qdq([x])[0], q([x])[0], atol=1e-3)
