@@ -298,3 +298,32 @@ def test_export_qdq_per_channel_gemm_with_bias(tmp_path):
     save_qmodel_qdq(q, path, src)
     qdq = nq.Model.from_onnx(nq.onnx.load(path))
     np.testing.assert_allclose(qdq([x])[0], q([x])[0], atol=1e-3)
+
+
+def test_export_qdq_after_optimize_and_pack(tmp_path):
+    """QDQ export composes with the serving transforms: a W4A8,
+    optimize()d (fused attention + early-int8), pack_weights()ed QModel
+    exports from the SOURCE graph structure with unpacked int8/int4
+    payloads and still matches the integer path statistically."""
+    from numpy_quant_tpu.utils import save_qmodel_qdq
+    from numpy_quant_tpu.models.vit import vit_image_classifier
+    from transformers import ViTConfig
+
+    rng = np.random.default_rng(2)
+    cfg = ViTConfig(image_size=16, patch_size=4, hidden_size=16,
+                    num_attention_heads=2, intermediate_size=32,
+                    num_hidden_layers=1, num_labels=4)
+    mv = vit_image_classifier(config=cfg, batch_size=2, seed=0)
+    model = nq.Model.from_onnx(mv)
+    xv = rng.normal(size=(2, 3, 16, 16)).astype(np.float32)
+    q = model.quantize([xv], bit_width=8, weight_bit_width=4,
+                       per_channel_weights=True)
+    q.optimize()
+    assert q.pack_weights() > 0
+    expected = q([xv])[0]
+    path = tmp_path / "vit_w4a8_qdq.onnx"
+    save_qmodel_qdq(q, path, mv)
+    qdq = nq.Model.from_onnx(nq.onnx.load(path))
+    a, b = expected, qdq([xv])[0]
+    assert np.abs(a - b).mean() < 0.05, np.abs(a - b).mean()
+    assert np.array_equal(a.argmax(1), b.argmax(1))
