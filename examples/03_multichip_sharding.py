@@ -32,7 +32,6 @@ single = qmodel([x])[0]
 
 mesh = par.make_dp_tp_mesh(8, tp=2)  # 4-way data x 2-way tensor
 par.shard_model(qmodel, mesh, data_axis="data", rules=par.vit_tp_rules)
-qmodel._jit_cache.clear()
 sharded = qmodel([x])[0]
 
 print("mesh:", dict(mesh.shape))

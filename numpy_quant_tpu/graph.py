@@ -116,11 +116,19 @@ def import_onnx(onnx_model: onnx_lib.ModelProto):
         for input_name in onnx_node.input:
             if input_name and input_name not in value_dict:
                 value_dict[input_name] = Variable(input_name, inputs=[], outputs=[])
+        # Optional inputs passed as "" keep their POSITION as a None
+        # slot (ONNX semantics: an empty name means "absent", later
+        # positions still count); trailing absents are trimmed like
+        # trailing omissions. Ops then address optionals positionally
+        # instead of classifying tensors by dtype/shape.
+        in_values = [value_dict[n] if n else None for n in onnx_node.input]
+        while in_values and in_values[-1] is None:
+            in_values.pop()
         node = Node(
             name=name,
             op=onnx_node.op_type,
             attrs={a.name: attribute_to_python(a) for a in onnx_node.attribute},
-            inputs=[value_dict[n] for n in onnx_node.input if n],
+            inputs=in_values,
             outputs=[],
         )
         for input_name in onnx_node.input:

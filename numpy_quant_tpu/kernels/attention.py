@@ -274,25 +274,45 @@ def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
             o_ref[:, :, sl] = ctx.astype(jnp.float32) * np.float32(sp * sv)
 
 
+# auto-switch to the q-row-blocked grid once the monolithic kernel's
+# [rows, n_lane] f32 score temps would crowd VMEM (n_lane >= this)
+_BLOCKWISE_N = 1024
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "scaling", "sq", "zq", "sk", "zk", "sv",
                      "zv", "sp", "zp_p", "bit_width", "out_requant",
-                     "fast", "interpret"))
+                     "fast", "block_q", "interpret"))
 def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
                        sq: float, zq: int, sk: float, zk: int, sv: float,
                        zv: int, sp: float, zp_p: int, bit_width: int = 8,
                        out_requant: tuple | None = None, fast: bool = False,
+                       block_q: int | None = None,
                        interpret: bool = False):
     """Head-splitting fused attention: xq/xk/xv are [B, N, H*D] int8 --
     the raw Q/K/V projection outputs. Head split, transposes, scores,
     softmax, probs quantize, context and head merge all happen inside
     the kernel; nothing but the [B, N, H*D] tensors ever touches HBM.
-    Returns [B, N, H*D] float32 (or int8 with ``out_requant``)."""
+    Returns [B, N, H*D] float32 (or int8 with ``out_requant``).
+
+    Long sequences (n >= _BLOCKWISE_N, or ``block_q`` forced) run the
+    BLOCKWISE grid: q rows stream in ``block_q``-row tiles while K/V
+    stay VMEM-resident per batch row, so the f32 score temps scale as
+    block_q*N instead of N*N (SURVEY.md §5 long-context disposition).
+    Each output row sees the identical full-row reductions either way,
+    so blockwise results are bit-identical to the monolithic kernel
+    (asserted in tests/test_kernels.py)."""
     b, n, hd = xq.shape
     d = hd // num_heads
     assert d * num_heads == hd, (hd, num_heads)
     n_lane = _round_up(n, 128)   # key rows = score lane dim
+    if block_q is not None or n_lane >= _BLOCKWISE_N:
+        return _fused_attention_hs_blockq(
+            xq, xk, xv, num_heads=num_heads, scaling=scaling, sq=sq, zq=zq,
+            sk=sk, zk=zk, sv=sv, zv=zv, sp=sp, zp_p=zp_p,
+            bit_width=bit_width, out_requant=out_requant, fast=fast,
+            block_q=block_q or 256, interpret=interpret)
     hijack = n_lane > n  # a pad row exists to plant the ones vectors in
     # query rows only need sublane alignment (8), not 128 -- ~22% less
     # VPU work on the [rows, n_lane] score tensors for ViT's N=197
@@ -359,6 +379,77 @@ def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
     return out
 
 
+def _fused_attention_hs_blockq(xq, xk, xv, *, num_heads, scaling, sq, zq,
+                               sk, zk, sv, zv, sp, zp_p, bit_width,
+                               out_requant, fast, block_q, interpret):
+    """Blockwise (flash-style) grid for long sequences: q rows stream
+    in block_q tiles, K/V stay whole in VMEM per batch row. The kernel
+    BODY is the same ``_attention_hs_kernel`` with hijack=False -- its
+    zero-point corrections are row-local sums or full-K reductions, so
+    a q-row tile computes exactly what the monolithic kernel computes
+    for those rows (softmax max/sum reduce over the full key axis
+    either way -> bit-identical outputs)."""
+    b, n, hd = xq.shape
+    d = hd // num_heads
+    n_lane = _round_up(n, 128)
+    bq = min(int(block_q), _round_up(n, 8))
+    bq = _round_up(bq, 8)
+    n_subq = _round_up(n, bq)
+    if n_subq != n:
+        xq = jnp.pad(xq, ((0, 0), (0, n_subq - n), (0, 0)))
+    if n_lane != n:
+        xk = jnp.pad(xk, ((0, 0), (0, n_lane - n), (0, 0)))
+        xv = jnp.pad(xv, ((0, 0), (0, n_lane - n), (0, 0)))
+        if zv != 0:
+            # v pad rows hold the zero point so the padded contraction
+            # is a no-op under the correction formula
+            row = jax.lax.broadcasted_iota(jnp.int32, xv.shape, 1)
+            xv = jnp.where(row < n, xv, np.int8(zv))
+
+    kernel = functools.partial(
+        _attention_hs_kernel, n_real=n, num_heads=num_heads, d=d,
+        scaling=np.float32(scaling), sq=np.float32(sq), zq=int(zq),
+        sk=np.float32(sk), zk=int(zk), sv=np.float32(sv), zv=int(zv),
+        sp=np.float32(sp), zp_p=int(zp_p), bit_width=bit_width,
+        out_requant=None if out_requant is None else
+        (np.float32(out_requant[0]),
+         None if out_requant[1] is None else np.float32(out_requant[1])),
+        hijack=False, fast=fast)
+
+    # VMEM per grid step: K+V whole (g*n_lane*hd int8 each), the q/out
+    # tiles, and ~3 f32 [bq, n_lane] score temps per unrolled head
+    vmem_cap = 10 * 1024 * 1024
+    per_g = 2 * n_lane * hd + bq * hd * 5 + bq * n_lane * 12
+    g = _largest_divisor(b, max(1, min(_ATTN_G, vmem_cap // max(per_g, 1))))
+    out_dtype = jnp.float32 if out_requant is None else jnp.int8
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n_subq, hd), out_dtype),
+        grid=(b // g, n_subq // bq),
+        in_specs=[
+            pl.BlockSpec((g, bq, hd), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n_lane, hd), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n_lane, hd), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, bq, hd), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * num_heads * (n_subq * n_lane * d) * 2,
+            bytes_accessed=b * n_lane * hd * 2 * (n_subq // bq)
+            + b * n_subq * hd * 5,
+            transcendentals=b * num_heads * n_subq * n_lane),
+        interpret=interpret,
+    )(xq, xk, xv)
+    if n_subq != n:
+        out = out[:, :n, :]
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("scaling", "sq", "zq", "sk", "zk", "sv", "zv",
@@ -371,7 +462,11 @@ def fused_attention(q, kt, v, *, scaling: float, sq: float, zq: int,
     """q: [BH, N, D] int8; kt: [BH, D, N] int8; v: [BH, N, D] int8.
     Returns float32 [BH, N, D] (dequantized attention context), or int8
     when ``out_requant=(scale, zero_point)`` fuses the consumer quantize.
-    zq/zk/zv/zp_p of 0 mean symmetric (no correction term)."""
+    zq/zk/zv/zp_p of 0 mean symmetric (no correction term).
+
+    Long sequences stream q rows blockwise (same rule as
+    fused_attention_hs): the kernel body's reductions are row-local or
+    full-K, so blockwise output rows are bit-identical."""
     bh, n, d = q.shape
     n_pad = _round_up(n, 128)
     d_pad = _round_up(d, 128)
@@ -385,10 +480,13 @@ def fused_attention(q, kt, v, *, scaling: float, sq: float, zq: int,
             row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
             v = jnp.where(row < n, v, np.int8(zv))
 
+    blockwise = n_pad >= _BLOCKWISE_N
+    bq = min(256, n_pad) if blockwise else n_pad
+
     # G heads per grid step: big enough batched dots to feed the MXU,
     # small enough that the score tensors stay VMEM-resident
     vmem_cap = 10 * 1024 * 1024
-    per_head = n_pad * n_pad * 12 + 4 * n_pad * d_pad
+    per_head = bq * n_pad * 12 + 2 * n_pad * d_pad + 2 * bq * d_pad * 4
     g = _largest_divisor(bh, max(1, min(16, vmem_cap // max(per_head, 1))))
 
     kernel = functools.partial(
@@ -404,19 +502,19 @@ def fused_attention(q, kt, v, *, scaling: float, sq: float, zq: int,
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bh, n_pad, d_pad), out_dtype),
-        grid=(bh // g,),
+        grid=(bh // g, n_pad // bq),
         in_specs=[
-            pl.BlockSpec((g, n_pad, d_pad), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, bq, d_pad), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, d_pad, n_pad), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, d_pad, n_pad), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, n_pad, d_pad), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, n_pad, d_pad), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((g, n_pad, d_pad), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((g, bq, d_pad), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * bh * (n_pad * n_pad * d_pad) * 2,
             bytes_accessed=bh * (3 * n_pad * d_pad + n_pad * d_pad * 4),

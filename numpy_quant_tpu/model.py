@@ -225,7 +225,8 @@ class Model:
 
     def _node_inputs(self, node: Node, data: dict[str, Tensor],
                      timings) -> list[Tensor]:
-        return [data[v.name] for v in node.inputs]
+        # None slots = absent optional inputs (positions preserved)
+        return [None if v is None else data[v.name] for v in node.inputs]
 
     def _post_node(self, node: Node, outputs: list[Tensor]) -> list[Tensor]:
         return outputs
@@ -647,7 +648,7 @@ class Model:
                             input_value.name, isinstance(input_value, Variable))
                 # Bias: symmetric at scale s1*s2, 4x bit width
                 # (int32 accumulator modelling; reference: model.py:383-389).
-                if len(node.inputs) > 2:
+                if len(node.inputs) > 2 and node.inputs[2] is not None:
                     bias = node.inputs[2]
                     qparams1 = qparams_per_value[node.inputs[0].name]
                     qparams2 = qparams_per_value[node.inputs[1].name]
@@ -674,7 +675,7 @@ class Model:
             elif node.op == "Conv" and quantize_conv:
                 # Integer conv (parity-plus): bias at s_x*s_w and 4x bit
                 # width, output requantized -- mirrors the Gemm strategy.
-                if len(node.inputs) > 2:
+                if len(node.inputs) > 2 and node.inputs[2] is not None:
                     bias = node.inputs[2]
                     qparams1 = qparams_per_value[node.inputs[0].name]
                     qparams2 = qparams_per_value[node.inputs[1].name]
@@ -713,7 +714,8 @@ class Model:
 
         # Re-link the cloned graph (reference: model.py:427-436).
         for name, qnode in qnodes_dict.items():
-            qnode.inputs = [qvalues_dict[i.name] for i in node_dict[name].inputs]
+            qnode.inputs = [None if i is None else qvalues_dict[i.name]
+                            for i in node_dict[name].inputs]
             qnode.outputs = [qvalues_dict[o.name] for o in node_dict[name].outputs]
         for name, qvalue in qvalues_dict.items():
             if isinstance(qvalue, Variable):
@@ -772,6 +774,9 @@ class QModel(Model):
             # Quantize any float inputs on the fly ("TinyqQuant",
             # reference: model.py:503-527).
             for idx, v in enumerate(node.inputs):
+                if v is None:
+                    ins.append(None)
+                    continue
                 t = data[v.name]
                 if isinstance(t, FTensor):
                     qp = self.quant_params[v.name]
@@ -798,11 +803,14 @@ class QModel(Model):
               and data[node.inputs[0].name].bit_width == self.bit_width):
             # int8_dataflow: value-preserving shape op inside a planned
             # int8 region -- move int8 data, skip dequantize/requantize.
-            ins = [data[v.name] for v in node.inputs]
+            ins = [None if v is None else data[v.name] for v in node.inputs]
         else:
             # Dequantize quantized inputs ("TinyqDequant",
             # reference: model.py:528-538).
             for v in node.inputs:
+                if v is None:
+                    ins.append(None)
+                    continue
                 t = data[v.name]
                 if isinstance(t, QTensor):
                     stime = time()
@@ -861,8 +869,19 @@ class QModel(Model):
         (FusedAttentionHS): the kernel consumes the raw [B, N, H*D]
         projection outputs and splits/merges heads in VMEM, so none of
         the head shuffles or d-padding ever touch HBM. Returns the
-        number of fused blocks."""
+        number of fused blocks.
+
+        Every Softmax that does NOT fuse is recorded with the reason in
+        ``self.fusion_report["failures"]`` (a silent fall-back to the
+        slow path on a foreign exporter's graph would otherwise be an
+        invisible perf cliff)."""
+        self.fusion_report = {"fused": 0, "failures": []}
         if self.bit_width > 8:
+            for n in self.nodes:
+                if n.op == "Softmax":
+                    self.fusion_report["failures"].append(
+                        (n.name, f"bit_width {self.bit_width} > 8: the "
+                         "int8 attention kernels do not apply"))
             return 0
         producer = {}
         for node in self.nodes:
@@ -891,20 +910,32 @@ class QModel(Model):
             return tuple(int(p) for p in node.attrs.get("perm", ())) == perm
 
         fused = 0
+
+        def fail(sm, reason):
+            self.fusion_report["failures"].append((sm.name, reason))
+
         for sm in [n for n in self.nodes if n.op == "Softmax"]:
             if int(sm.attrs.get("axis", -1)) != -1:
+                fail(sm, f"softmax axis {sm.attrs.get('axis')} != -1")
                 continue
             mul = producer.get(sm.inputs[0].name)
             if mul is None or mul.op not in ("Mul", "Div"):
+                fail(sm, "input is not a Mul/Div scale node "
+                     f"(got {mul.op if mul else 'graph input'})")
                 continue
             mm1 = producer.get(mul.inputs[0].name)
             if mm1 is None or mm1.op != "MatMul":
+                fail(sm, "scale node's input is not a MatMul "
+                     f"(got {mm1.op if mm1 else 'graph input'})")
                 continue
             scal_node = producer.get(mul.inputs[1].name)
             if scal_node is None or scal_node.op != "Constant":
+                fail(sm, "scale factor is not a Constant node")
                 continue
             scal_arr = np.asarray(scal_node.attrs["value"])
             if scal_arr.size != 1:
+                fail(sm, f"scale factor has {scal_arr.size} elements "
+                     "(need a scalar)")
                 continue
             scaling = float(scal_arr.reshape(-1)[0])
             if mul.op == "Div":
@@ -912,10 +943,14 @@ class QModel(Model):
             cons = consumers(sm.outputs[0])
             if len(cons) != 1 or cons[0].op != "MatMul" \
                     or cons[0].inputs[0] is not sm.outputs[0]:
+                fail(sm, "softmax output does not feed exactly one "
+                     "MatMul as its lhs")
                 continue
             mm2 = cons[0]
             if any(len(consumers(v)) != 1
                    for v in (mm1.outputs[0], mul.outputs[0])):
+                fail(sm, "scores/probabilities have consumers outside "
+                     "the attention chain")
                 continue
             probs_qp = self.quant_params[sm.outputs[0].name]
             attrs = {"scaling": scaling,
@@ -941,6 +976,11 @@ class QModel(Model):
                 fused += 1
                 continue
 
+            # plain (non-head-split) fusion: still fused, but the head
+            # Reshape/Transpose shuffles stay in the graph -- note it
+            self.fusion_report.setdefault("plain_fusions", []).append(
+                (sm.name, "head-split pattern not matched; fused the "
+                 "core only (head shuffles remain in the graph)"))
             fnode = Node(
                 f"{mm2.name}/fused_attention", "FusedAttention", attrs,
                 [mm1.inputs[0], mm1.inputs[1], mm2.inputs[1]],
@@ -954,6 +994,7 @@ class QModel(Model):
             self.quantized_ops = tuple(self.quantized_ops) \
                 + ("FusedAttention", "FusedAttentionHS")
             self._jit_cache.clear()
+        self.fusion_report["fused"] = fused
         return fused
 
     def _match_attention_hs(self, mm1, mm2, producer, consumers):
@@ -1202,11 +1243,14 @@ class QModel(Model):
         self._jit_cache.clear()
         return len(planned)
 
-    def optimize(self) -> dict:
+    def optimize(self, verbose: bool = False) -> dict:
         """Apply the graph-level performance passes that preserve the
         executor's numerics: attention fusion (bit-identical kernel)
         and early int8 quantization (bit-identical layout change).
-        Returns a {pass: count} summary."""
+        Returns a {pass: count} summary plus per-Softmax fusion
+        failures (node name, reason) so a pattern miss on a foreign
+        exporter's graph is visible, not a silent perf cliff.
+        ``verbose=True`` prints the failures."""
         fused = self.fuse_attention()
         # merge_parallel_matmuls stays OPT-IN: on v5e the separate QKV
         # dots already run near the practical dot ceiling and XLA
@@ -1216,8 +1260,12 @@ class QModel(Model):
         merged = self.merge_parallel_matmuls() \
             if getattr(self, "_opt_merge_matmuls", False) else 0
         planned = self.int8_dataflow()
+        failures = list(self.fusion_report["failures"])
+        if verbose:
+            for name, reason in failures:
+                print(f"optimize: Softmax {name!r} not fused: {reason}")
         return {"fuse_attention": fused, "merge_parallel_matmuls": merged,
-                "int8_dataflow": planned}
+                "int8_dataflow": planned, "fusion_failures": failures}
 
     def pack_weights(self) -> int:
         """Switch 2-D symmetric MatMul weights to packed storage

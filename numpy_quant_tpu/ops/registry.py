@@ -150,26 +150,25 @@ def _resize(inputs, attrs):
     axes = attrs.get("axes")
     axes = list(range(rank)) if axes is None \
         else [int(a) % rank for a in axes]
-    # optional roi/scales/sizes: empty-name inputs are dropped at import
-    # (graph.py), so classify by dtype/length -- sizes is int64; scales
-    # is float of len(axes); roi is float of 2*len(axes) and unused
-    # outside tf_crop_and_resize (unsupported). Float constants carry a
-    # trace-time host shadow (model._wrap_constant); Resize output
-    # shapes are static under jit, so runtime-computed scales cannot be
-    # supported.
+    # optional inputs are positional (absent slots arrive as None,
+    # graph.import_onnx): [x, roi, scales, sizes]. roi only matters in
+    # tf_crop_and_resize (unsupported ctm), so it is ignored. Float
+    # scales carry a trace-time host shadow (model._wrap_constant);
+    # Resize output shapes are static under jit, so runtime-computed
+    # scales cannot be supported.
     scales = sizes = None
-    for t in inputs[1:]:
-        if isinstance(t, ITensor):
-            arr = np.asarray(t.data)
-            if arr.size:
-                sizes = arr.astype(np.int64).reshape(-1)
-            continue
+    if len(inputs) > 2 and inputs[2] is not None:
+        t = inputs[2]
         host = getattr(t, "host", None)
         if host is None:
             raise ValueError(
                 "Resize scales must be graph constants (static shapes)")
-        if host.size == len(axes):
+        if host.size:
             scales = host.astype(np.float64).reshape(-1)
+    if len(inputs) > 3 and inputs[3] is not None:
+        arr = np.asarray(inputs[3].data)
+        if arr.size:
+            sizes = arr.astype(np.int64).reshape(-1)
     if scales is None and sizes is None:
         raise ValueError("Resize needs scales or sizes")
 
@@ -213,8 +212,13 @@ def _resize(inputs, attrs):
             y0 = jnp.take(y, jnp.asarray(i0), axis=a)
             y1 = jnp.take(y, jnp.asarray(i1), axis=a)
             y = y0 * (1.0 - wj) + y1 * wj
-    if isinstance(x, ITensor) and mode == "nearest":
-        return ITensor(np.asarray(y))
+    if isinstance(x, ITensor):
+        # ONNX: output type == input type; linear interpolation on an
+        # integer tensor rounds back to the integer domain (host)
+        y = np.asarray(y)
+        if mode == "linear":
+            y = np.rint(y)
+        return ITensor(y.astype(np.int64))
     return FTensor(y)
 
 
@@ -243,31 +247,24 @@ def _recurrent(op: str, inputs: list[Tensor], attrs: dict) -> list[Tensor]:
     x, w, r = inputs[0], inputs[1], inputs[2]
     xd = x.data  # [seq, batch, input]
     seq, batch, _ = xd.shape
-    # optional inputs arrive in order with empty names dropped at import
-    # (graph.py): classify by class/rank/width -- B is 2-D float of
-    # 2*n_gates*H columns, sequence_lens is int, initial_h then
-    # initial_c are 3-D float; an LSTM peephole P ([nd, 3H] 2-D float)
-    # is detected by width and rejected explicitly
-    b = seq_lens = None
-    states = []
-    for t in inputs[3:]:
-        if isinstance(t, ITensor):
-            seq_lens = np.asarray(t.data)
-        elif len(t.data.shape) == 2:
-            if t.data.shape[1] != 2 * n_gates * hidden:
-                raise ValueError(f"{op} peephole weights not supported")
-            b = t.data
-        else:
-            states.append(t.data)
+
+    # optional inputs are positional (absent slots arrive as None,
+    # graph.import_onnx): [X, W, R, B, sequence_lens, initial_h,
+    # initial_c, P] for LSTM; [X, W, R, B, sequence_lens, initial_h]
+    # for GRU.
+    def opt(i):
+        return inputs[i] if len(inputs) > i and inputs[i] is not None \
+            else None
+
+    b = opt(3).data if opt(3) is not None else None
+    seq_lens = np.asarray(opt(4).data) if opt(4) is not None else None
+    h_init = opt(5)
+    c_init = opt(6) if op == "LSTM" else None
+    if op == "LSTM" and opt(7) is not None:
+        raise ValueError("LSTM peephole weights not supported")
     if seq_lens is not None and not np.all(seq_lens == seq):
         raise ValueError(f"{op} per-sample sequence_lens not supported "
                          "(static shapes)")
-    if op == "LSTM" and len(states) == 1:
-        # empty-name optional inputs lose their position at import, so
-        # a lone 3-D state is ambiguous between initial_h and initial_c
-        raise ValueError("LSTM needs BOTH initial_h and initial_c or "
-                         "neither (a lone initial state is positionally "
-                         "ambiguous once empty inputs are dropped)")
 
     num_dir = w.data.shape[0]
     dirs = []
@@ -279,9 +276,10 @@ def _recurrent(op: str, inputs: list[Tensor], attrs: dict) -> list[Tensor]:
             rb = b[d, n_gates * hidden:]
         else:
             wb = rb = jnp.zeros((n_gates * hidden,), xd.dtype)
-        h0 = states[0][d] if states else jnp.zeros((batch, hidden), xd.dtype)
-        c0 = states[1][d] if len(states) > 1 else \
-            jnp.zeros((batch, hidden), xd.dtype)
+        h0 = h_init.data[d] if h_init is not None \
+            else jnp.zeros((batch, hidden), xd.dtype)
+        c0 = c_init.data[d] if c_init is not None \
+            else jnp.zeros((batch, hidden), xd.dtype)
         reverse = (direction == "reverse") or (d == 1)
         xs = xd[::-1] if reverse else xd
         # hoist the input projections out of the scan: one big matmul
@@ -714,6 +712,9 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         return [x.reshape(ITensor(np.array(new, dtype=np.int64)))]
     elif op == "Pow":
         a, b = inputs[0], inputs[1]
+        if isinstance(a, ITensor):
+            # host (shape) domain stays numpy so trace-time folding holds
+            return [ITensor(np.power(a.data, np.asarray(b.data, np.int64)))]
         return [FTensor(jnp.power(a.data, jnp.asarray(b.data, a.data.dtype)))]
     elif op == "Neg":
         return [-inputs[0]]
@@ -728,6 +729,14 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
             else attrs.get("min")
         hi = inputs[2].data if len(inputs) > 2 and inputs[2] is not None \
             else attrs.get("max")
+        if isinstance(x, ITensor):
+            # host (shape) domain stays numpy so trace-time folding holds
+            y = x.data
+            if lo is not None:
+                y = np.maximum(y, np.asarray(lo, np.int64))
+            if hi is not None:
+                y = np.minimum(y, np.asarray(hi, np.int64))
+            return [ITensor(y)]
         y = x.data
         if lo is not None:
             y = jnp.maximum(y, jnp.asarray(lo, y.dtype))
@@ -741,6 +750,9 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         else:
             axes = tuple(int(a) for a in attrs.get("axes", ())) or None
         keepdims = bool(attrs.get("keepdims", 1))
+        if isinstance(x, ITensor):
+            # host (shape) domain stays numpy so trace-time folding holds
+            return [ITensor(np.sum(x.data, axis=axes, keepdims=keepdims))]
         return [FTensor(jnp.sum(x.data, axis=axes, keepdims=keepdims))]
     elif op in ("ReduceMax", "ReduceMin"):
         x = inputs[0]
@@ -750,6 +762,9 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         else:
             axes = tuple(int(a) for a in attrs.get("axes", ())) or None
         keepdims = bool(attrs.get("keepdims", 1))
+        if isinstance(x, ITensor):
+            nfn = np.max if op == "ReduceMax" else np.min
+            return [ITensor(nfn(x.data, axis=axes, keepdims=keepdims))]
         fn = jnp.max if op == "ReduceMax" else jnp.min
         return [FTensor(fn(x.data, axis=axes, keepdims=keepdims))]
     elif op in ("Min", "Max"):
@@ -765,32 +780,17 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         if isinstance(mode, bytes):
             mode = mode.decode()
         rank = len(x.data.shape)
-        if len(inputs) > 1:
+        if len(inputs) > 1 and inputs[1] is not None:
             pads = np.asarray(inputs[1].data, np.int64).reshape(-1)
         else:  # opset <11 carried pads as an attribute
             pads = np.asarray(attrs["pads"], np.int64).reshape(-1)
-        # optional constant_value / axes: empty-name inputs are dropped
-        # at import (graph.py), so classify the remainder by class and
-        # shape metadata (values may be traced) -- the constant_value
-        # matches x's class and is a scalar; axes is an int64 list.
-        # When x itself is int64 both optionals are ITensors: pads has
-        # 2*len(axes) entries, so the axes width is pads.size//2 (and
-        # pads covering every dim means no axes input at all).
-        cval = 0.0
-        axes = None
-        n_axes = pads.size // 2
-        for t in inputs[2:]:
-            is_axes = (isinstance(t, ITensor) and not isinstance(x, ITensor))
-            if isinstance(x, ITensor):
-                is_axes = n_axes < rank and t.data.size == n_axes
-            if is_axes:
-                axes = [int(a) % rank for a in np.asarray(t.data).reshape(-1)]
-            elif t.data.size == 1 and axes is None \
-                    and not isinstance(cval, (FTensor, ITensor)):
-                cval = t  # may be traced; jnp.pad takes it as-is
-            else:
-                axes = [int(a) % rank for a in np.asarray(t.data).reshape(-1)]
-        if axes is None:
+        # optional inputs are positional (absent slots arrive as None,
+        # graph.import_onnx): [x, pads, constant_value, axes]
+        cval = inputs[2] if len(inputs) > 2 and inputs[2] is not None else 0.0
+        if len(inputs) > 3 and inputs[3] is not None:
+            axes = [int(a) % rank
+                    for a in np.asarray(inputs[3].data).reshape(-1)]
+        else:
             axes = list(range(rank))
         if isinstance(cval, (FTensor, ITensor)):
             cval = jnp.reshape(cval.data, ()) \
@@ -801,8 +801,11 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         widths = [(max(before.get(a, 0), 0), max(after.get(a, 0), 0))
                   for a in range(rank)]
         kw = {"constant_values": cval} if mode == "constant" else {}
-        mode_name = {"constant": "constant", "edge": "edge",
-                     "reflect": "reflect", "wrap": "wrap"}[mode]
+        mode_names = {"constant": "constant", "edge": "edge",
+                      "reflect": "reflect", "wrap": "wrap"}
+        if mode not in mode_names:
+            raise ValueError(f"Pad mode {mode!r} not supported")
+        mode_name = mode_names[mode]
         if isinstance(x, ITensor):
             # host (shape) domain stays numpy -- jnp would trace it
             if mode == "constant":
@@ -849,11 +852,22 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
             dtype = np.dtype(np.uint8) if zp is None \
                 else getattr(zp, "orig_dtype", np.dtype(np.uint8))
             info = np.iinfo(dtype)
+            # bit_width in this framework is SIGNED-range semantics
+            # (QTensor); an unsigned storage dtype needs one extra bit
+            # so [0, 2^b - 1] fits in [-2^b, 2^b - 1] and downstream
+            # consumers (requantize clip, matmul carrier selection)
+            # stay correct. 16-bit QDQ (opset 21) exceeds the exact
+            # integer paths and is rejected explicitly.
+            bits = int(info.bits) + (1 if info.min == 0 else 0)
+            if info.bits > 8:
+                raise ValueError(
+                    f"QuantizeLinear storage dtype {dtype} not supported "
+                    "(int8/uint8 QDQ only)")
             q = jnp.rint(jnp.asarray(x.data, jnp.float32) / sdata)
             if zdata is not None:
                 q = q + zdata
             q = jnp.clip(q, info.min, info.max)
-            out = QTensor(q.astype(jnp.int32), 8, scale.data,
+            out = QTensor(q.astype(jnp.int32), bits, scale.data,
                           None if zdata is None else zdata)
             out.orig_dtype = dtype
             return [out]

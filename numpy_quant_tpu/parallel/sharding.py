@@ -96,3 +96,8 @@ def shard_model(model, mesh: Mesh, data_axis: str | None = "data",
     model.data_axis = data_axis
     model._shard_rules = rules
     model.parameter_shardings = param_shardings(model, mesh, rules)
+    # a model executed before sharding holds compiled unsharded
+    # programs and placed parameters -- drop them so every later call
+    # recompiles against the new mesh
+    model._jit_cache.clear()
+    model._sharded_param_cache = None

@@ -195,10 +195,15 @@ def import_onnx_quantized(model_proto: O.ModelProto, tensor_meta: dict):
         for n in onnx_node.input:
             if n and n not in value_dict:
                 value_dict[n] = Variable(n, inputs=[], outputs=[])
+        # empty-name optionals keep their position as None slots,
+        # trailing ones trimmed (same rule as graph.import_onnx)
+        in_values = [value_dict[n] if n else None for n in onnx_node.input]
+        while in_values and in_values[-1] is None:
+            in_values.pop()
         node = Node(name=name, op=onnx_node.op_type,
                     attrs={a.name: attribute_to_python(a)
                            for a in onnx_node.attribute},
-                    inputs=[value_dict[n] for n in onnx_node.input if n],
+                    inputs=in_values,
                     outputs=[])
         for n in onnx_node.input:
             if n:
@@ -305,13 +310,14 @@ def export_qdq(qmodel: QModel, source_onnx: O.ModelProto) -> O.ModelProto:
     def _qdq_param_inits(name: str, p) -> list:
         sname = f"{name}/qdq_scale"
         extra_inits.append(O.from_array(np.float32(p.scale), sname))
-        names = [sname]
-        if p.zero_point is not None:
-            zname = f"{name}/qdq_zp"
-            extra_inits.append(O.from_array(np.int8(int(p.zero_point)),
-                                            zname))
-            names.append(zname)
-        return names
+        # ALWAYS emit an int8 zero point: without one, ONNX
+        # QuantizeLinear defaults to uint8 storage and a conformant
+        # runtime would clip every negative value to 0. Symmetric
+        # (zero_point=None) exports as an explicit int8 zp of 0.
+        zname = f"{name}/qdq_zp"
+        zp_val = 0 if p.zero_point is None else int(p.zero_point)
+        extra_inits.append(O.from_array(np.int8(zp_val), zname))
+        return [sname, zname]
 
     def _wrappable(p) -> bool:
         # only activation-bit-width params export as int8 Q/DQ pairs;

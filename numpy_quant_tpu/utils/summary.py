@@ -13,7 +13,7 @@ from itertools import zip_longest
 def summarize(model) -> str:
     groups = []
     for node in model.nodes:
-        in_names = [v.name for v in node.inputs]
+        in_names = [v.name for v in node.inputs if v is not None]
         out_names = [v.name for v in node.outputs]
         lines = list(zip_longest([node.name], in_names, out_names,
                                  fillvalue=""))

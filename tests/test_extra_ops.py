@@ -461,23 +461,8 @@ def test_resize_antialias_rejected():
              [O.from_array(np.array([1, 1, 0.5, 0.5], np.float32), "s")], [x])
 
 
-def test_lstm_lone_initial_state_rejected():
-    seq, batch, inp_sz, h = 3, 2, 4, 4
-    x = RNG.normal(size=(seq, batch, inp_sz)).astype(np.float32)
-    W = RNG.normal(size=(1, 4 * h, inp_sz)).astype(np.float32)
-    R = RNG.normal(size=(1, 4 * h, h)).astype(np.float32)
-    c0 = RNG.normal(size=(1, batch, h)).astype(np.float32)
-    inp = O.make_tensor_value_info("x", O.TensorProto.FLOAT,
-                                   [seq, batch, inp_sz])
-    out = O.make_tensor_value_info("y", O.TensorProto.FLOAT, None)
-    # initial_c given, initial_h empty -- positionally ambiguous after
-    # the importer drops empty names, so it must fail loudly
-    node = O.make_node("LSTM", ["x", "w", "r", "", "", "", "c0"], ["y"],
-                       name="l", hidden_size=h)
-    with pytest.raises(ValueError, match="initial_h and initial_c"):
-        _run([node], [inp], [out],
-             [O.from_array(W, "w"), O.from_array(R, "r"),
-              O.from_array(c0, "c0")], [x])
+# (a lone LSTM initial state is no longer ambiguous: the importer
+# preserves optional-input positions -- see tests/test_optional_inputs.py)
 
 
 # ---------------------------------------------------- QDQ interop

@@ -494,3 +494,178 @@ def test_w4a8_mixed_width():
     # packing applies to the 4-bit weights (exactly 4 bits/value in HBM)
     assert q.pack_weights() > 0
     np.testing.assert_array_equal(q([x])[0], out)
+
+
+def test_fusion_diagnostics_reports_reasons():
+    """Every Softmax that does not fuse is recorded with a reason
+    (a silent fall-back on a foreign exporter's pattern would be an
+    invisible perf cliff)."""
+    import numpy_quant_tpu as nq
+    from numpy_quant_tpu import onnx as O
+
+    # a Softmax whose input comes straight from a MatMul (no Mul/Div
+    # scale node) -- common in exporters that fold the 1/sqrt(d) into
+    # the weights; our matcher requires the scale node
+    b, n, d = 2, 6, 8
+    x = RNG.normal(size=(b, n, d)).astype(np.float32)
+    wq = RNG.normal(size=(d, d)).astype(np.float32)
+    nodes = [
+        O.make_node("MatMul", ["x", "wq"], ["q"], name="mq"),
+        O.make_node("MatMul", ["q", "kt"], ["scores"], name="ms"),
+        O.make_node("Softmax", ["scores"], ["probs"], name="sm", axis=-1),
+        O.make_node("MatMul", ["probs", "v"], ["y"], name="mv"),
+    ]
+    g = O.make_graph(
+        nodes, "g",
+        [O.make_tensor_value_info("x", O.TensorProto.FLOAT, [b, n, d])],
+        [O.make_tensor_value_info("y", O.TensorProto.FLOAT, None)],
+        initializer=[
+            O.from_array(wq, "wq"),
+            O.from_array(RNG.normal(size=(d, n)).astype(np.float32), "kt"),
+            O.from_array(RNG.normal(size=(n, d)).astype(np.float32), "v")])
+    model = nq.Model.from_onnx(O.make_model(g))
+    qmodel = model.quantize([x], bit_width=8)
+    stats = qmodel.optimize()
+    assert stats["fuse_attention"] == 0
+    assert len(stats["fusion_failures"]) == 1
+    name, reason = stats["fusion_failures"][0]
+    assert name == "sm"
+    assert "Mul/Div" in reason
+
+    # a graph that DOES fuse reports no failures
+    from numpy_quant_tpu.models import vit as V
+    m2 = V.vit_self_attention(2, 10, 16, 4)
+    x2 = RNG.normal(size=(2, 10, 16)).astype(np.float32)
+    q2 = nq.Model.from_onnx(m2).quantize([x2], bit_width=8)
+    stats2 = q2.optimize()
+    assert stats2["fuse_attention"] == 1
+    assert stats2["fusion_failures"] == []
+
+
+def _hs_attention_oracle(xq, xk, xv, H, scaling, sq, zq, sk, zk, sv, zv,
+                         sp, zp_p, out_requant=None):
+    """Unfused per-head reference math (q_matmul/softmax/quantize)."""
+    from numpy_quant_tpu.quantization import (
+        dequantize as dq_, q_matmul, quantize as q_)
+
+    B, N, HD = xq.shape
+    D = HD // H
+    expect = np.zeros((B, N, HD), np.float32 if out_requant is None
+                      else np.int64)
+    for b in range(B):
+        for h in range(H):
+            sl = slice(h * D, (h + 1) * D)
+            qh = xq[b][:, sl].astype(np.int64)
+            kh = xk[b][:, sl].astype(np.int64)
+            vh = xv[b][:, sl].astype(np.int64)
+            acc, scale, zp = q_matmul(jnp.asarray(qh), np.float32(sq),
+                                      np.int64(zq), jnp.asarray(kh.T),
+                                      np.float32(sk), np.int64(zk),
+                                      bit_width=8)
+            s = np.asarray(dq_(acc, scale, zp)) * np.float32(scaling)
+            e = np.exp(s - s.max(-1, keepdims=True))
+            probs = (e / e.sum(-1, keepdims=True)).astype(np.float32)
+            pq = np.asarray(q_(probs, 8, np.float32(sp), np.int64(zp_p)))
+            acc2, scale2, zp2 = q_matmul(jnp.asarray(pq), np.float32(sp),
+                                         np.int64(zp_p), jnp.asarray(vh),
+                                         np.float32(sv), np.int64(zv),
+                                         bit_width=8)
+            y = np.asarray(dq_(acc2, scale2, zp2))
+            if out_requant is None:
+                expect[b][:, sl] = y
+            else:
+                expect[b][:, sl] = np.asarray(
+                    q_(y, 8, np.float32(out_requant[0]),
+                       np.int64(out_requant[1])))
+    return expect
+
+
+def test_blockwise_attention_hs_bit_identical_to_monolithic():
+    """The q-row-blocked grid (flash-style long-sequence path) returns
+    the SAME bits as the monolithic kernel: every output row sees the
+    identical full-row reductions."""
+    from numpy_quant_tpu.kernels.attention import fused_attention_hs
+
+    B, N, H, D = 2, 50, 4, 8
+    kw = dict(num_heads=H, scaling=0.4, sq=0.02, zq=3, sk=0.03, zk=-2,
+              sv=0.05, zv=4, sp=1 / 255., zp_p=-128, bit_width=8,
+              interpret=jax.default_backend() == "cpu")
+    rng = np.random.default_rng(1)
+    xq = rng.integers(-100, 100, size=(B, N, H * D)).astype(np.int8)
+    xk = rng.integers(-100, 100, size=(B, N, H * D)).astype(np.int8)
+    xv = rng.integers(-100, 100, size=(B, N, H * D)).astype(np.int8)
+
+    mono = np.asarray(fused_attention_hs(xq, xk, xv, **kw))
+    blocked = np.asarray(fused_attention_hs(xq, xk, xv, block_q=16, **kw))
+    np.testing.assert_array_equal(mono, blocked)
+    # the fp-tolerance fast path blocks identically too
+    mono_f = np.asarray(fused_attention_hs(xq, xk, xv, fast=True, **kw))
+    blocked_f = np.asarray(fused_attention_hs(xq, xk, xv, fast=True,
+                                              block_q=16, **kw))
+    np.testing.assert_array_equal(mono_f, blocked_f)
+
+
+def test_blockwise_attention_hs_long_sequence():
+    """N=4096: the monolithic layout would need [rows, 4096] x 4096 f32
+    score temps (>190 MB VMEM) and cannot run; the auto-selected
+    blockwise grid streams q rows and matches the unfused graph math."""
+    from numpy_quant_tpu.kernels.attention import (
+        _BLOCKWISE_N, fused_attention_hs)
+
+    B, N, H, D = 1, 4096, 2, 64
+    assert N >= _BLOCKWISE_N  # auto-dispatch must pick the blockwise grid
+    sq, zq, sk, zk, sv, zv = 0.02, 3, 0.03, -2, 0.05, 4
+    sp, zp_p = 1 / 255., -128
+    rng = np.random.default_rng(2)
+    xq = rng.integers(-100, 100, size=(B, N, H * D)).astype(np.int8)
+    xk = rng.integers(-100, 100, size=(B, N, H * D)).astype(np.int8)
+    xv = rng.integers(-100, 100, size=(B, N, H * D)).astype(np.int8)
+
+    out = np.asarray(fused_attention_hs(
+        xq, xk, xv, num_heads=H, scaling=1 / 8., sq=sq, zq=zq, sk=sk,
+        zk=zk, sv=sv, zv=zv, sp=sp, zp_p=zp_p, bit_width=8,
+        interpret=jax.default_backend() == "cpu"))
+    expect = _hs_attention_oracle(xq, xk, xv, H, 1 / 8., sq, zq, sk, zk,
+                                  sv, zv, sp, zp_p)
+    # fp tolerance: at this width f32 softmax reduction trees differ by
+    # ulps, occasionally flipping a probs rint bucket (one quant step)
+    np.testing.assert_allclose(out, expect, atol=5e-2)
+    assert np.mean(np.abs(out - expect)) < 2e-3
+
+
+def test_blockwise_attention_plain_long_sequence():
+    """The non-head-split FusedAttention kernel blocks q rows too."""
+    from numpy_quant_tpu.kernels.attention import fused_attention
+    from numpy_quant_tpu.quantization import (
+        dequantize as dq_, q_matmul, quantize as q_)
+
+    BH, N, D = 2, 1536, 64
+    sq, zq, sk, zk, sv, zv = 0.02, 3, 0.03, -2, 0.05, 0
+    sp, zp_p = 1 / 255., -128
+    rng = np.random.default_rng(3)
+    q = rng.integers(-100, 100, size=(BH, N, D)).astype(np.int8)
+    kt = rng.integers(-100, 100, size=(BH, D, N)).astype(np.int8)
+    v = rng.integers(-100, 100, size=(BH, N, D)).astype(np.int8)
+
+    out = np.asarray(fused_attention(
+        q, kt, v, scaling=1 / 8., sq=sq, zq=zq, sk=sk, zk=zk, sv=sv,
+        zv=zv, sp=sp, zp_p=zp_p, bit_width=8,
+        interpret=jax.default_backend() == "cpu"))
+    expect = np.zeros((BH, N, D), np.float32)
+    for b in range(BH):
+        acc, scale, zp = q_matmul(jnp.asarray(q[b].astype(np.int64)),
+                                  np.float32(sq), np.int64(zq),
+                                  jnp.asarray(kt[b].astype(np.int64)),
+                                  np.float32(sk), np.int64(zk), bit_width=8)
+        s = np.asarray(dq_(acc, scale, zp)) * np.float32(1 / 8.)
+        e = np.exp(s - s.max(-1, keepdims=True))
+        probs = (e / e.sum(-1, keepdims=True)).astype(np.float32)
+        pq = np.asarray(q_(probs, 8, np.float32(sp), np.int64(zp_p)))
+        acc2, scale2, zp2 = q_matmul(jnp.asarray(pq), np.float32(sp),
+                                     np.int64(zp_p),
+                                     jnp.asarray(v[b].astype(np.int64)),
+                                     np.float32(sv), np.int64(zv),
+                                     bit_width=8)
+        expect[b] = np.asarray(dq_(acc2, scale2, zp2))
+    np.testing.assert_allclose(out, expect, atol=2e-2)
+    assert np.mean(np.abs(out - expect)) < 2e-3
