@@ -105,6 +105,18 @@ def unpack_splitk_np(packed: np.ndarray, bits: int, k: int) -> np.ndarray:
     return np.concatenate(segs, axis=0)[:k].astype(np.int8)
 
 
+def unpack_stacked_np(planes: np.ndarray, bits: int, k: int) -> np.ndarray:
+    """Host-side inverse of the TP-stacked layout
+    (tensor.pack_qtensor shards>1): [S, KR_local, N] -> int8[K, N]."""
+    planes = np.asarray(planes)
+    s, n = planes.shape[0], planes.shape[2]
+    kl = -(-k // s)
+    if bits == 8:
+        return planes.astype(np.int8).reshape(s * kl, n)[:k]
+    segs = [unpack_splitk_np(planes[t], bits, kl) for t in range(s)]
+    return np.concatenate(segs, axis=0)[:k]
+
+
 def unpack_splitk(packed, bits: int, k: int):
     """jnp inverse of pack_splitk (interpret-mode tests; the fused
     matmul kernel unpacks per sub-dot and never builds [K, N])."""

@@ -1271,8 +1271,28 @@ class QModel(Model):
         """Switch 2-D symmetric MatMul weights to packed storage
         (kernels/pack.py; split-K layout for bits 1/2/4/8, bit-planes
         for odd widths): exactly bit_width bits per value in HBM.
-        Returns the number of packed weights."""
+        Returns the number of packed weights.
+
+        Under a tensor-parallel mesh, a weight the sharding rules
+        row-(K-)shard re-packs per device into the stacked layout
+        (tensor.pack_qtensor shards=...), so TP memory scales for
+        row-sharded payloads too instead of silently replicating."""
         from .tensor import pack_qtensor
+
+        def _row_shards(name: str) -> int:
+            """Mesh size of the model axis if the rules row-shard this
+            2-D weight, else 1."""
+            rules = getattr(self, "_shard_rules", None)
+            if self.mesh is None or rules is None:
+                return 1
+            m_ax = getattr(self, "model_axis", "model")
+            if m_ax not in self.mesh.axis_names or self.mesh.shape[m_ax] < 2:
+                return 1
+            parts = tuple(rules(name, 2))
+            if parts and parts[0] == m_ax \
+                    and all(p is None for p in parts[1:]):
+                return self.mesh.shape[m_ax]
+            return 1
 
         packed = 0
         for value in self.values:
@@ -1288,7 +1308,9 @@ class QModel(Model):
                     n.op in ("MatMul", "MatMulSplit") and len(n.inputs) > 1
                     and n.inputs[1] is value for n in value.outputs):
                 continue
-            value.data = pack_qtensor(qt)
+            shards = _row_shards(value.name) if qt.bit_width in (1, 2, 4, 8) \
+                else 1
+            value.data = pack_qtensor(qt, shards=shards)
             packed += 1
         self._jit_cache.clear()
         self._sharded_param_cache = None

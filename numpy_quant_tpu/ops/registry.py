@@ -67,10 +67,14 @@ def _attention_shard_spec(batch_dim_size: int, num_heads: int, ndim: int):
 def _packed_matmul(a: QTensor, b: PackedQTensor) -> FTensor:
     """Quantized activation x packed sub-byte weight -> dequantized f32,
     via the fused Pallas kernel (kernels/qmatmul.py). Falls back to the
-    generic path when the activation carries a tensor zero point."""
+    generic path when the activation carries a tensor zero point or the
+    payload is the TP-stacked layout (whose unpack is shard-local XLA;
+    the GSPMD dot then contracts per device and psums)."""
     import jax
 
-    if a.zero_point is not None and getattr(a.zero_point, "ndim", 0) > 0:
+    if b.layout == "splitk_stacked" \
+            or (a.zero_point is not None
+                and getattr(a.zero_point, "ndim", 0) > 0):
         return a.matmul(b.unpack()).dequantize()
     from ..kernels.qmatmul import packed_qmatmul, splitk_qmatmul
 

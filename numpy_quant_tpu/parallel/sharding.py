@@ -48,8 +48,10 @@ def param_shardings(model, mesh: Mesh, rules=None) -> dict:
     weight: N is the last axis of both packed layouts (split-K
     uint8[KR, N], bit-planes uint8[b, K/8, N]) and of the [1, N]
     colsum, so each device stores only its slice of the sub-byte
-    payload. Row-(K-)sharding cannot map onto packed bytes (packed rows
-    interleave split-K segments / bit groups), so those replicate.
+    payload. Row-(K-)sharded weights use the STACKED layout
+    ([S, KR_local, N], one independently packed row group per device --
+    QModel.pack_weights re-packs per shard): the leading axis shards
+    over the model axis, the global colsum replicates.
     """
     from ..graph import Constant
     from ..tensor import PackedQTensor
@@ -68,6 +70,13 @@ def param_shardings(model, mesh: Mesh, rules=None) -> dict:
             # PartitionSpec entries bind to LEADING axes: a full-rank
             # (None, axis) spec is column-sharding; a short P(axis)
             # binds axis 0 (row-sharding) and must replicate
+            if pq is not None and pq.layout == "splitk_stacked":
+                row_ax = parts[0] if parts else None
+                out[name] = (
+                    NamedSharding(mesh, P(row_ax, None, None)),
+                    NamedSharding(mesh, P()),
+                )
+                continue
             col_sharded = (pq is not None and len(parts) == 2
                            and parts[0] is None and parts[1] is not None)
             if col_sharded:

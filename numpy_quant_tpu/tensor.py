@@ -346,6 +346,13 @@ class PackedQTensor:
         kernel runs r sub-dots on x's contiguous column blocks --
         3 VPU ops of unpacking per sub-dot, no relayout.
       * "bitplanes" (any bits, incl. 3/5/6/7): uint8[b, K/8, N].
+      * "splitk_stacked" (bits 1/2/4/8): [S, KR_local, N] -- S
+        independently packed row groups, one per tensor-parallel
+        device. A row-(K-)sharded weight cannot slice its flat split-K
+        payload (packed rows interleave K segments), so under TP the
+        payload re-packs per shard at pack time and the leading axis
+        shards over the model mesh axis: each device stores only its
+        K/S rows' bytes.
 
     Only 2-D symmetric weights (MatMul rhs) pack; the fused Pallas
     kernel (kernels/qmatmul.py) unpacks tiles in VMEM on the fly.
@@ -373,7 +380,27 @@ class PackedQTensor:
     def unpack(self) -> QTensor:
         from .kernels.pack import unpack_bitplanes, unpack_splitk
         from .quantization import container_int_dtype, x64_enabled
-        if self.layout == "splitk":
+        if self.layout == "splitk_stacked":
+            # per-shard unpack; every op is shard-local under GSPMD
+            # (elementwise / concat+reshape off the sharded axis), so a
+            # [S, ...] payload sharded on axis 0 unpacks WITHOUT
+            # gathering: the result rows land sharded P(model) exactly
+            # like the unpacked TP weight
+            s = self.planes.shape[0]
+            kl = -(-self.k // s)
+            if self.bit_width == 8:
+                vals = self.planes.reshape(s * kl, self.n)[:self.k]
+            else:
+                r = 8 // self.bit_width
+                mask = (1 << self.bit_width) - 1
+                offset = 1 << (self.bit_width - 1)
+                p = self.planes.astype(jnp.int32)
+                segs = [((p >> (j * self.bit_width)) & mask) - offset
+                        for j in range(r)]
+                cat = jnp.concatenate(segs, axis=1)  # [S, r*KR_local, N]
+                vals = cat[:, :kl, :].reshape(s * kl, self.n)[:self.k] \
+                    .astype(jnp.int8)
+        elif self.layout == "splitk":
             vals = self.planes if self.bit_width == 8 else \
                 unpack_splitk(self.planes, self.bit_width, self.k)
         else:
@@ -390,16 +417,36 @@ class PackedQTensor:
                 f"bit_width={self.bit_width}, layout={self.layout!r})")
 
 
-def pack_qtensor(qt: QTensor) -> PackedQTensor:
+def pack_qtensor(qt: QTensor, shards: int = 1) -> PackedQTensor:
     """QTensor (2-D, symmetric) -> packed weight. bits 1/2/4/8 use the
     split-K layout (kernel-friendly); odd widths fall back to
-    bit-planes."""
+    bit-planes.
+
+    ``shards > 1``: pack each of S contiguous row groups independently
+    into a stacked [S, KR_local, N] payload whose leading axis can
+    shard over a tensor-parallel mesh axis (row-sharded weights; a flat
+    split-K payload cannot be row-sliced). bits 1/2/4/8 only."""
     from .kernels.pack import pack_bitplanes, pack_splitk
     assert qt.zero_point is None, "only symmetric weights pack"
     data = np.asarray(qt.data)
     assert data.ndim == 2, "only 2-D weights pack"
     k, n = data.shape
     colsum = data.astype(np.int64).sum(axis=0, keepdims=True).astype(np.int32)
+    if shards > 1 and qt.bit_width in (1, 2, 4, 8):
+        kl = -(-k // shards)
+        padded = data.astype(np.int32)
+        if shards * kl != k:
+            # pad rows encode value 0: contribute nothing to dots/colsum
+            padded = np.concatenate(
+                [padded, np.zeros((shards * kl - k, n), np.int32)], axis=0)
+        if qt.bit_width == 8:
+            payload = padded.astype(np.int8).reshape(shards, kl, n)
+        else:
+            payload = np.stack([pack_splitk(padded[t * kl:(t + 1) * kl],
+                                            qt.bit_width)
+                                for t in range(shards)])
+        return PackedQTensor(payload, colsum, k, n, qt.bit_width, qt.scale,
+                             layout="splitk_stacked")
     if qt.bit_width == 8:
         return PackedQTensor(data.astype(np.int8), colsum, k, n,
                              qt.bit_width, qt.scale, layout="splitk")

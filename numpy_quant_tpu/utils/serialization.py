@@ -152,9 +152,15 @@ def import_onnx_quantized(model_proto: O.ModelProto, tensor_meta: dict):
         arr = O.to_array(t)
         meta = tensor_meta.get(t.name)
         if meta is not None and meta.get("packed"):
-            from ..kernels.pack import unpack_bitplanes_np, unpack_splitk_np
+            from ..kernels.pack import (
+                unpack_bitplanes_np, unpack_splitk_np, unpack_stacked_np)
             layout = meta.get("layout", "bitplanes")
-            if layout == "splitk":
+            if layout == "splitk_stacked":
+                planes = arr.astype(np.int8) if meta["bit_width"] == 8 \
+                    else arr.astype(np.uint8)
+                vals = unpack_stacked_np(planes, meta["bit_width"],
+                                         meta["k"])
+            elif layout == "splitk":
                 planes = arr.astype(np.int8) if meta["bit_width"] == 8 \
                     else arr.astype(np.uint8)
                 vals = planes if meta["bit_width"] == 8 else \
@@ -238,7 +244,8 @@ def export_qdq(qmodel: QModel, source_onnx: O.ModelProto) -> O.ModelProto:
     Requires bit_width <= 8 (int8 QDQ zero points; 16-bit QDQ needs
     opset 21).
     """
-    from ..kernels.pack import unpack_bitplanes_np, unpack_splitk_np
+    from ..kernels.pack import (
+        unpack_bitplanes_np, unpack_splitk_np, unpack_stacked_np)
     from ..tensor import PackedQTensor
 
     assert qmodel.bit_width <= 8, "QDQ export needs bit_width <= 8"
@@ -254,7 +261,10 @@ def export_qdq(qmodel: QModel, source_onnx: O.ModelProto) -> O.ModelProto:
         v = qconst.get(init.name)
         data = getattr(v, "data", None)
         if isinstance(data, PackedQTensor):
-            if data.layout == "splitk":
+            if data.layout == "splitk_stacked":
+                vals = unpack_stacked_np(np.asarray(data.planes),
+                                         data.bit_width, data.k)
+            elif data.layout == "splitk":
                 vals = np.asarray(data.planes, np.int8) \
                     if data.bit_width == 8 else \
                     unpack_splitk_np(np.asarray(data.planes),
