@@ -1,0 +1,207 @@
+"""Hardware kernel conformance checks on the REAL TPU chip.
+
+The fast suite runs every Pallas kernel in interpret mode on CPU, which
+misses hardware layout bugs (the round-1 bit-plane K-padding corruption
+was only visible on the chip). This script runs the kernels on the real
+device against the exact integer oracles and records a per-round
+artifact:
+
+    python extras/hw_kernel_checks.py --json KERNELS_r03.json
+
+Checks: split-K packed matmul (bits 2/4/8, unaligned shapes), bit-plane
+kernel padding regression, fused head-split attention (exact + fast
+serving paths), and the blockwise long-sequence attention grid.
+Used by tests/long_running/test_kernels_tpu.py (NQ_RUN_TPU=1) in a
+fresh subprocess (tests/conftest.py pins the suite to CPU).
+"""
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main(json_path=None):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    assert jax.devices()[0].platform != "cpu", jax.devices()
+    jax.config.update("jax_compilation_cache_dir", "/tmp/nq_tpu_jaxcache")
+
+    import numpy_quant_tpu.quantization as Q
+    from numpy_quant_tpu.kernels import (pack_bitplanes, pack_splitk,
+                                         packed_qmatmul, splitk_qmatmul)
+    from numpy_quant_tpu.kernels.attention import fused_attention_hs
+
+    rng = np.random.default_rng(0)
+    checks = []
+
+    def record(name, fn):
+        t0 = time.time()
+        fn()
+        checks.append({"check": name,
+                       "seconds": round(time.time() - t0, 2)})
+        print(f"{name} OK", flush=True)
+
+    # ---- split-K packed matmul vs the exact integer chain
+    def splitk_check(bits):
+        def run():
+            M, K, N = 160, 200, 140  # unaligned: exercises padding
+            x = (rng.random((M, K)).astype(np.float32) - 0.4) * 3
+            w = (rng.random((K, N)).astype(np.float32) - 0.5) * 2
+
+            def mn(v):
+                return (np.minimum(v.min(), np.float32(0)),
+                        np.maximum(v.max(), np.float32(0)))
+
+            sx, zx = Q.quant_parameters(*mn(x), bits, True)
+            sw, _ = Q.quant_parameters(*mn(w), bits, False)
+            qx = np.asarray(Q.quantize(x, bits, sx, zx))
+            qw = np.asarray(Q.quantize(w, bits, sw, None))
+            acc, s, zp = Q.q_matmul(qx, sx, zx, qw, sw, None, bit_width=bits)
+            desired = np.asarray(Q.dequantize(
+                np.asarray(acc), s, None if zp is None else np.asarray(zp)))
+            payload = qw.astype(np.int8) if bits == 8 else \
+                pack_splitk(qw.astype(np.int32), bits)
+            colsum = qw.sum(axis=0, keepdims=True).astype(np.int32)
+            y = np.asarray(splitk_qmatmul(
+                jnp.asarray(x), jnp.asarray(payload), jnp.asarray(colsum),
+                None, bits=bits, bit_width=bits, x_scale=float(sx),
+                x_zp=int(zx), w_scale=float(sw)))
+            np.testing.assert_allclose(y, desired, atol=5e-4)
+        return run
+
+    for bits in (2, 4, 8):
+        record(f"splitk_bits{bits}", splitk_check(bits))
+
+    # ---- bit-plane kernel K/N-padding regression
+    def bitplanes_check():
+        bits = 3
+        M, K, N = 40, 70, 50
+        qw = rng.integers(-4, 4, size=(K, N)).astype(np.int32)
+        x = (rng.random((M, K)).astype(np.float32) - 0.5)
+        sx, zx = Q.quant_parameters(np.float32(x.min()),
+                                    np.float32(x.max()), 8, True)
+        qx = np.asarray(Q.quantize(x, 8, sx, zx))
+        acc, s, zp = Q.q_matmul(qx, sx, zx, qw, np.float32(0.01), None,
+                                bit_width=8)
+        desired = np.asarray(Q.dequantize(
+            np.asarray(acc), s, None if zp is None else np.asarray(zp)))
+        planes = pack_bitplanes(qw, bits)
+        colsum = qw.sum(axis=0, keepdims=True).astype(np.int32)
+        y = np.asarray(packed_qmatmul(
+            jnp.asarray(x), jnp.asarray(planes), jnp.asarray(colsum), None,
+            bits=bits, bit_width=8, x_scale=float(sx), x_zp=int(zx),
+            w_scale=0.01, block_m=32, block_n=128, block_k=128))
+        np.testing.assert_allclose(y, desired, atol=5e-4)
+
+    record("bitplanes_padding", bitplanes_check)
+
+    # ---- fused head-split attention (exact path) vs the integer chain
+    sq, zq, sk, zk, sv, zv = 0.02, 3, 0.03, -2, 0.05, 4
+    sp, zp_p = 1 / 255., -128
+    res_s, res_zp = 0.04, -5
+
+    def ref_head(qh, kh, vh, scaling, requant=True):
+        acc, s, zp = Q.q_matmul(qh, sq, zq, kh.T, sk, zk, bit_width=8)
+        sc = np.asarray(Q.dequantize(np.asarray(acc), s,
+                                     np.asarray(zp))) * scaling
+        e = np.exp(sc - sc.max(-1, keepdims=True))
+        probs = e / e.sum(-1, keepdims=True)
+        pq = np.asarray(Q.quantize(probs, 8, sp, zp_p))
+        acc2, s2, zp2 = Q.q_matmul(pq, sp, zp_p, vh, sv, zv, bit_width=8)
+        ctx = np.asarray(Q.dequantize(np.asarray(acc2), np.asarray(s2),
+                                      np.asarray(zp2)))
+        if requant:
+            return np.asarray(Q.quantize(ctx, 8, res_s, res_zp))
+        return ctx
+
+    def attention_check():
+        B, N_, H, D = 8, 29, 2, 64  # N deliberately unaligned
+        hd = H * D
+        xq = jnp.asarray(rng.integers(-128, 128, (B, N_, hd), np.int64),
+                         jnp.int8)
+        xk = jnp.asarray(rng.integers(-128, 128, (B, N_, hd), np.int64),
+                         jnp.int8)
+        xv = jnp.asarray(rng.integers(-128, 128, (B, N_, hd), np.int64),
+                         jnp.int8)
+        y = np.asarray(fused_attention_hs(
+            xq, xk, xv, num_heads=H, scaling=0.125, sq=sq, zq=zq, sk=sk,
+            zk=zk, sv=sv, zv=zv, sp=sp, zp_p=zp_p, bit_width=8,
+            out_requant=(res_s, res_zp), fast=False))
+        for b in range(B):
+            for h in range(H):
+                sl = slice(h * D, (h + 1) * D)
+                ref = ref_head(np.asarray(xq[b, :, sl], np.int64),
+                               np.asarray(xk[b, :, sl], np.int64),
+                               np.asarray(xv[b, :, sl], np.int64), 0.125)
+                np.testing.assert_array_equal(
+                    y[b, :, sl].astype(np.int64), ref)
+
+    record("fused_attention_hs", attention_check)
+
+    # ---- blockwise long-sequence attention grid on hardware:
+    # bit-identical to the monolithic kernel at a size both can run,
+    # and correct vs the integer chain at a size ONLY blockwise can
+    def blockwise_check():
+        B, N_, H, D = 2, 200, 2, 64
+        hd = H * D
+        xq = jnp.asarray(rng.integers(-128, 128, (B, N_, hd), np.int64),
+                         jnp.int8)
+        xk = jnp.asarray(rng.integers(-128, 128, (B, N_, hd), np.int64),
+                         jnp.int8)
+        xv = jnp.asarray(rng.integers(-128, 128, (B, N_, hd), np.int64),
+                         jnp.int8)
+        kw = dict(num_heads=H, scaling=0.125, sq=sq, zq=zq, sk=sk, zk=zk,
+                  sv=sv, zv=zv, sp=sp, zp_p=zp_p, bit_width=8)
+        mono = np.asarray(fused_attention_hs(xq, xk, xv, **kw))
+        blocked = np.asarray(fused_attention_hs(xq, xk, xv, block_q=64,
+                                                **kw))
+        np.testing.assert_array_equal(mono, blocked)
+
+    record("blockwise_attention_parity", blockwise_check)
+
+    def blockwise_long_check():
+        B, N_, H, D = 1, 4096, 2, 64  # monolithic cannot allocate VMEM
+        hd = H * D
+        xq = jnp.asarray(rng.integers(-128, 128, (B, N_, hd), np.int64),
+                         jnp.int8)
+        xk = jnp.asarray(rng.integers(-128, 128, (B, N_, hd), np.int64),
+                         jnp.int8)
+        xv = jnp.asarray(rng.integers(-128, 128, (B, N_, hd), np.int64),
+                         jnp.int8)
+        y = np.asarray(fused_attention_hs(
+            xq, xk, xv, num_heads=H, scaling=0.125, sq=sq, zq=zq, sk=sk,
+            zk=zk, sv=sv, zv=zv, sp=sp, zp_p=zp_p, bit_width=8))
+        h = 0
+        sl = slice(h * D, (h + 1) * D)
+        ref = ref_head(np.asarray(xq[0, :, sl], np.int64),
+                       np.asarray(xk[0, :, sl], np.int64),
+                       np.asarray(xv[0, :, sl], np.int64), 0.125,
+                       requant=False)
+        err = np.abs(y[0, :, sl] - ref)
+        assert err.mean() < 2e-3 and err.max() < 5e-2, (err.mean(),
+                                                       err.max())
+
+    record("blockwise_attention_n4096", blockwise_long_check)
+
+    print("ALL_OK", flush=True)
+    if json_path:
+        artifact = {
+            "ok": True,
+            "device": str(jax.devices()[0]),
+            "checks": checks,
+        }
+        with open(json_path, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"wrote {json_path}")
+
+
+if __name__ == "__main__":
+    path = None
+    if "--json" in sys.argv:
+        path = sys.argv[sys.argv.index("--json") + 1]
+    main(path)

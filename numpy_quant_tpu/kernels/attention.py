@@ -123,7 +123,8 @@ def _attention_kernel(q_ref, kt_ref, v_ref, o_ref, *, n_real, d_real,
 
 def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
                          d, scaling, sq, zq, sk, zk, sv, zv, sp, zp_p,
-                         bit_width, out_requant, hijack, fast):
+                         bit_width, out_requant, hijack, fast,
+                         score_max=None):
     """Head-splitting kernel body: G batch rows per grid step, heads
     unrolled, NT score dots on 64-lane head slices -- no XLA-side head
     reshuffles or d-padding at all.
@@ -163,6 +164,16 @@ def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
         col1 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_lane), 2)
         c2 = np.float32(np.float32(sq * sk) * np.float32(scaling)
                         * np.float32(np.log2(np.e)))
+        # STATIC exp2 shift from the calibrated score max: softmax is
+        # shift-invariant, so subtracting a constant (folded into the
+        # percol broadcast row that is added anyway) replaces the
+        # per-row max REDUCE pass over every [rows, n_lane] score tile.
+        # A clamp at +80 keeps e finite (sum <= n * 2^80 << f32 max)
+        # even for scores far beyond the calibrated range, so the only
+        # distortion on pathological data is saturation, never NaN.
+        static_shift = None
+        if score_max is not None:
+            static_shift = np.float32(score_max * np.float32(np.log2(np.e)))
 
     for h in range(num_heads):
         sl = slice(h * d, (h + 1) * d)
@@ -177,6 +188,8 @@ def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
             #   s = (raw - cs*zq) * c + mask  ==  raw*c + (mask - cs*zq*c)
             # (the zk per-ROW term is a row shift -- softmax-invariant,
             # dropped entirely on this fp-tolerance path)
+            base = np.float32(0.0) if static_shift is None \
+                else -static_shift
             if zq != 0:
                 cs = jax.lax.slice_in_dim(raw, n_real, n_real + 1, axis=1) \
                     if hijack else \
@@ -184,13 +197,24 @@ def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
                     .transpose(0, 2, 1)
                 percol = jnp.where(col1 < n_real,
                                    cs.astype(jnp.float32)
-                                   * np.float32(-zq * c2), -jnp.inf)
+                                   * np.float32(-zq * c2) + base, -jnp.inf)
             else:
-                percol = jnp.where(col1 < n_real, 0.0, -jnp.inf)
+                percol = jnp.where(col1 < n_real, base, -jnp.inf)
                 percol = jnp.broadcast_to(percol, (g, 1, n_lane))
             s = raw.astype(jnp.float32) * c2 + percol
-            m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp2(s - m)
+            if static_shift is not None:
+                # no per-row max reduce: the static shift already
+                # centers calibrated-range scores at <= 0 bits. Clamp
+                # keeps every row NaN-free: +80 bounds overflow for
+                # scores beyond calibration, -120 stops a whole row of
+                # far-below-max scores underflowing its exp-sum to 0.
+                # Mask columns clamp to 2^-120, which quantizes to
+                # prob 0 for any non-degenerate row.
+                e = jnp.exp2(jnp.clip(s, np.float32(-120.0),
+                                      np.float32(80.0)))
+            else:
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp2(s - m)
             r = 1.0 / (jnp.sum(e, axis=-1, keepdims=True) * np.float32(sp))
             pq = e * r + np.float32(zp_p)
             if need_lo or need_hi:
@@ -283,11 +307,12 @@ _BLOCKWISE_N = 1024
     jax.jit,
     static_argnames=("num_heads", "scaling", "sq", "zq", "sk", "zk", "sv",
                      "zv", "sp", "zp_p", "bit_width", "out_requant",
-                     "fast", "block_q", "interpret"))
+                     "fast", "score_max", "block_q", "interpret"))
 def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
                        sq: float, zq: int, sk: float, zk: int, sv: float,
                        zv: int, sp: float, zp_p: int, bit_width: int = 8,
                        out_requant: tuple | None = None, fast: bool = False,
+                       score_max: float | None = None,
                        block_q: int | None = None,
                        interpret: bool = False):
     """Head-splitting fused attention: xq/xk/xv are [B, N, H*D] int8 --
@@ -312,7 +337,8 @@ def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
             xq, xk, xv, num_heads=num_heads, scaling=scaling, sq=sq, zq=zq,
             sk=sk, zk=zk, sv=sv, zv=zv, sp=sp, zp_p=zp_p,
             bit_width=bit_width, out_requant=out_requant, fast=fast,
-            block_q=block_q or 256, interpret=interpret)
+            score_max=score_max, block_q=block_q or 256,
+            interpret=interpret)
     hijack = n_lane > n  # a pad row exists to plant the ones vectors in
     # query rows only need sublane alignment (8), not 128 -- ~22% less
     # VPU work on the [rows, n_lane] score tensors for ViT's N=197
@@ -344,7 +370,8 @@ def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
         out_requant=None if out_requant is None else
         (np.float32(out_requant[0]),
          None if out_requant[1] is None else np.float32(out_requant[1])),
-        hijack=hijack, fast=fast)
+        hijack=hijack, fast=fast,
+        score_max=None if score_max is None else np.float32(score_max))
 
     # G batch rows per grid step amortizes the per-step fixed cost
     # (mask/iota builds, op dispatch) over G images; per-head VPU score
@@ -381,7 +408,8 @@ def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
 
 def _fused_attention_hs_blockq(xq, xk, xv, *, num_heads, scaling, sq, zq,
                                sk, zk, sv, zv, sp, zp_p, bit_width,
-                               out_requant, fast, block_q, interpret):
+                               out_requant, fast, score_max, block_q,
+                               interpret):
     """Blockwise (flash-style) grid for long sequences: q rows stream
     in block_q tiles, K/V stay whole in VMEM per batch row. The kernel
     BODY is the same ``_attention_hs_kernel`` with hijack=False -- its
@@ -414,7 +442,8 @@ def _fused_attention_hs_blockq(xq, xk, xv, *, num_heads, scaling, sq, zq,
         out_requant=None if out_requant is None else
         (np.float32(out_requant[0]),
          None if out_requant[1] is None else np.float32(out_requant[1])),
-        hijack=False, fast=fast)
+        hijack=False, fast=fast,
+        score_max=None if score_max is None else np.float32(score_max))
 
     # VMEM per grid step: K+V whole (g*n_lane*hd int8 each), the q/out
     # tiles, and ~3 f32 [bq, n_lane] score temps per unrolled head

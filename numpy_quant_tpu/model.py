@@ -957,6 +957,18 @@ class QModel(Model):
                      "probs_scale": float(np.float32(probs_qp.scale)),
                      "probs_zero_point": 0 if probs_qp.zero_point is None
                      else int(probs_qp.zero_point)}
+            # calibrated max of the softmax INPUT: the fast serving
+            # kernel uses it as a STATIC exp2 shift instead of the
+            # per-row max-subtract reduce pass (softmax is shift-
+            # invariant; a clamp keeps pathological out-of-calibration
+            # scores finite) -- kernels/attention.py fast path
+            sm_in_qp = self.quant_params.get(sm.inputs[0].name)
+            if sm_in_qp is not None and sm_in_qp.zero_point is not None \
+                    and getattr(sm_in_qp.scale, "ndim", 0) == 0:
+                qmax = 2.0 ** (self.bit_width - 1) - 1
+                attrs["score_max"] = float(
+                    (qmax - int(sm_in_qp.zero_point))
+                    * np.float32(sm_in_qp.scale))
 
             # -- try the head-splitting superset pattern --------------
             hs = self._match_attention_hs(mm1, mm2, producer, consumers)
@@ -1120,7 +1132,12 @@ class QModel(Model):
             self.quant_params[mname] = QuantizationParams(scale_vec, None)
 
             fnode = Node(f"{nodes[0].name}/merged", "MatMulSplit",
-                         {"segments": segs, "segment_scales": seg_scales},
+                         {"segments": segs, "segment_scales": seg_scales,
+                          # original weight initializer names, so
+                          # export_qdq can re-slice per-initializer
+                          # int8 payloads out of the merged tensor
+                          "source_weights": [n.inputs[1].name
+                                             for n in nodes]},
                          [x_val, mconst],
                          [n.outputs[0] for n in nodes])
             mconst.outputs = [fnode]
@@ -1148,8 +1165,22 @@ class QModel(Model):
             self._dp_cache = None
             self._sharded_param_cache = None
             if self.mesh is not None:
-                # the merged '<node>/merged_w' params need sharding
-                # entries like pack_weights' payloads do
+                # merged '<node>/merged_w' params inherit the SOURCE
+                # weights' sharding rule (the group shares one spec --
+                # Q/K/V all column-shard), then refresh the shardings
+                rules = getattr(self, "_shard_rules", None)
+                if rules is not None:
+                    src_of = {}
+                    for node in self.nodes:
+                        if node.op == "MatMulSplit" \
+                                and "source_weights" in node.attrs:
+                            src_of[node.inputs[1].name] = \
+                                node.attrs["source_weights"][0]
+
+                    def rules2(name, ndim, _orig=rules, _map=src_of):
+                        return _orig(_map.get(name, name), ndim)
+
+                    self._shard_rules = rules2
                 from .parallel.sharding import param_shardings
                 self.parameter_shardings = param_shardings(
                     self, self.mesh, getattr(self, "_shard_rules", None))
@@ -1252,13 +1283,20 @@ class QModel(Model):
         exporter's graph is visible, not a silent perf cliff.
         ``verbose=True`` prints the failures."""
         fused = self.fuse_attention()
-        # merge_parallel_matmuls stays OPT-IN: on v5e the separate QKV
-        # dots already run near the practical dot ceiling and XLA
-        # declines to multi-output-fuse the wide dot's three epilogue
-        # chains, materializing the int32 accumulator to HBM -- measured
-        # 14% SLOWER end-to-end (BENCH_HISTORY.md round 2).
-        merged = self.merge_parallel_matmuls() \
-            if getattr(self, "_opt_merge_matmuls", False) else 0
+        # merge_parallel_matmuls is regime-gated on measured evidence
+        # (BENCH_HISTORY.md round 3 experiment): at full single-chip
+        # width (N=768) the wide dot is 1.66x SLOWER (XLA materializes
+        # the int32 accumulator for the 3-consumer split), but at the
+        # per-device widths TP produces it WINS (0.97x at N/tp=384,
+        # 0.89x at N/tp=96 -- narrow dots underfeed the 128-wide MXU).
+        # Auto-enable under a tensor-parallel mesh; `_opt_merge_matmuls`
+        # (True/False) still forces either way.
+        flag = getattr(self, "_opt_merge_matmuls", None)
+        m_ax = getattr(self, "model_axis", "model")
+        tp = self.mesh.shape[m_ax] if self.mesh is not None \
+            and m_ax in getattr(self.mesh, "axis_names", ()) else 1
+        do_merge = flag if flag is not None else tp >= 2
+        merged = self.merge_parallel_matmuls() if do_merge else 0
         planned = self.int8_dataflow()
         failures = list(self.fusion_report["failures"])
         if verbose:

@@ -609,6 +609,8 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         operands = (xq.data.astype(jnp.int8), xk.data.astype(jnp.int8),
                     xv.data.astype(jnp.int8))
 
+        score_max = attrs.get("score_max")
+
         def call(q_, k_, v_, heads=num_heads):
             return fused_attention_hs(
                 q_, k_, v_,
@@ -616,6 +618,7 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
                 # fp-tolerance serving mode (bfloat16 float segments):
                 # fewer-VPU-passes softmax; f32 keeps the bit-exact path
                 fast=_config.float_dtype == jnp.bfloat16,
+                score_max=None if score_max is None else float(score_max),
                 scaling=float(attrs["scaling"]),
                 sq=float(np.float32(xq.scale)), zq=zp_of(xq),
                 sk=float(np.float32(xk.scale)), zk=zp_of(xk),

@@ -254,12 +254,49 @@ def export_qdq(qmodel: QModel, source_onnx: O.ModelProto) -> O.ModelProto:
     qconst = {v.name: v for v in qmodel.values if isinstance(v, Constant)}
     qp = qmodel.quant_params
 
+    # merge_parallel_matmuls removed the original weight Constants (the
+    # payload lives in '<node>/merged_w'): re-slice per-initializer
+    # QTensors out of the merged tensor so the export carries the SAME
+    # int8 weights the executor computes with (ADVICE r2: they used to
+    # silently export as plain float initializers).
+    merged_slices = {}
+    for node in qmodel.nodes:
+        if node.op != "MatMulSplit" or "source_weights" not in node.attrs:
+            continue
+        mdata = node.inputs[1].data
+        if isinstance(mdata, PackedQTensor):
+            if mdata.layout == "splitk_stacked":
+                vals = unpack_stacked_np(np.asarray(mdata.planes),
+                                         mdata.bit_width, mdata.k)
+            elif mdata.layout == "splitk":
+                vals = np.asarray(mdata.planes, np.int8) \
+                    if mdata.bit_width == 8 else \
+                    unpack_splitk_np(np.asarray(mdata.planes),
+                                     mdata.bit_width, mdata.k)
+            else:
+                vals = unpack_bitplanes_np(np.asarray(mdata.planes),
+                                           mdata.bit_width, mdata.k)
+            bw = mdata.bit_width
+        else:
+            vals = np.asarray(mdata.data)
+            bw = mdata.bit_width
+        start = 0
+        for name, seg, s in zip(node.attrs["source_weights"],
+                                node.attrs["segments"],
+                                node.attrs["segment_scales"]):
+            merged_slices[name] = QTensor(vals[:, start:start + seg], bw,
+                                          np.float32(s), None)
+            start += seg
+
     # ---- weights/biases -> int initializers + DequantizeLinear
     new_inits = []
     weight_dq_nodes = []
     for init in g.initializer:
         v = qconst.get(init.name)
         data = getattr(v, "data", None)
+        if data is None and init.name in merged_slices:
+            v = None
+            data = merged_slices[init.name]
         if isinstance(data, PackedQTensor):
             if data.layout == "splitk_stacked":
                 vals = unpack_stacked_np(np.asarray(data.planes),

@@ -40,29 +40,53 @@ def test_vit_base_all_values_vs_reference():
     compare_all_values(actual, desired, decimal=4)
 
 
-@slow
-def test_vit_base_quantized_label_parity():
-    """int8 vs float argmax agreement on ViT-Base
-    (reference: test/long_running/test_vit.py:167)."""
-    from transformers import ViTConfig
-
-    cfg = ViTConfig(num_labels=1000)
-    m = V.vit_image_classifier(config=cfg, batch_size=None, seed=0)
-    nq.onnx.make_dim_param_fixed(m.graph, "B", 4)
-    rng = np.random.default_rng(1)
-    x = (rng.normal(size=(4, 3, 224, 224)).astype(np.float32)) * 0.5
-
-    model = nq.Model.from_onnx(m)
-    logits = model([x])[0]
-    qmodel = model.quantize([x[:2]], bit_width=8, calibration_mode="eager")
-    qlogits = qmodel([x])[0]
-    assert np.mean(np.abs(qlogits - logits)) < 0.2
-    assert (qlogits.argmax(1) == logits.argmax(1)).mean() >= 0.75
-
-
 slow_any = pytest.mark.skipif(
     os.environ.get("NQ_RUN_SLOW") != "1",
     reason="set NQ_RUN_SLOW=1 to run")
+
+
+@slow_any
+@pytest.mark.parametrize("mode", ["int8", "w4a8"])
+def test_vit_base_trained_label_equality(mode):
+    """Task-level capstone at TRUE ViT-Base dimensions (hidden 768,
+    12 heads, 197 tokens): the committed TRAINED fixture
+    (models/fixtures/vit_base_trained.npz, held-out accuracy 0.99 on
+    the procedural grating task) must keep LABEL EQUALITY between the
+    float path and the quantized serving stack -- the exact headline
+    bench configuration: bf16 float segments + optimize() (fused
+    attention incl. the static-shift softmax + early int8) +
+    pack_weights(). int8 and W4A8 both.
+
+    This replaces the retired random-weights 0.75-argmax-agreement
+    test: trained weights make label equality a meaningful oracle
+    (reference capstone: test/long_running/test_vit.py:112-167)."""
+    from numpy_quant_tpu import config
+    from numpy_quant_tpu.models.fixtures import (
+        BASE_IMAGE_SIZE, make_batch, trained_vit_base_onnx)
+
+    m = trained_vit_base_onnx(batch_size=8)
+    model = nq.Model.from_onnx(m)
+    rng = np.random.default_rng(11)
+    x, labels = make_batch(rng, 8, image_size=BASE_IMAGE_SIZE)
+    xc, _ = make_batch(np.random.default_rng(12), 8,
+                       image_size=BASE_IMAGE_SIZE)
+
+    logits = model([x])[0]
+    float_pred = logits.argmax(1)
+    # the float path itself solves the task (sanity on the fixture)
+    assert (float_pred == labels).mean() >= 0.85
+
+    qkw = {} if mode == "int8" else \
+        {"weight_bit_width": 4, "per_channel_weights": True}
+    qmodel = model.quantize([xc], bit_width=8, calibration_mode="eager",
+                            **qkw)
+    qmodel.optimize()
+    assert qmodel.pack_weights() > 0
+    with config.low_precision_floats():
+        qmodel._jit_cache.clear()
+        qlogits = qmodel([x])[0]
+    qmodel._jit_cache.clear()
+    np.testing.assert_array_equal(qlogits.argmax(1), float_pred)
 
 
 @slow_any

@@ -669,3 +669,65 @@ def test_blockwise_attention_plain_long_sequence():
         expect[b] = np.asarray(dq_(acc2, scale2, zp2))
     np.testing.assert_allclose(out, expect, atol=2e-2)
     assert np.mean(np.abs(out - expect)) < 2e-3
+
+
+def test_fast_attention_static_shift_matches_max_subtract():
+    """The calibrated static exp2 shift (no per-row max reduce) equals
+    the max-subtracted fast softmax up to f32 rounding, and the exact
+    path ignores score_max entirely."""
+    from numpy_quant_tpu.kernels.attention import fused_attention_hs
+
+    B, N, H, D = 2, 29, 2, 64
+    rng = np.random.default_rng(5)
+    xq = rng.integers(-100, 100, size=(B, N, H * D)).astype(np.int8)
+    xk = rng.integers(-100, 100, size=(B, N, H * D)).astype(np.int8)
+    xv = rng.integers(-100, 100, size=(B, N, H * D)).astype(np.int8)
+    kw = dict(num_heads=H, scaling=0.125, sq=0.02, zq=3, sk=0.03, zk=-2,
+              sv=0.05, zv=4, sp=1 / 255., zp_p=-128, bit_width=8,
+              interpret=jax.default_backend() == "cpu")
+    # a realistic calibrated bound: the largest dequantized score
+    smax = 127 * 0.02 * 127 * 0.03 * 64 * 0.125
+    base = np.asarray(fused_attention_hs(xq, xk, xv, fast=True, **kw))
+    shifted = np.asarray(fused_attention_hs(xq, xk, xv, fast=True,
+                                            score_max=smax, **kw))
+    # same probs up to f32 rounding -> occasional one-step rint flips
+    # (the worst case: this test's shift sits ~112 bits above the
+    # actual row maxes, far harsher than calibrated stats would be)
+    close = np.isclose(base, shifted, atol=np.float32(0.05))
+    assert close.mean() > 0.995
+    assert np.mean(np.abs(base - shifted)) < 0.02
+
+    exact = np.asarray(fused_attention_hs(xq, xk, xv, fast=False, **kw))
+    exact2 = np.asarray(fused_attention_hs(xq, xk, xv, fast=False,
+                                           score_max=smax, **kw))
+    np.testing.assert_array_equal(exact, exact2)
+
+
+def test_fuse_attention_records_score_max():
+    """fuse_attention stores the calibrated softmax-input max so the
+    serving kernel can use the static-shift softmax."""
+    import numpy_quant_tpu as nq
+    from numpy_quant_tpu.models import vit as V
+
+    m = V.vit_self_attention(2, 10, 16, 4)
+    x = RNG.normal(size=(2, 10, 16)).astype(np.float32)
+    qmodel = nq.Model.from_onnx(m).quantize([x], bit_width=8)
+    assert qmodel.fuse_attention() == 1
+    fnode = [n for n in qmodel.nodes
+             if n.op in ("FusedAttention", "FusedAttentionHS")][0]
+    assert "score_max" in fnode.attrs
+    assert np.isfinite(fnode.attrs["score_max"])
+    # the fused executor still runs under the bf16 serving mode
+    from numpy_quant_tpu import config as nq_config
+    import jax.numpy as jnp
+    try:
+        nq_config.float_dtype = jnp.bfloat16
+        prev = nq_config.float_matmul_precision
+        nq_config.float_matmul_precision = jax.lax.Precision.DEFAULT
+        qmodel._jit_cache.clear()
+        out = qmodel([x])[0]
+        assert np.all(np.isfinite(out))
+    finally:
+        nq_config.float_dtype = jnp.float32
+        nq_config.float_matmul_precision = prev
+        qmodel._jit_cache.clear()

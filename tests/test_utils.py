@@ -327,3 +327,35 @@ def test_export_qdq_after_optimize_and_pack(tmp_path):
     a, b = expected, qdq([xv])[0]
     assert np.abs(a - b).mean() < 0.05, np.abs(a - b).mean()
     assert np.array_equal(a.argmax(1), b.argmax(1))
+
+
+def test_export_qdq_after_merge_parallel_matmuls(tmp_path):
+    """A merged QModel (MatMulSplit) exports its merged weights as
+    per-initializer int8 payloads sliced back out of the merged tensor
+    (ADVICE r2: they used to silently export as float initializers)."""
+    from numpy_quant_tpu.models import vit as V
+    from numpy_quant_tpu.utils import save_qmodel_qdq
+
+    rng = np.random.default_rng(3)
+    m = V.vit(2, 16, 4, 24, 16, 4)
+    x = rng.normal(size=(2, 3, 16, 16)).astype(np.float32)
+    model = nq.Model.from_onnx(m)
+    qmodel = model.quantize([x], bit_width=8)
+    assert qmodel.merge_parallel_matmuls() > 0
+    merged_out = qmodel([x])[0]
+    src_names = [n for node in qmodel.nodes if node.op == "MatMulSplit"
+                 for n in node.attrs["source_weights"]]
+    assert src_names
+
+    path = tmp_path / "merged_qdq.onnx"
+    save_qmodel_qdq(qmodel, path, m)
+    proto = nq.onnx.load(path)
+    init_names = {i.name for i in proto.graph.initializer}
+    # every source weight went out as an int8 payload + DQ scale
+    for name in src_names:
+        assert name + "/q" in init_names, name
+        assert name + "/q_scale" in init_names, name
+    qdq = nq.Model.from_onnx(proto)
+    a, b = merged_out, qdq([x])[0]
+    assert np.abs(a - b).mean() < 0.02, np.abs(a - b).mean()
+    assert np.array_equal(a.argmax(1), b.argmax(1))
