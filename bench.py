@@ -61,6 +61,10 @@ def main():
     mode = os.environ.get("NQ_TPU_BENCH_MODE", "int8")
     qkw = {} if mode == "int8" else \
         {"weight_bit_width": 4, "per_channel_weights": True}
+    if os.environ.get("NQ_TPU_BENCH_QCONV", "0") == "1":
+        # integer patch-embed conv (im2col + int8 MXU dot) instead of
+        # the bf16 float conv
+        qkw["quantize_conv"] = True
     if stats is not None:
         qmodel = model.quantize(bit_width=8, stats=stats, **qkw)
     else:

@@ -179,7 +179,11 @@ def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
         sl = slice(h * d, (h + 1) * d)
         qh, kh, vh = qa[:, :, sl], ka[:, :, sl], va[:, :, sl]
         # scores = q @ k^T (batched NT dot over the head lanes; the MXU
-        # int8 path accumulates int32 -- Mosaic rejects a float acc)
+        # int8 path accumulates int32 -- Mosaic rejects a float acc,
+        # and bf16 operands with f32 accumulation (exact for these
+        # values) measured 1% SLOWER end-to-end: the int32->f32 convert
+        # is already fused into the dequant multiply, so the bf16 dot's
+        # halved MXU rate buys nothing (BENCH_HISTORY.md round 3)
         raw = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
                                   preferred_element_type=jnp.int32)
         if fast:

@@ -414,11 +414,31 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
     elif op == "Identity":
         return [inputs[0].copy()]
     elif op == "LayerNormalization":
-        # Same decomposition as the reference
-        # (numpy_quant/model.py:134-152) for bit-compatible numerics.
         x, scale, bias = inputs[0], inputs[1], inputs[2] if len(inputs) > 2 else None
         axis = int(attrs.get("axis", -1))
         epsilon = float(attrs.get("epsilon", 1e-5))
+        from .. import config as _config
+        if isinstance(x, FTensor) and _config.float_dtype == jnp.bfloat16:
+            # fp-tolerance serving mode: ONE-PASS moments. Both reduces
+            # (sum x, sum x*x) read x once and fuse into a single XLA
+            # reduce kernel; the reference's two-pass form (mean, then
+            # var of the differences) re-reads the full activation for
+            # the second reduce. f32 accumulation keeps E[x^2] - mean^2
+            # well-conditioned at LN activation ranges.
+            import jax
+
+            xd = x.data.astype(jnp.float32)
+            mean = jnp.mean(xd, axis=axis, keepdims=True)
+            msq = jnp.mean(xd * xd, axis=axis, keepdims=True)
+            var = msq - mean * mean
+            inv = jax.lax.rsqrt(var + np.float32(epsilon))
+            y = (xd - mean) * inv
+            y = y.astype(x.data.dtype) * scale.data
+            if bias is not None:
+                y = y + bias.data
+            return [FTensor(y)]
+        # Same decomposition as the reference
+        # (numpy_quant/model.py:134-152) for bit-compatible numerics.
         mean = x.mean(axis=axis, keepdims=True)
         d = x + (-mean)
         dd = d * d
