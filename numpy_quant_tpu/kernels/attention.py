@@ -343,7 +343,13 @@ def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
             bit_width=bit_width, out_requant=out_requant, fast=fast,
             score_max=score_max, block_q=block_q or 256,
             interpret=interpret)
-    hijack = n_lane > n  # a pad row exists to plant the ones vectors in
+    # Both paths keep the ones-row hijack: the planted rows make the
+    # correction sums fall out of the SAME MXU dots. Computing the
+    # k-col-sums in-kernel instead (fast path, hijack off, q rows 200
+    # instead of 208) measured 10% SLOWER end-to-end -- the per-head
+    # reduces outweigh the saved select pass and rows
+    # (BENCH_HISTORY.md round 3; matches round 2's unpadded dead end).
+    hijack = n_lane > n
     # query rows only need sublane alignment (8), not 128 -- ~22% less
     # VPU work on the [rows, n_lane] score tensors for ViT's N=197
     n_sub = _round_up(n + 1, 8) if hijack else _round_up(n, 8)

@@ -1072,6 +1072,117 @@ class QModel(Model):
         dead = rq[2] + rk[2] + rv[2] + [tr_out, rs_out]
         return (rq[0], rk[0], rv[0], rs_out.outputs[0], rq[1], dead)
 
+    def fuse_gelu(self) -> int:
+        """Fuse the exporter's exact-GELU chain
+        Div(x, sqrt2) -> Erf -> Add(1) -> Mul(x, .) -> Mul(., 0.5)
+        into ONE FusedGelu node. In f32 exact mode the node replays the
+        identical op sequence (bit-exact); in the bf16 serving mode it
+        computes x * sigmoid(K1*x + K3*x^3) -- the tanh approximation
+        in sigmoid form, where the +1 / x0.5 fold into the logistic
+        identity 0.5*(1+tanh(z)) == sigmoid(2z) -- removing four full
+        VPU passes over the [tokens, intermediate] tensor inside the
+        MLP mega-fusion, which is VPU-bound (BENCH_HISTORY.md round 3).
+        Returns the number of fused chains."""
+        producer = {}
+        for node in self.nodes:
+            for out in node.outputs:
+                producer[out.name] = node
+
+        def consumers(value):
+            return [n for n in self.nodes if value in n.inputs]
+
+        def scalar_const(value):
+            """Scalar value the executor computes for this graph value:
+            a Constant NODE's attrs (exporters emit sqrt2/1/0.5 that
+            way -- exact), an initializer Constant, or its dequantized
+            value when the PTQ pass quantized the initializer."""
+            prod = producer.get(getattr(value, "name", None))
+            if prod is not None and prod.op == "Constant":
+                arr = np.asarray(prod.attrs["value"])
+                return float(arr.reshape(-1)[0]) if arr.size == 1 else None
+            if not isinstance(value, Constant) or value.data is None:
+                return None
+            d = value.data
+            arr = np.asarray(d.data)
+            if arr.size != 1:
+                return None
+            v = float(arr.reshape(-1)[0])
+            if isinstance(d, QTensor):
+                if d.zero_point is not None:
+                    v -= float(np.asarray(d.zero_point).reshape(-1)[0])
+                v *= float(np.float32(d.scale))
+            return v
+
+        fused = 0
+        for erf in [n for n in self.nodes if n.op == "Erf"]:
+            div = producer.get(erf.inputs[0].name)
+            if div is None or div.op not in ("Div", "Mul"):
+                continue
+            c = scalar_const(div.inputs[1])
+            via_div = div.op == "Div"
+            # the GELU constant (sqrt2 / its reciprocal), allowing the
+            # PTQ pass's int8 rounding of the scalar (up to ~1%)
+            target = np.sqrt(2.0) if via_div else 1 / np.sqrt(2.0)
+            if c is None or abs(c - target) > 0.02 * target:
+                continue
+            x_val = div.inputs[0]
+            cons = consumers(erf.outputs[0])
+            if len(cons) != 1 or cons[0].op != "Add":
+                continue
+            add = cons[0]
+            one_val = add.inputs[1] if add.inputs[0] is erf.outputs[0] \
+                else add.inputs[0]
+            one = scalar_const(one_val)
+            if one is None or abs(one - 1.0) > 0.01:
+                continue
+            cons2 = consumers(add.outputs[0])
+            if len(cons2) != 1 or cons2[0].op != "Mul":
+                continue
+            mul1 = cons2[0]
+            m_other = mul1.inputs[1] if mul1.inputs[0] is add.outputs[0] \
+                else mul1.inputs[0]
+            if m_other is not x_val:
+                continue
+            cons3 = consumers(mul1.outputs[0])
+            if len(cons3) != 1 or cons3[0].op != "Mul":
+                continue
+            mul2 = cons3[0]
+            half_val = mul2.inputs[1] if mul2.inputs[0] is mul1.outputs[0] \
+                else mul2.inputs[0]
+            half = scalar_const(half_val)
+            if half is None or abs(half - 0.5) > 0.005:
+                continue
+            if any(len(consumers(v)) != 1
+                   for v in (div.outputs[0], mul1.outputs[0])):
+                continue
+            # constants ride as INPUTS so the executor dequantizes them
+            # through the normal path -- the exact-mode replay is then
+            # bitwise identical in every numerics mode (f32 and x64)
+            fnode = Node(f"{mul2.name}/fused_gelu", "FusedGelu",
+                         {"via_div": via_div,
+                          # exactly-1/0.5 constants make the sigmoid
+                          # identity pure: y = x * sigmoid(z), no
+                          # affine correction passes
+                          "pure": one == 1.0 and half == 0.5},
+                         [x_val, div.inputs[1], one_val, half_val],
+                         [mul2.outputs[0]])
+            idx = self.nodes.index(mul2)
+            self.nodes[idx] = fnode
+            for dead in (div, erf, add, mul1):
+                self.nodes.remove(dead)
+            x_val.outputs = [fnode if n in (div, mul1) else n
+                             for n in x_val.outputs]
+            x_val.outputs = list(dict.fromkeys(x_val.outputs))
+            for cv in (div.inputs[1], one_val, half_val):
+                cv.outputs = [fnode if n in (div, add, mul2) else n
+                              for n in cv.outputs]
+                cv.outputs = list(dict.fromkeys(cv.outputs))
+            mul2.outputs[0].inputs = [fnode]
+            fused += 1
+        if fused:
+            self._jit_cache.clear()
+        return fused
+
     def merge_parallel_matmuls(self) -> int:
         """Horizontally fuse MatMul nodes that share the same activation
         input into ONE wide dot (weights concatenated along the
@@ -1297,13 +1408,15 @@ class QModel(Model):
             and m_ax in getattr(self.mesh, "axis_names", ()) else 1
         do_merge = flag if flag is not None else tp >= 2
         merged = self.merge_parallel_matmuls() if do_merge else 0
+        gelu = self.fuse_gelu()
         planned = self.int8_dataflow()
         failures = list(self.fusion_report["failures"])
         if verbose:
             for name, reason in failures:
                 print(f"optimize: Softmax {name!r} not fused: {reason}")
         return {"fuse_attention": fused, "merge_parallel_matmuls": merged,
-                "int8_dataflow": planned, "fusion_failures": failures}
+                "fuse_gelu": gelu, "int8_dataflow": planned,
+                "fusion_failures": failures}
 
     def pack_weights(self) -> int:
         """Switch 2-D symmetric MatMul weights to packed storage

@@ -42,17 +42,22 @@ def exact_erf(x):
     return sign * y  # erf(-x) = -erf(x)
 
 
-# Least-squares fit of erf(u)/u in powers of u^2 on [0, 2.4] (clamped to
-# +-1 outside, where erf is 1 to within 7e-4); odd symmetry is inherent
-# so no sign fold is needed. Max abs error 3.1e-3 over the whole line.
-_FAST_C = (1.1272116689247802, -0.3639503861912591, 0.09186081645735046,
-           -0.013149953799143601, 0.0007758552470874938)
+# tanh-form erf (the coefficients of the standard "tanh approximation"
+# of GELU, re-expressed for erf): erf(u) ~ tanh(t1*u + t3*u^3)
+# = 2*sigmoid(2*(t1*u + t3*u^3)) - 1. Max abs error 3.6e-4 over the
+# whole line -- 10x tighter than the previous degree-9 polynomial --
+# with ONE transcendental (XLA's native logistic) instead of a 5-term
+# Horner chain + clip. Measured faster inside the MLP mega-fusion,
+# which is VPU-bound with erf on the critical path (BENCH_HISTORY.md
+# round 3: stubbing erf out entirely is worth +5.5% end-to-end).
+_SIG_K1 = 2.2567583341910256   # 2 * sqrt(2/pi) * sqrt(2)
+_SIG_K3 = 0.2018218978267034   # 2 * sqrt(2/pi) * 0.044715 * 2*sqrt(2)
 
 
 def fast_erf(x):
+    import jax
+
     dt = x.dtype
     u2 = x * x
-    q = jnp.asarray(_FAST_C[4], dt)
-    for c in _FAST_C[3::-1]:
-        q = q * u2 + jnp.asarray(c, dt)
-    return jnp.clip(x * q, -1.0, 1.0)
+    z = x * (jnp.asarray(_SIG_K1, dt) + jnp.asarray(_SIG_K3, dt) * u2)
+    return 2.0 * jax.nn.sigmoid(z) - 1.0

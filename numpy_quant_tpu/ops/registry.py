@@ -907,6 +907,49 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         if zdata is not None:
             y = y - zdata
         return [FTensor(y * jnp.asarray(sdata, jnp.float32))]
+    elif op == "FusedGelu":
+        # Produced by QModel.fuse_gelu() from the exporter's exact-GELU
+        # chain Div(x, c) -> Erf -> Add(one) -> Mul(x) -> Mul(half).
+        # The chain's scalar constants arrive as (dequantized) inputs
+        # 1..3, carrying the PTQ pass's int8 rounding of sqrt2/1/0.5
+        # exactly like the unfused executor sees them. Exact mode
+        # replays the chain's op sequence bit-for-bit; the bf16 serving
+        # mode computes the sigmoid form
+        #   x * (half*(one-1) + 2*half * sigmoid(K1*x + K3*x^3))
+        # (tanh approximation, max erf-term error 3.6e-4) in about half
+        # the VPU passes -- the MLP mega-fusion is VPU-bound with GELU
+        # on the critical path (BENCH_HISTORY.md round 3).
+        import jax
+
+        from .. import config as _config
+
+        x, c_t, one_t, half_t = inputs[0], inputs[1], inputs[2], inputs[3]
+        xd = x.data
+        if _config.float_dtype == jnp.bfloat16:
+            # tanh-form coefficients of erf(u), u = x/c: scalar math in
+            # f32 (bf16 scalars would cost ~1e-2 relative error)
+            t1 = np.float32(1.1283791670955126)
+            t3 = np.float32(0.10091094891335077)
+            c32 = c_t.data.astype(jnp.float32)
+            inv_c = 1.0 / c32 if attrs.get("via_div") else c32
+            k1 = (2.0 * t1 * inv_c).astype(xd.dtype)
+            k3 = (2.0 * t3 * inv_c * inv_c * inv_c).astype(xd.dtype)
+            z = xd * (k1 + k3 * (xd * xd))
+            if attrs.get("pure"):
+                # one == 1, half == 0.5 exactly: 0.5*(1+tanh) IS
+                # sigmoid -- no affine correction passes
+                return [FTensor(xd * jax.nn.sigmoid(z))]
+            one32 = one_t.data.astype(jnp.float32)
+            half32 = half_t.data.astype(jnp.float32)
+            cc = (half32 * (one32 - 1.0)).astype(xd.dtype)
+            dd = (2.0 * half32).astype(xd.dtype)
+            return [FTensor(xd * (cc + dd * jax.nn.sigmoid(z)))]
+        from .erf import exact_erf
+        u = xd / c_t.data if attrs.get("via_div") else xd * c_t.data
+        e = exact_erf(u)
+        a = e + one_t.data
+        m = xd * a
+        return [FTensor(m * half_t.data)]
     elif op == "Gelu":
         # exact mode composes the SAME erf the float path uses
         # (ops/erf.py A&S polynomial) for bit-compatible numerics

@@ -46,7 +46,7 @@ slow_any = pytest.mark.skipif(
 
 
 @slow_any
-@pytest.mark.parametrize("mode", ["int8", "w4a8"])
+@pytest.mark.parametrize("mode", ["int8", "w4a8", "int8_qconv"])
 def test_vit_base_trained_label_equality(mode):
     """Task-level capstone at TRUE ViT-Base dimensions (hidden 768,
     12 heads, 197 tokens): the committed TRAINED fixture
@@ -76,8 +76,9 @@ def test_vit_base_trained_label_equality(mode):
     # the float path itself solves the task (sanity on the fixture)
     assert (float_pred == labels).mean() >= 0.85
 
-    qkw = {} if mode == "int8" else \
-        {"weight_bit_width": 4, "per_channel_weights": True}
+    qkw = {"int8": {},
+           "w4a8": {"weight_bit_width": 4, "per_channel_weights": True},
+           "int8_qconv": {"quantize_conv": True}}[mode]
     qmodel = model.quantize([xc], bit_width=8, calibration_mode="eager",
                             **qkw)
     qmodel.optimize()

@@ -731,3 +731,39 @@ def test_fuse_attention_records_score_max():
         nq_config.float_dtype = jnp.float32
         nq_config.float_matmul_precision = prev
         qmodel._jit_cache.clear()
+
+
+def test_fuse_gelu_bit_exact_f32_and_close_bf16():
+    """fuse_gelu: the FusedGelu node replays the exporter's exact GELU
+    chain bit-for-bit in f32 mode, and the bf16 sigmoid form stays
+    within serving tolerance; composed with the other optimize passes
+    on a small ViT."""
+    import numpy_quant_tpu as nq
+    from numpy_quant_tpu import config as nq_config
+    from numpy_quant_tpu.models import vit as V
+
+    m = V.vit(2, 16, 4, 24, 16, 4)
+    x = RNG.normal(size=(2, 3, 16, 16)).astype(np.float32)
+    model = nq.Model.from_onnx(m)
+    qmodel = model.quantize([x], bit_width=8)
+    ref = qmodel([x])[0]
+    n_gelu = qmodel.fuse_gelu()
+    assert n_gelu == 2  # one per encoder layer
+    assert not any(n.op == "Erf" for n in qmodel.nodes)
+    out = qmodel([x])[0]
+    np.testing.assert_array_equal(out, ref)  # exact f32 replay
+
+    # full optimize() composition still fuses attention too
+    q2 = model.quantize([x], bit_width=8)
+    stats = q2.optimize()
+    assert stats["fuse_gelu"] == 2 and stats["fuse_attention"] == 2
+    np.testing.assert_array_equal(q2([x])[0], ref)
+
+    # bf16 serving mode: sigmoid-form GELU within int8-noise tolerance
+    with nq_config.low_precision_floats():
+        q2._jit_cache.clear()
+        out_bf = q2([x])[0]
+    q2._jit_cache.clear()
+    denom = float(ref.max() - ref.min())
+    assert np.abs(out_bf - ref).mean() / denom < 0.01
+    assert np.array_equal(out_bf.argmax(1), ref.argmax(1))
