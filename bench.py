@@ -61,9 +61,12 @@ def main():
     mode = os.environ.get("NQ_TPU_BENCH_MODE", "int8")
     qkw = {} if mode == "int8" else \
         {"weight_bit_width": 4, "per_channel_weights": True}
-    if os.environ.get("NQ_TPU_BENCH_QCONV", "0") == "1":
+    if os.environ.get("NQ_TPU_BENCH_QCONV", "1") == "1":
         # integer patch-embed conv (im2col + int8 MXU dot) instead of
-        # the bf16 float conv
+        # the bf16 float conv: +0.8% end-to-end, and the trained
+        # capstone asserts int8-vs-float label EQUALITY under this
+        # exact config (tests/long_running/test_vit_base.py
+        # [int8_qconv]), so it is the default serving configuration
         qkw["quantize_conv"] = True
     if stats is not None:
         qmodel = model.quantize(bit_width=8, stats=stats, **qkw)
@@ -100,10 +103,22 @@ def main():
     @jax.jit
     def many(x, params, base):
         def body(carry, factor):
-            logits = fwd([x * factor], params)[0]
-            return carry + jnp.sum(logits), jnp.max(logits)
+            acc, xc = carry
+            # Anti-hoisting perturbation: overwrite ONE pixel in place on
+            # the scan carry (XLA aliases the carry buffer, so the
+            # dynamic-update-slice is a 12-byte write). Scaling the whole
+            # input instead (`x * factor`) was a full 58 MB read+write of
+            # pure measurement overhead, ~0.14 ms/fwd; either way every
+            # step's input differs so the forward cannot be hoisted out
+            # of the loop.
+            xc = jax.lax.dynamic_update_slice(
+                xc, factor.reshape(1, 1, 1, 1).astype(xc.dtype),
+                (0, 0, 0, 0))
+            logits = fwd([xc], params)[0]
+            return (acc + jnp.sum(logits), xc), jnp.max(logits)
         factors = base + 1e-6 * jnp.arange(1, iters + 1, dtype=jnp.float32)
-        checksum, maxes = jax.lax.scan(body, jnp.float32(0.0), factors)
+        (checksum, _), maxes = jax.lax.scan(
+            body, (jnp.float32(0.0), x), factors)
         return checksum, maxes
 
     def sync(out):

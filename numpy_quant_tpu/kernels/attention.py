@@ -353,24 +353,27 @@ def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
     # query rows only need sublane alignment (8), not 128 -- ~22% less
     # VPU work on the [rows, n_lane] score tensors for ViT's N=197
     n_sub = _round_up(n + 1, 8) if hijack else _round_up(n, 8)
-    if n_sub != n:
-        xq = jnp.pad(xq, ((0, 0), (0, n_sub - n), (0, 0)))
+    # The planted rows (hijack ones, v zero point) are written with
+    # CONSTANT-VALUE pads, not pad + iota/where: identical bits, but a
+    # Pad writes the constant once while a select re-reads and
+    # re-writes the whole padded tensor -- the selects were ~0.33 ms of
+    # the 17.4 ms ViT-Base forward (BENCH_HISTORY.md round-3 profile)
+    if hijack and zq != 0:
+        # q pad row n of ones -> score row n = k col sums
+        xq = jnp.pad(xq, ((0, 0), (0, 1), (0, 0)), constant_values=1)
+    if n_sub != xq.shape[1]:
+        xq = jnp.pad(xq, ((0, 0), (0, n_sub - xq.shape[1]), (0, 0)))
     if n_lane != n:
-        xk = jnp.pad(xk, ((0, 0), (0, n_lane - n), (0, 0)))
-        xv = jnp.pad(xv, ((0, 0), (0, n_lane - n), (0, 0)))
-    if hijack:
-        if zk != 0 and not fast:
-            # k pad row of ones -> score col n = q row sums
-            row = jax.lax.broadcasted_iota(jnp.int32, xk.shape, 1)
-            xk = jnp.where(row == n, np.int8(1), xk)
-        if zq != 0:  # q pad row of ones -> score row n = k col sums
-            row = jax.lax.broadcasted_iota(jnp.int32, xq.shape, 1)
-            xq = jnp.where(row == n, np.int8(1), xq)
-    if zv != 0 and n_lane != n:
+        if hijack and zk != 0 and not fast:
+            # k pad row n of ones -> score col n = q row sums (the zk
+            # term is a per-row constant, softmax-invariant, so the
+            # fast path skips it entirely)
+            xk = jnp.pad(xk, ((0, 0), (0, 1), (0, 0)), constant_values=1)
+        xk = jnp.pad(xk, ((0, 0), (0, n_lane - xk.shape[1]), (0, 0)))
         # v pad rows hold the zero point so the padded contraction is a
         # no-op under the correction formula
-        row = jax.lax.broadcasted_iota(jnp.int32, xv.shape, 1)
-        xv = jnp.where(row < n, xv, np.int8(zv))
+        xv = jnp.pad(xv, ((0, 0), (0, n_lane - n), (0, 0)),
+                     constant_values=zv)
 
     kernel = functools.partial(
         _attention_hs_kernel, n_real=n, num_heads=num_heads, d=d,
@@ -437,12 +440,11 @@ def _fused_attention_hs_blockq(xq, xk, xv, *, num_heads, scaling, sq, zq,
         xq = jnp.pad(xq, ((0, 0), (0, n_subq - n), (0, 0)))
     if n_lane != n:
         xk = jnp.pad(xk, ((0, 0), (0, n_lane - n), (0, 0)))
-        xv = jnp.pad(xv, ((0, 0), (0, n_lane - n), (0, 0)))
-        if zv != 0:
-            # v pad rows hold the zero point so the padded contraction
-            # is a no-op under the correction formula
-            row = jax.lax.broadcasted_iota(jnp.int32, xv.shape, 1)
-            xv = jnp.where(row < n, xv, np.int8(zv))
+        # v pad rows hold the zero point (constant-value pad -- no
+        # select pass) so the padded contraction is a no-op under the
+        # correction formula
+        xv = jnp.pad(xv, ((0, 0), (0, n_lane - n), (0, 0)),
+                     constant_values=zv)
 
     kernel = functools.partial(
         _attention_hs_kernel, n_real=n, num_heads=num_heads, d=d,
