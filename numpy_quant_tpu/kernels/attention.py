@@ -363,8 +363,15 @@ def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
         xq = jnp.pad(xq, ((0, 0), (0, 1), (0, 0)), constant_values=1)
     if n_sub != xq.shape[1]:
         xq = jnp.pad(xq, ((0, 0), (0, n_sub - xq.shape[1]), (0, 0)))
-    if n_lane != n:
-        if hijack and zk != 0 and not fast:
+    # fast path: k/v ride UNPADDED -- Mosaic masks the short lane dim
+    # (score cols / v rows) in-register, so no score-column -inf mask is
+    # even needed and the correction constants use the true row count.
+    # The HBM pads were 24 standalone pad kernels, ~0.38 ms of the
+    # 17.0 ms ViT-Base forward (BENCH_HISTORY.md round-3 profile). The
+    # bit-exact path keeps the padded layout: its hijack slices read
+    # score col n (k ones row), which must physically exist.
+    if not fast and n_lane != n:
+        if hijack and zk != 0:
             # k pad row n of ones -> score col n = q row sums (the zk
             # term is a per-row constant, softmax-invariant, so the
             # fast path skips it entirely)
@@ -374,6 +381,7 @@ def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
         # no-op under the correction formula
         xv = jnp.pad(xv, ((0, 0), (0, n_lane - n), (0, 0)),
                      constant_values=zv)
+    n_kv = xk.shape[1]
 
     kernel = functools.partial(
         _attention_hs_kernel, n_real=n, num_heads=num_heads, d=d,
@@ -399,9 +407,9 @@ def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
         in_specs=[
             pl.BlockSpec((g, n_sub, hd), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, n_lane, hd), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, n_kv, hd), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, n_lane, hd), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, n_kv, hd), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((g, n_sub, hd), lambda i: (i, 0, 0),
@@ -438,13 +446,16 @@ def _fused_attention_hs_blockq(xq, xk, xv, *, num_heads, scaling, sq, zq,
     n_subq = _round_up(n, bq)
     if n_subq != n:
         xq = jnp.pad(xq, ((0, 0), (0, n_subq - n), (0, 0)))
-    if n_lane != n:
+    # fast path: k/v ride unpadded (Mosaic masks the short lane dim),
+    # exactly as in the monolithic wrapper above
+    if not fast and n_lane != n:
         xk = jnp.pad(xk, ((0, 0), (0, n_lane - n), (0, 0)))
         # v pad rows hold the zero point (constant-value pad -- no
         # select pass) so the padded contraction is a no-op under the
         # correction formula
         xv = jnp.pad(xv, ((0, 0), (0, n_lane - n), (0, 0)),
                      constant_values=zv)
+    n_kv = xk.shape[1]
 
     kernel = functools.partial(
         _attention_hs_kernel, n_real=n, num_heads=num_heads, d=d,
@@ -470,9 +481,9 @@ def _fused_attention_hs_blockq(xq, xk, xv, *, num_heads, scaling, sq, zq,
         in_specs=[
             pl.BlockSpec((g, bq, hd), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, n_lane, hd), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((g, n_kv, hd), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, n_lane, hd), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((g, n_kv, hd), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((g, bq, hd), lambda i, j: (i, j, 0),
