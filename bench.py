@@ -74,10 +74,14 @@ def main():
         calib = rng.normal(size=(2, 3, 224, 224)).astype(np.float32) * 0.5
         qmodel = model.quantize([calib], bit_width=8,
                                 calibration_mode="eager", **qkw)
+    opt_report = {}
     if os.environ.get("NQ_TPU_BENCH_FUSED_ATTN", "1") == "1":
         # bit-identical graph passes: VMEM-resident int8 attention kernel
-        # (head split/merge in-kernel) + early-int8 activation layout
-        qmodel.optimize()
+        # (head split/merge in-kernel) + early-int8 activation layout +
+        # dead-token elimination (the classifier reads only the CLS
+        # token, so the last layer's MLP/out-proj and the final LN
+        # narrow from 197 tokens to 1 -- same logits, fewer MACs)
+        opt_report = qmodel.optimize()
     if os.environ.get("NQ_TPU_BENCH_PACKED", "1") == "1":
         # packed weight storage (bit_width/8 bytes per value in HBM,
         # split-K layout, kernels/pack.py). For int8 the packed payload
@@ -145,35 +149,57 @@ def main():
     # before comparing against the peak).
     macs = _vit_macs(cfg)
     peak_tops = float(os.environ.get("NQ_TPU_PEAK_INT8_TOPS", "394"))
+    # int8_tops/mxu_util_pct keep the round-2/3 convention: the MODEL's
+    # nominal MACs at the delivered throughput (the "effective"
+    # utilization -- comparable across rounds and to the BASELINE.md
+    # ">50% MXU" target). With narrow_gather on, the executed graph has
+    # ~6% fewer MACs (the last layer's MLP/out-proj run on the CLS token
+    # only), so the EXECUTED utilization is also reported.
     tops = 2 * macs * img_per_s / 1e12
-    print(json.dumps({
+    line = {
         "metric": f"vit_base_{mode}_images_per_sec_per_chip",
         "value": round(img_per_s, 2),
         "unit": "images/sec",
         "vs_baseline": round(img_per_s / ref, 1),
         "int8_tops": round(tops, 1),
         "mxu_util_pct": round(100 * tops / peak_tops, 1),
-    }))
+    }
+    if opt_report.get("narrow_gather", 0) > 0:
+        ex = 2 * _vit_macs(cfg, narrowed=True) * img_per_s / 1e12
+        line["executed_tops"] = round(ex, 1)
+        line["executed_mxu_pct"] = round(100 * ex / peak_tops, 1)
+    print(json.dumps(line))
 
 
-def _vit_macs(cfg) -> float:
+def _vit_macs(cfg, narrowed: bool = False) -> float:
     """Multiply-accumulates per image for the benched ViT classifier
     graph (patch-embed conv + encoder layers + classifier head).
     ViT-Base-patch16-224: 17.57 GMACs -- matches the published 17.6
-    "GFLOPs" figure, which counts MACs."""
+    "GFLOPs" figure, which counts MACs.
+
+    ``narrowed=True`` counts the graph after narrow_gather (dead-token
+    elimination): the LAST layer's out-projection and MLP run on the
+    CLS token only (its QKV/attention still see every token), so the
+    achieved-TOPs/MXU numbers reflect the MACs actually executed, not
+    the unoptimized graph's."""
     p = cfg.patch_size
     n_patch = (cfg.image_size // p) ** 2
     seq = n_patch + 1  # + CLS token
     h, i = cfg.hidden_size, cfg.intermediate_size
     conv = n_patch * h * (cfg.num_channels * p * p)
-    per_layer = (
+    qkv_attn = (
         seq * h * 3 * h                                   # QKV projections
         + 2 * cfg.num_attention_heads * seq * seq
-        * (h // cfg.num_attention_heads)                  # scores + context
-        + seq * h * h                                     # output projection
+        * (h // cfg.num_attention_heads))                 # scores + context
+    per_token_tail = (
+        seq * h * h                                       # output projection
         + 2 * seq * h * i)                                # MLP up + down
+    per_layer = qkv_attn + per_token_tail
     head = h * cfg.num_labels
-    return float(conv + cfg.num_hidden_layers * per_layer + head)
+    last_layer = qkv_attn + (per_token_tail / seq if narrowed
+                             else per_token_tail)
+    return float(conv + (cfg.num_hidden_layers - 1) * per_layer
+                 + last_layer + head)
 
 
 if __name__ == "__main__":

@@ -107,8 +107,22 @@ def import_onnx(onnx_model: onnx_lib.ModelProto):
     for onnx_vi in graph.input:
         if onnx_vi.name in initializer_names:
             continue
-        value_dict[onnx_vi.name] = Variable(onnx_vi.name, inputs=[], outputs=[])
-        inputs.append(value_dict[onnx_vi.name])
+        var = Variable(onnx_vi.name, inputs=[], outputs=[])
+        # Static-shape hint from the input's ValueInfo (symbolic
+        # dim_params become None). Graph passes that need ranks/shapes
+        # of internal values (QModel.narrow_gather) trace the model
+        # abstractly from these hints.
+        try:
+            dims = onnx_lib.value_info_shape(onnx_vi)
+            var.shape_hint = tuple(None if isinstance(d, str) else int(d)
+                                   for d in dims)
+            tt = onnx_vi.type.tensor_type if onnx_vi.type else None
+            var.dtype_hint = int(tt.elem_type) if tt is not None else None
+        except Exception:
+            var.shape_hint = None
+            var.dtype_hint = None
+        value_dict[onnx_vi.name] = var
+        inputs.append(var)
 
     nodes: dict[str, Node] = {}
     for i, onnx_node in enumerate(graph.node):

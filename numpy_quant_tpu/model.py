@@ -373,6 +373,42 @@ class Model:
 
         return fn
 
+    def _infer_shapes(self):
+        """Static shapes of every graph value, from ONE abstract trace
+        (``jax.eval_shape`` -- no compile, no FLOPs) of the model over
+        the inputs' imported ValueInfo shape hints (symbolic dims
+        become 2). Returns ``{value_name: shape tuple}``, or None when
+        hints are missing, an input is shape-domain (int64 inputs must
+        be concrete at trace time), or the abstract trace fails --
+        callers treat None as "shape-dependent passes don't apply"."""
+        import jax.numpy as jnp
+
+        hints = []
+        for v in self.inputs:
+            h = getattr(v, "shape_hint", None)
+            if h is None or getattr(v, "dtype_hint", None) != 1:  # FLOAT
+                return None
+            hints.append(tuple(2 if not d else int(d) for d in h))
+        shapes: dict[str, tuple] = {}
+
+        def probe(float_args, params):
+            input_tensors = {
+                v.name: self._wrap_input_traced(a, v)
+                for a, v in zip(float_args, self.inputs)}
+            data = self._forward(input_tensors, params)
+            for name, t in data.items():
+                d = getattr(t, "data", None)
+                if d is not None and hasattr(d, "shape"):
+                    shapes[name] = tuple(int(s) for s in d.shape)
+            return 0
+
+        args = [jax.ShapeDtypeStruct(h, jnp.float32) for h in hints]
+        try:
+            jax.eval_shape(probe, args, self._device_params())
+        except Exception:
+            return None
+        return shapes
+
     def map_batches(self, inputs: List[np.ndarray], as_numpy: bool = True):
         """Throughput inference over a leading STEPS axis: each input is
         ``[steps, *per_call_shape]`` and all steps execute inside ONE
@@ -565,7 +601,11 @@ class Model:
 
         # Graph inputs: asymmetric (reference: model.py:349-355).
         for value in self.inputs:
-            qvalues_dict[value.name] = Variable(value.name, [], [], None)
+            qvar = Variable(value.name, [], [], None)
+            # shape-dependent passes (narrow_gather) re-trace from these
+            qvar.shape_hint = getattr(value, "shape_hint", None)
+            qvar.dtype_hint = getattr(value, "dtype_hint", None)
+            qvalues_dict[value.name] = qvar
             qparams_per_value[value.name] = qparams_for(
                 value.name, isinstance(value, Variable))
 
@@ -733,7 +773,7 @@ class Model:
 
 
 _PASSTHROUGH_OPS = ("Reshape", "Transpose", "Identity", "Squeeze",
-                    "Unsqueeze", "Flatten")
+                    "Unsqueeze", "Flatten", "Gather")
 
 
 class QModel(Model):
@@ -1385,6 +1425,169 @@ class QModel(Model):
         self._jit_cache.clear()
         return len(planned)
 
+    def narrow_gather(self) -> int:
+        """Dead-token elimination: hoist a scalar token-axis Gather
+        (e.g. the ViT CLS-token pick before the classifier head,
+        reference models/vit.py:40-66 exports `hidden[:, 0]` this way)
+        backward through per-token ops, so everything between the last
+        token-mixing op and the Gather computes ONLY the consumed
+        token.
+
+        On ViT-Base this narrows the last encoder layer's MLP
+        (fc1 -> GELU -> fc2), its attention out-projection, both of its
+        LayerNorms' tails and the final LayerNorm from 197 tokens to 1.
+        The surviving row sees the same op sequence on the same values
+        (integer matmuls are exact; float LN/erf are per token with the
+        same within-row reduce order), so outputs are unchanged.
+
+        An op hoists when slicing its inputs at the gathered token is
+        value-identical to slicing its output:
+
+        * per-token unary: LayerNormalization(axis=-1), FusedGelu, Erf,
+          Identity, Tanh, Sigmoid, Relu, Neg, Sqrt;
+        * ``MatMul x @ W`` with a rank-2 constant rhs (output rows are
+          per input token);
+        * binary Add/Sub/Mul/Div whose every operand either matches the
+          full token shape (it gets its own hoisted Gather) or has
+          rank <= 1 (broadcasts below the token axis).
+
+        The hoist stops at multi-consumer values (anything still
+        consumed full-width, e.g. the residual trunk the next layer's
+        LayerNorm reads), graph outputs, and token-mixing ops (fused
+        attention, Softmax, Concat). Requires static shapes
+        (``_infer_shapes``); returns the number of hoist steps."""
+        shapes = self._infer_shapes()
+        if shapes is None:
+            return 0
+        out_names = {o.name for o in self.outputs}
+
+        UNARY = {"LayerNormalization", "FusedGelu", "Erf", "Identity",
+                 "Tanh", "Sigmoid", "Relu", "Neg", "Sqrt"}
+        BINARY = {"Add", "Sub", "Mul", "Div"}
+
+        def consumers(value):
+            return [n for n in self.nodes if value in n.inputs]
+
+        def producer_of(value):
+            for n in self.nodes:
+                if value in n.outputs:
+                    return n
+            return None
+
+        moved = 0
+        progress = True
+        while progress:
+            progress = False
+            for gnode in [n for n in self.nodes if n.op == "Gather"]:
+                if int(gnode.attrs.get("axis", 0)) != 1 \
+                        or len(gnode.inputs) < 2:
+                    continue
+                idx_val = gnode.inputs[1]
+                if shapes.get(idx_val.name, None) != ():
+                    continue  # non-scalar index: axis survives
+                v = gnode.inputs[0]
+                if not isinstance(v, Variable) or v.name in out_names \
+                        or len(shapes.get(v.name, ())) != 3:
+                    continue
+                if consumers(v) != [gnode]:
+                    continue  # still consumed full-width elsewhere
+                p = producer_of(v)
+                if p is None or len(p.outputs) != 1:
+                    continue
+                if p.op in UNARY:
+                    if p.op == "LayerNormalization":
+                        if int(p.attrs.get("axis", -1)) not in (-1, 2):
+                            continue
+                        p.attrs["axis"] = -1  # rank drops below
+                    slice_idx = [0]
+                elif p.op == "MatMul":
+                    w = p.inputs[1]
+                    if not isinstance(w, Constant) \
+                            or len(shapes.get(w.name, ())) != 2:
+                        continue
+                    slice_idx = [0]
+                elif p.op in BINARY:
+                    vshape = shapes[v.name]
+                    slice_idx, ok = [], True
+                    for i, iv in enumerate(p.inputs):
+                        ish = shapes.get(iv.name)
+                        if ish == vshape:
+                            slice_idx.append(i)
+                        elif ish is not None and len(ish) <= 1:
+                            pass  # broadcasts below the token axis
+                        else:
+                            ok = False
+                            break
+                    if not ok or not slice_idx:
+                        continue
+                else:
+                    continue  # token-mixing or unknown: stop here
+
+                out_val = gnode.outputs[0]
+                p_pos = self.nodes.index(p)
+                # the index's producer (a no-input Constant node) must
+                # run before the hoisted Gathers it feeds
+                idx_prod = producer_of(idx_val)
+                if idx_prod is not None \
+                        and self.nodes.index(idx_prod) > p_pos:
+                    if idx_prod.inputs:
+                        continue  # non-constant index source: don't move
+                    self.nodes.remove(idx_prod)
+                    self.nodes.insert(p_pos, idx_prod)
+                    p_pos += 1
+                new_inputs = list(p.inputs)
+                for i in slice_idx:
+                    iv = p.inputs[i]
+                    # reuse an identical Gather on iv (two hoist fronts
+                    # meeting on the residual trunk)
+                    reuse = None
+                    for n in self.nodes:
+                        if n is not gnode and n.op == "Gather" \
+                                and len(n.inputs) > 1 \
+                                and n.inputs[0] is iv \
+                                and n.inputs[1] is idx_val \
+                                and int(n.attrs.get("axis", 0)) == 1:
+                            reuse = n
+                            break
+                    if reuse is not None:
+                        rpos = self.nodes.index(reuse)
+                        if rpos > p_pos:  # keep topological order
+                            self.nodes.remove(reuse)
+                            self.nodes.insert(p_pos, reuse)
+                            p_pos += 1
+                        new_inputs[i] = reuse.outputs[0]
+                        if p not in reuse.outputs[0].outputs:
+                            reuse.outputs[0].outputs.append(p)
+                        continue
+                    gv = Variable(f"{iv.name}/narrowed", inputs=[],
+                                  outputs=[p])
+                    gn = Node(f"{p.name}/narrow_gather_{i}", "Gather",
+                              {"axis": 1}, [iv, idx_val], [gv])
+                    gv.inputs = [gn]
+                    iv.outputs = list(iv.outputs) + [gn]
+                    self.values.append(gv)
+                    qp = self.quant_params.get(iv.name)
+                    if qp is not None:
+                        self.quant_params[gv.name] = qp
+                    ish = shapes[iv.name]
+                    shapes[gv.name] = (ish[0],) + ish[2:]
+                    self.nodes.insert(p_pos, gn)
+                    p_pos += 1
+                    new_inputs[i] = gv
+                p.inputs = new_inputs
+                p.outputs = [out_val]
+                out_val.inputs = [p]
+                self.nodes.remove(gnode)
+                if v in self.values:
+                    self.values.remove(v)
+                self.quant_params.pop(v.name, None)
+                moved += 1
+                progress = True
+                break
+        if moved:
+            self._jit_cache.clear()
+        return moved
+
     def optimize(self, verbose: bool = False) -> dict:
         """Apply the graph-level performance passes that preserve the
         executor's numerics: attention fusion (bit-identical kernel)
@@ -1409,14 +1612,15 @@ class QModel(Model):
         do_merge = flag if flag is not None else tp >= 2
         merged = self.merge_parallel_matmuls() if do_merge else 0
         gelu = self.fuse_gelu()
+        narrowed = self.narrow_gather()
         planned = self.int8_dataflow()
         failures = list(self.fusion_report["failures"])
         if verbose:
             for name, reason in failures:
                 print(f"optimize: Softmax {name!r} not fused: {reason}")
         return {"fuse_attention": fused, "merge_parallel_matmuls": merged,
-                "fuse_gelu": gelu, "int8_dataflow": planned,
-                "fusion_failures": failures}
+                "fuse_gelu": gelu, "narrow_gather": narrowed,
+                "int8_dataflow": planned, "fusion_failures": failures}
 
     def pack_weights(self) -> int:
         """Switch 2-D symmetric MatMul weights to packed storage

@@ -288,6 +288,22 @@ class QTensor:
         return QTensor(self._data.__getitem__(ind), self.bit_width,
                        self.scale, zp)
 
+    def take(self, indices: ITensor, axis: int) -> "QTensor":
+        """ONNX Gather in the quantized domain (value-preserving: same
+        integers, same params). Used by the int8_dataflow passthrough so
+        a token Gather moves int8 data instead of forcing a dequantize/
+        requantize round trip. Per-channel scales are refused (the
+        dataflow planner never routes them here; slicing could desync
+        the channel axis)."""
+        if getattr(self.scale, "ndim", 0) > 0:
+            raise ValueError("Gather on a per-channel QTensor is not "
+                             "supported (dequantize first)")
+        zp = self.zero_point
+        if zp is not None and getattr(zp, "ndim", 0) > 0:
+            zp = jnp.take(zp, indices.data, axis=axis)
+        return QTensor(jnp.take(self._data, indices.data, axis=axis),
+                       self.bit_width, self.scale, zp)
+
     def expand_dims(self, axis: "ITensor") -> "QTensor":
         zp = self.zero_point
         if zp is not None and getattr(zp, "ndim", 0) > 0:
