@@ -959,27 +959,46 @@ class QModel(Model):
                 fail(sm, f"softmax axis {sm.attrs.get('axis')} != -1")
                 continue
             mul = producer.get(sm.inputs[0].name)
-            if mul is None or mul.op not in ("Mul", "Div"):
-                fail(sm, "input is not a Mul/Div scale node "
+            if mul is not None and mul.op == "MatMul":
+                # exporter pre-scaled q (or k): scores feed softmax
+                # directly; the kernel's scaling factor is 1
+                mm1, mul, scaling = mul, None, 1.0
+            elif mul is None or mul.op not in ("Mul", "Div"):
+                fail(sm, "input is not a Mul/Div scale node or MatMul "
                      f"(got {mul.op if mul else 'graph input'})")
                 continue
-            mm1 = producer.get(mul.inputs[0].name)
-            if mm1 is None or mm1.op != "MatMul":
-                fail(sm, "scale node's input is not a MatMul "
-                     f"(got {mm1.op if mm1 else 'graph input'})")
-                continue
-            scal_node = producer.get(mul.inputs[1].name)
-            if scal_node is None or scal_node.op != "Constant":
-                fail(sm, "scale factor is not a Constant node")
-                continue
-            scal_arr = np.asarray(scal_node.attrs["value"])
-            if scal_arr.size != 1:
-                fail(sm, f"scale factor has {scal_arr.size} elements "
-                     "(need a scalar)")
-                continue
-            scaling = float(scal_arr.reshape(-1)[0])
-            if mul.op == "Div":
-                scaling = 1.0 / scaling
+            else:
+                mm1 = producer.get(mul.inputs[0].name)
+                if mm1 is None or mm1.op != "MatMul":
+                    fail(sm, "scale node's input is not a MatMul "
+                         f"(got {mm1.op if mm1 else 'graph input'})")
+                    continue
+                # scale factor: a Constant NODE's attrs (torch exporter)
+                # or an initializer Constant -- dequantized if the PTQ
+                # pass quantized it, exactly what the executor would use
+                scal_val = mul.inputs[1]
+                scal_node = producer.get(scal_val.name)
+                scaling = None
+                if scal_node is not None and scal_node.op == "Constant":
+                    arr = np.asarray(scal_node.attrs["value"])
+                    if arr.size == 1:
+                        scaling = float(arr.reshape(-1)[0])
+                elif isinstance(scal_val, Constant) \
+                        and scal_val.data is not None:
+                    d = scal_val.data
+                    arr = np.asarray(d.data)
+                    if arr.size == 1:
+                        scaling = float(arr.reshape(-1)[0])
+                        if isinstance(d, QTensor):
+                            if d.zero_point is not None:
+                                scaling -= float(np.asarray(d.zero_point)
+                                                 .reshape(-1)[0])
+                            scaling *= float(np.float32(d.scale))
+                if scaling is None:
+                    fail(sm, "scale factor is not a scalar constant")
+                    continue
+                if mul.op == "Div":
+                    scaling = 1.0 / scaling
             cons = consumers(sm.outputs[0])
             if len(cons) != 1 or cons[0].op != "MatMul" \
                     or cons[0].inputs[0] is not sm.outputs[0]:
@@ -987,8 +1006,9 @@ class QModel(Model):
                      "MatMul as its lhs")
                 continue
             mm2 = cons[0]
-            if any(len(consumers(v)) != 1
-                   for v in (mm1.outputs[0], mul.outputs[0])):
+            chain_vals = (mm1.outputs[0],) if mul is None \
+                else (mm1.outputs[0], mul.outputs[0])
+            if any(len(consumers(v)) != 1 for v in chain_vals):
                 fail(sm, "scores/probabilities have consumers outside "
                      "the attention chain")
                 continue
@@ -1024,8 +1044,20 @@ class QModel(Model):
                     if dn in self.nodes:
                         self.nodes.remove(dn)
                 for dn in (mm1, mul, sm):
-                    self.nodes.remove(dn)
+                    if dn is not None:
+                        self.nodes.remove(dn)
                 fused += 1
+                continue
+
+            if mul is None:
+                # pre-scaled scores carry no standalone scale node to
+                # anchor a safe plain fusion (the bare MatMul operands
+                # may be 2-D / batch-broadcast, which the plain kernel's
+                # [BH, N, D] layout cannot express) -- only the
+                # shape-checked head-split pattern fuses this form
+                fail(sm, "pre-scaled scores (no Mul/Div before Softmax):"
+                     " only the head-split pattern fuses this form, and"
+                     " it did not match")
                 continue
 
             # plain (non-head-split) fusion: still fused, but the head
@@ -1040,7 +1072,8 @@ class QModel(Model):
             idx = self.nodes.index(mm2)
             self.nodes[idx] = fnode
             for dead in (mm1, mul, sm):
-                self.nodes.remove(dead)
+                if dead is not None:
+                    self.nodes.remove(dead)
             fused += 1
         if fused:
             self.quantized_ops = tuple(self.quantized_ops) \
@@ -1055,7 +1088,13 @@ class QModel(Model):
 
             x{q,k,v} -> Reshape[B,N,H,D] -> Transpose(0,2,1,3)   (q, v)
             xk       -> Reshape -> Transpose(0,2,1,3) -> Transpose(0,1,3,2)
+                        (or the composed single Transpose(0,2,3,1) some
+                        exporters emit for the key side)
             mm2 out  -> Transpose(0,2,1,3) -> Reshape[B,N,H*D]
+
+        The head-split Reshape's target shape may be the torch
+        exporter's Concat(batch_dim, [-1, H, D] constant) or a plain
+        4-dim shape constant (node or initializer).
 
         Returns (xq, xk, xv, merged_out_value, num_heads, dead_nodes)
         or None."""
@@ -1063,38 +1102,61 @@ class QModel(Model):
         def perm_is(node, perm):
             return tuple(int(p) for p in node.attrs.get("perm", ())) == perm
 
-        def back(value, perms):
-            """value <- Transpose(perms[0]) <- ... <- Reshape <- src"""
-            dead = []
-            for perm in perms:
-                node = producer.get(value.name)
-                if node is None or node.op != "Transpose" \
-                        or not perm_is(node, perm) \
-                        or len(consumers(node.outputs[0])) != 1:
+        def heads_from_reshape(node):
+            """Head count from a head-split Reshape's target shape."""
+            shp = node.inputs[1]
+            shape_src = producer.get(shp.name)
+            if shape_src is not None and shape_src.op == "Concat":
+                # Concat(batch_dim, Constant[-1 (or N), H, D])
+                tail = producer.get(shape_src.inputs[-1].name)
+                if tail is None or tail.op != "Constant":
                     return None
-                dead.append(node)
-                value = node.inputs[0]
-            node = producer.get(value.name)
-            if node is None or node.op != "Reshape" \
-                    or len(consumers(node.outputs[0])) != 1:
+                tail_arr = np.asarray(tail.attrs["value"]).reshape(-1)
+                return int(tail_arr[1]) if tail_arr.size == 3 else None
+            # plain 4-dim shape constant: [B|-1, N|-1, H, D]
+            if shape_src is not None and shape_src.op == "Constant":
+                arr = np.asarray(shape_src.attrs["value"]).reshape(-1)
+            elif isinstance(shp, Constant) and shp.data is not None:
+                arr = np.asarray(shp.data.data).reshape(-1)
+            else:
                 return None
-            dead.append(node)
-            # head count from the Reshape target-shape constant tail
-            shape_src = producer.get(node.inputs[1].name)
-            if shape_src is None or shape_src.op != "Concat":
-                return None
-            tail = producer.get(shape_src.inputs[-1].name)
-            if tail is None or tail.op != "Constant":
-                return None
-            tail_arr = np.asarray(tail.attrs["value"]).reshape(-1)
-            if tail_arr.size != 3:
-                return None
-            num_heads = int(tail_arr[1])
-            return node.inputs[0], num_heads, dead
+            return int(arr[2]) if arr.size == 4 and int(arr[2]) > 0 \
+                else None
 
-        rq = back(mm1.inputs[0], [(0, 2, 1, 3)])
-        rk = back(mm1.inputs[1], [(0, 1, 3, 2), (0, 2, 1, 3)])
-        rv = back(mm2.inputs[1], [(0, 2, 1, 3)])
+        def back(value, perm_alts):
+            """value <- Transpose chain (one of ``perm_alts``) <-
+            Reshape <- src"""
+            for perms in perm_alts:
+                dead = []
+                v = value
+                ok = True
+                for perm in perms:
+                    node = producer.get(v.name)
+                    if node is None or node.op != "Transpose" \
+                            or not perm_is(node, perm) \
+                            or len(consumers(node.outputs[0])) != 1:
+                        ok = False
+                        break
+                    dead.append(node)
+                    v = node.inputs[0]
+                if not ok:
+                    continue
+                node = producer.get(v.name)
+                if node is None or node.op != "Reshape" \
+                        or len(consumers(node.outputs[0])) != 1:
+                    continue
+                num_heads = heads_from_reshape(node)
+                if num_heads is None:
+                    continue
+                dead.append(node)
+                return node.inputs[0], num_heads, dead
+            return None
+
+        rq = back(mm1.inputs[0], [[(0, 2, 1, 3)]])
+        # key side: the two-step transpose, or its composition
+        rk = back(mm1.inputs[1], [[(0, 1, 3, 2), (0, 2, 1, 3)],
+                                  [(0, 2, 3, 1)]])
+        rv = back(mm2.inputs[1], [[(0, 2, 1, 3)]])
         if rq is None or rk is None or rv is None:
             return None
         if not (rq[1] == rk[1] == rv[1]):
