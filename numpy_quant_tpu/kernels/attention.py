@@ -124,10 +124,15 @@ def _attention_kernel(q_ref, kt_ref, v_ref, o_ref, *, n_real, d_real,
 def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
                          d, scaling, sq, zq, sk, zk, sv, zv, sp, zp_p,
                          bit_width, out_requant, hijack, fast,
-                         score_max=None):
+                         score_max=None, nq_real=None):
     """Head-splitting kernel body: G batch rows per grid step, heads
     unrolled, NT score dots on 64-lane head slices -- no XLA-side head
     reshuffles or d-padding at all.
+
+    ``nq_real`` is the real QUERY row count (and thus the planted
+    q-ones-row index under ``hijack``); it defaults to ``n_real`` (the
+    real KEY count) but differs on the narrow-q path, where dead-token
+    elimination feeds a single gathered query row against full K/V.
 
     ``fast=False`` replicates the unfused float op sequence bit-for-bit.
     ``fast=True`` (used only under the fp-tolerance bfloat16 serving
@@ -145,9 +150,11 @@ def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
         (scale, zp) provably cannot exceed them (probs are in [0, 1]).
     Same values up to f32 rounding; roughly a third fewer VPU passes.
     """
-    n_sub = q_ref.shape[-2]   # query rows (round_up(n+1, 8), NOT 128)
+    if nq_real is None:
+        nq_real = n_real
+    n_sub = q_ref.shape[-2]   # query rows (round_up(nq+1, 8), NOT 128)
     n_lane = k_ref.shape[-2]  # key rows = score lanes (round_up(n, 128))
-    qa = q_ref[...]   # [G, n_sub, H*D] int8 (row n_real = ones when zq)
+    qa = q_ref[...]   # [G, n_sub, H*D] int8 (row nq_real = ones when zq)
     ka = k_ref[...]   # [G, n_lane, H*D] int8 (row n_real = ones when zk)
     va = v_ref[...]   # [G, n_lane, H*D] int8 (pad rows = zv)
     g = qa.shape[0]
@@ -195,7 +202,7 @@ def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
             base = np.float32(0.0) if static_shift is None \
                 else -static_shift
             if zq != 0:
-                cs = jax.lax.slice_in_dim(raw, n_real, n_real + 1, axis=1) \
+                cs = jax.lax.slice_in_dim(raw, nq_real, nq_real + 1, axis=1) \
                     if hijack else \
                     jnp.sum(kh.astype(jnp.int32), axis=2, keepdims=True) \
                     .transpose(0, 2, 1)
@@ -240,7 +247,7 @@ def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
             if zq != 0:
                 # k col sums [G, 1, n_lane]: one per key token, summed
                 # over the head lanes
-                cs = jax.lax.slice_in_dim(raw, n_real, n_real + 1, axis=1) \
+                cs = jax.lax.slice_in_dim(raw, nq_real, nq_real + 1, axis=1) \
                     if hijack else \
                     jnp.sum(kh.astype(jnp.int32), axis=2, keepdims=True) \
                     .transpose(0, 2, 1)
@@ -260,9 +267,9 @@ def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
 
         pq2 = pq
         if zp_p != 0 and hijack:
-            # ones row -> ctx row n_real = v column sums
+            # ones row -> ctx row nq_real = v column sums
             row = jax.lax.broadcasted_iota(jnp.int32, pq.shape, 1)
-            pq2 = jnp.where(row == n_real, np.int8(1), pq)
+            pq2 = jnp.where(row == nq_real, np.int8(1), pq)
         vh2 = vh
         if zv != 0:
             # ones column in the lane tail -> ctx lane d = pq row sums
@@ -276,7 +283,7 @@ def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
             pq_rowsum = jax.lax.slice_in_dim(ctx_ext, d, d + 1, axis=2)
             ctx = ctx - pq_rowsum * np.int32(zv)
         if zp_p != 0:
-            vcol = jax.lax.slice_in_dim(ctx_ext, n_real, n_real + 1, axis=1) \
+            vcol = jax.lax.slice_in_dim(ctx_ext, nq_real, nq_real + 1, axis=1) \
                 if hijack else \
                 jax.lax.dot_general(
                     jnp.ones((g, 1, n_lane), jnp.int8), vh2,
@@ -331,8 +338,17 @@ def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
     block_q*N instead of N*N (SURVEY.md §5 long-context disposition).
     Each output row sees the identical full-row reductions either way,
     so blockwise results are bit-identical to the monolithic kernel
-    (asserted in tests/test_kernels.py)."""
-    b, n, hd = xq.shape
+    (asserted in tests/test_kernels.py).
+
+    NARROW Q: xq may carry FEWER tokens than xk/xv (down to one row --
+    the dead-token-eliminated last ViT layer, where only the CLS row's
+    attention output is consumed). Each output row depends on its own
+    q row and all of K/V, so row i of the narrow call is bit-identical
+    to row i of the full call (asserted in tests/test_kernels.py)."""
+    b, nq, hd = xq.shape
+    n = xk.shape[1]              # real KEY/VALUE token count
+    assert xv.shape[1] == n, (xv.shape, xk.shape)
+    assert nq <= n, (nq, n)
     d = hd // num_heads
     assert d * num_heads == hd, (hd, num_heads)
     n_lane = _round_up(n, 128)   # key rows = score lane dim
@@ -352,7 +368,7 @@ def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
     hijack = n_lane > n
     # query rows only need sublane alignment (8), not 128 -- ~22% less
     # VPU work on the [rows, n_lane] score tensors for ViT's N=197
-    n_sub = _round_up(n + 1, 8) if hijack else _round_up(n, 8)
+    n_sub = _round_up(nq + 1, 8) if hijack else _round_up(nq, 8)
     # The planted rows (hijack ones, v zero point) are written with
     # CONSTANT-VALUE pads, not pad + iota/where: identical bits, but a
     # Pad writes the constant once while a select re-reads and
@@ -384,7 +400,8 @@ def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
     n_kv = xk.shape[1]
 
     kernel = functools.partial(
-        _attention_hs_kernel, n_real=n, num_heads=num_heads, d=d,
+        _attention_hs_kernel, n_real=n, nq_real=nq, num_heads=num_heads,
+        d=d,
         scaling=np.float32(scaling), sq=np.float32(sq), zq=int(zq),
         sk=np.float32(sk), zk=int(zk), sv=np.float32(sv), zv=int(zv),
         sp=np.float32(sp), zp_p=int(zp_p), bit_width=bit_width,
@@ -398,7 +415,14 @@ def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
     # (mask/iota builds, op dispatch) over G images; per-head VPU score
     # temps are [G, n_sub, n_lane] f32, so cap G to keep them plus the
     # int8 in/out blocks comfortably VMEM-resident.
-    g = _largest_divisor(b, _ATTN_G)
+    if nq == n:
+        g = _largest_divisor(b, _ATTN_G)
+    else:
+        # narrow q: per-step work is tiny (few score rows), so raise G
+        # until the K/V blocks and score temps fill the VMEM budget
+        per_g = 2 * xk.shape[1] * hd + n_sub * hd * 5 + n_sub * n_lane * 12
+        g = _largest_divisor(
+            b, max(1, min(32, (10 * 1024 * 1024) // max(per_g, 1))))
     out_dtype = jnp.float32 if out_requant is None else jnp.int8
     out = pl.pallas_call(
         kernel,
@@ -418,12 +442,12 @@ def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
             dimension_semantics=("parallel",)),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * num_heads * (n_sub * n_lane * d) * 2,
-            bytes_accessed=b * n_lane * hd * (3 + 4),
+            bytes_accessed=b * (2 * n_kv * hd + n_sub * hd * (1 + 4)),
             transcendentals=b * num_heads * n_sub * n_lane),
         interpret=interpret,
     )(xq, xk, xv)
-    if n_sub != n:
-        out = out[:, :n, :]
+    if n_sub != nq:
+        out = out[:, :nq, :]
     return out
 
 
@@ -437,15 +461,17 @@ def _fused_attention_hs_blockq(xq, xk, xv, *, num_heads, scaling, sq, zq,
     zero-point corrections are row-local sums or full-K reductions, so
     a q-row tile computes exactly what the monolithic kernel computes
     for those rows (softmax max/sum reduce over the full key axis
-    either way -> bit-identical outputs)."""
-    b, n, hd = xq.shape
+    either way -> bit-identical outputs). ``xq`` may carry fewer tokens
+    than xk/xv (narrow q), exactly as in the monolithic wrapper."""
+    b, nq, hd = xq.shape
+    n = xk.shape[1]
     d = hd // num_heads
     n_lane = _round_up(n, 128)
-    bq = min(int(block_q), _round_up(n, 8))
+    bq = min(int(block_q), _round_up(nq, 8))
     bq = _round_up(bq, 8)
-    n_subq = _round_up(n, bq)
-    if n_subq != n:
-        xq = jnp.pad(xq, ((0, 0), (0, n_subq - n), (0, 0)))
+    n_subq = _round_up(nq, bq)
+    if n_subq != nq:
+        xq = jnp.pad(xq, ((0, 0), (0, n_subq - nq), (0, 0)))
     # fast path: k/v ride unpadded (Mosaic masks the short lane dim),
     # exactly as in the monolithic wrapper above
     if not fast and n_lane != n:
@@ -458,7 +484,8 @@ def _fused_attention_hs_blockq(xq, xk, xv, *, num_heads, scaling, sq, zq,
     n_kv = xk.shape[1]
 
     kernel = functools.partial(
-        _attention_hs_kernel, n_real=n, num_heads=num_heads, d=d,
+        _attention_hs_kernel, n_real=n, nq_real=nq, num_heads=num_heads,
+        d=d,
         scaling=np.float32(scaling), sq=np.float32(sq), zq=int(zq),
         sk=np.float32(sk), zk=int(zk), sv=np.float32(sv), zv=int(zv),
         sp=np.float32(sp), zp_p=int(zp_p), bit_width=bit_width,
@@ -497,8 +524,8 @@ def _fused_attention_hs_blockq(xq, xk, xv, *, num_heads, scaling, sq, zq,
             transcendentals=b * num_heads * n_subq * n_lane),
         interpret=interpret,
     )(xq, xk, xv)
-    if n_subq != n:
-        out = out[:, :n, :]
+    if n_subq != nq:
+        out = out[:, :nq, :]
     return out
 
 

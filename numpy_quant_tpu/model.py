@@ -1511,12 +1511,16 @@ class QModel(Model):
           per input token);
         * binary Add/Sub/Mul/Div whose every operand either matches the
           full token shape (it gets its own hoisted Gather) or has
-          rank <= 1 (broadcasts below the token axis).
+          rank <= 1 (broadcasts below the token axis);
+        * ``FusedAttentionHS`` via its q input only (each output row
+          depends on its own q row and all of K/V): the kernel then
+          computes ONE query row (narrow-q path, kernels/attention.py)
+          and the hoist continues up the q-projection chain.
 
         The hoist stops at multi-consumer values (anything still
         consumed full-width, e.g. the residual trunk the next layer's
-        LayerNorm reads), graph outputs, and token-mixing ops (fused
-        attention, Softmax, Concat). Requires static shapes
+        LayerNorm reads), graph outputs, and token-mixing ops
+        (Softmax, Concat). Requires static shapes
         (``_infer_shapes``); returns the number of hoist steps."""
         shapes = self._infer_shapes()
         if shapes is None:
@@ -1567,6 +1571,15 @@ class QModel(Model):
                     if not isinstance(w, Constant) \
                             or len(shapes.get(w.name, ())) != 2:
                         continue
+                    slice_idx = [0]
+                elif p.op == "FusedAttentionHS":
+                    # each attention output row depends on its own q row
+                    # and ALL of K/V, so gathering the output token is
+                    # gathering the q input token: the kernel runs with
+                    # one query row against full K/V (narrow-q path,
+                    # kernels/attention.py) -- on ViT this narrows the
+                    # LAST layer's score/context work and its whole
+                    # q-projection chain from 197 rows to 1
                     slice_idx = [0]
                 elif p.op in BINARY:
                     vshape = shapes[v.name]

@@ -626,7 +626,13 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         out_requant = attrs.get("out_requant")  # set by int8_dataflow
         from .. import config as _config
         num_heads = int(attrs["num_heads"])
-        operands = (xq.data.astype(jnp.int8), xk.data.astype(jnp.int8),
+        # narrow q (dead-token elimination): a scalar token Gather
+        # hoisted through the q input leaves a rank-2 [B, H*D] tensor --
+        # run the kernel with ONE query row against full K/V and drop
+        # the token axis again on the way out
+        narrow_q = xq.data.ndim == 2
+        qdata = xq.data[:, None, :] if narrow_q else xq.data
+        operands = (qdata.astype(jnp.int8), xk.data.astype(jnp.int8),
                     xv.data.astype(jnp.int8))
 
         score_max = attrs.get("score_max")
@@ -660,6 +666,8 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
                 (spec,) * 3, spec)
         else:
             out = call(*operands)
+        if narrow_q:
+            out = out[:, 0, :]
         if out_requant is not None:
             scale, zp = out_requant
             return [QTensor(out, xq.bit_width, np.float32(scale),

@@ -636,6 +636,68 @@ def test_fuse_attention_foreign_exporter_pattern(prescaled):
     np.testing.assert_array_equal(qmodel([x])[0], ref)
 
 
+def test_fuse_attention_split_qkv_pattern():
+    """ONE wide QKV projection + Split(axis=-1), as some HF exports
+    emit (ROADMAP item 5): the matcher anchors on the Reshape/Transpose
+    chains, not the q/k/v producers, so the Split form fuses too (the
+    Split node itself stays in the graph, slicing the wide projection).
+    Bit-identical to the unfused executor."""
+    import numpy_quant_tpu as nq
+    from numpy_quant_tpu import onnx as O
+
+    b, n, hd, heads = 2, 10, 16, 4
+    d = hd // heads
+    rng = np.random.default_rng(21)
+    nodes = [
+        O.make_node("MatMul", ["x", "wqkv"], ["qkv0"], name="proj"),
+        O.make_node("Add", ["qkv0", "bqkv"], ["qkv"], name="bias"),
+        O.make_node("Split", ["qkv"], ["q", "k", "v"], name="split",
+                    axis=-1, num_outputs=3),
+        O.make_node("Reshape", ["q", "shape4"], ["q4"], name="rq"),
+        O.make_node("Reshape", ["k", "shape4"], ["k4"], name="rk"),
+        O.make_node("Reshape", ["v", "shape4"], ["v4"], name="rv"),
+        O.make_node("Transpose", ["q4"], ["qh"], name="tq",
+                    perm=[0, 2, 1, 3]),
+        O.make_node("Transpose", ["k4"], ["kh"], name="tk",
+                    perm=[0, 2, 3, 1]),
+        O.make_node("Transpose", ["v4"], ["vh"], name="tv",
+                    perm=[0, 2, 1, 3]),
+        O.make_node("MatMul", ["qh", "kh"], ["scores"], name="ms"),
+        O.make_node("Mul", ["scores", "scal"], ["scaled"], name="sc"),
+        O.make_node("Softmax", ["scaled"], ["probs"], name="sm", axis=-1),
+        O.make_node("MatMul", ["probs", "vh"], ["ctx"], name="mc"),
+        O.make_node("Transpose", ["ctx"], ["ctx2"], name="tc",
+                    perm=[0, 2, 1, 3]),
+        O.make_node("Reshape", ["ctx2", "shape3"], ["y"], name="ro"),
+    ]
+    init = [
+        O.from_array(rng.normal(size=(hd, 3 * hd)).astype(np.float32),
+                     "wqkv"),
+        O.from_array(rng.normal(size=(3 * hd,)).astype(np.float32),
+                     "bqkv"),
+        O.from_array(np.array([b, n, heads, d], dtype=np.int64), "shape4"),
+        O.from_array(np.array([b, n, hd], dtype=np.int64), "shape3"),
+        O.from_array(np.float32(1.0 / np.sqrt(d)), "scal"),
+    ]
+    g = O.make_graph(
+        nodes, "split_qkv_attention",
+        [O.make_tensor_value_info("x", O.TensorProto.FLOAT, [b, n, hd])],
+        [O.make_tensor_value_info("y", O.TensorProto.FLOAT, None)],
+        initializer=init)
+    m = O.make_model(g)
+
+    x = np.random.default_rng(22).normal(size=(b, n, hd)) \
+        .astype(np.float32)
+    qmodel = nq.Model.from_onnx(m).quantize([x], bit_width=8)
+    ref = qmodel([x])[0]
+    assert qmodel.fuse_attention() == 1
+    assert qmodel.fusion_report["failures"] == []
+    ops = [nd.op for nd in qmodel.nodes]
+    assert "FusedAttentionHS" in ops and "Split" in ops
+    assert not any(o in ("Transpose", "Softmax") for o in ops)
+    np.testing.assert_array_equal(qmodel([x])[0], ref)
+
+
 def _hs_attention_oracle(xq, xk, xv, H, scaling, sq, zq, sk, zk, sv, zv,
                          sp, zp_p, out_requant=None):
     """Unfused per-head reference math (q_matmul/softmax/quantize)."""
@@ -725,6 +787,36 @@ def test_blockwise_attention_hs_long_sequence():
     # ulps, occasionally flipping a probs rint bucket (one quant step)
     np.testing.assert_allclose(out, expect, atol=5e-2)
     assert np.mean(np.abs(out - expect)) < 2e-3
+
+
+@pytest.mark.parametrize("fast", [False, True])
+@pytest.mark.parametrize("n", [50, 128])  # 128: no lane pad, no hijack
+def test_narrow_q_attention_matches_full_rows(fast, n):
+    """xq with fewer tokens than K/V (dead-token elimination feeds ONE
+    gathered query row against full K/V on the last ViT layer): row i
+    of the narrow call is bit-identical to row i of the full call, on
+    both kernel paths, with and without the requantize epilogue."""
+    from numpy_quant_tpu.kernels.attention import fused_attention_hs
+
+    B, H, D = 4, 4, 8
+    kw = dict(num_heads=H, scaling=0.4, sq=0.02, zq=3, sk=0.03, zk=-2,
+              sv=0.05, zv=4, sp=1 / 255., zp_p=-128, bit_width=8,
+              fast=fast, interpret=jax.default_backend() == "cpu")
+    rng = np.random.default_rng(5)
+    xq = rng.integers(-100, 100, size=(B, n, H * D)).astype(np.int8)
+    xk = rng.integers(-100, 100, size=(B, n, H * D)).astype(np.int8)
+    xv = rng.integers(-100, 100, size=(B, n, H * D)).astype(np.int8)
+
+    full = np.asarray(fused_attention_hs(xq, xk, xv, **kw))
+    one = np.asarray(fused_attention_hs(xq[:, :1], xk, xv, **kw))
+    np.testing.assert_array_equal(one, full[:, :1])
+    few = np.asarray(fused_attention_hs(xq[:, :3], xk, xv, **kw))
+    np.testing.assert_array_equal(few, full[:, :3])
+    # fused requantize epilogue (the int8_dataflow serving shape)
+    rq = dict(kw, out_requant=(0.11, 7))
+    fullq = np.asarray(fused_attention_hs(xq, xk, xv, **rq))
+    oneq = np.asarray(fused_attention_hs(xq[:, :1], xk, xv, **rq))
+    np.testing.assert_array_equal(oneq, fullq[:, :1])
 
 
 def test_blockwise_attention_plain_long_sequence():

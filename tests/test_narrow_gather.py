@@ -47,6 +47,28 @@ def test_narrow_gather_bit_exact_vit_classifier():
     assert tail_ops == ["LayerNormalization", "Gemm", "Identity"]
 
 
+def test_narrow_gather_through_fused_attention():
+    """The hoist passes the LAST layer's FusedAttentionHS via its q
+    input (each output row depends on its own q row and all of K/V) and
+    continues up the q-projection chain, so the last layer's
+    score/context kernel and q projection run ONE query row. Bit-exact
+    vs the unoptimized executor."""
+    m = _small_classifier()
+    model = nq.Model.from_onnx(m)
+    x = RNG.normal(size=(8, 3, 32, 32)).astype(np.float32)
+    qmodel = model.quantize([x], bit_width=8)
+    base = qmodel([x])[0]
+
+    report = qmodel.optimize()
+    # ... the previous 11 hoists + attention + q-proj Add + q-proj MatMul
+    assert report["narrow_gather"] >= 14
+    att_q = [nd.inputs[0] for nd in qmodel.nodes
+             if nd.op == "FusedAttentionHS"]
+    narrow = [v for v in att_q if v.name.endswith("/narrowed")]
+    assert len(narrow) == 1  # exactly the last layer's attention
+    np.testing.assert_array_equal(qmodel([x])[0], base)
+
+
 def test_narrow_gather_batch_shape_generic():
     """The narrowed graph was traced at a pinned batch; other batch
     sizes still run and agree with the unoptimized executor."""
