@@ -202,10 +202,12 @@ class Model:
         data = value.data
         if isinstance(data, FTensor):
             t = FTensor(params[value.name])
-            if data.data.size <= 64:
+            if data.data.size <= 64 or data.data.ndim == 1:
                 # host shadow: tiny float constants (Resize scales/roi,
                 # Pad values) are shape-domain for some ops -- they must
-                # be readable at trace time like ITensors are
+                # be readable at trace time like ITensors are. 1-D
+                # vectors of any size ride along for the QOperator ops'
+                # per-channel scales (QLinearConv), read at trace time.
                 t.host = np.asarray(data.data, np.float32)
             return t
         if isinstance(data, QTensor):

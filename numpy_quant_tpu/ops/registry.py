@@ -915,6 +915,93 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         if zdata is not None:
             y = y - zdata
         return [FTensor(y * jnp.asarray(sdata, jnp.float32))]
+    elif op in ("QLinearMatMul", "QLinearConv"):
+        # Standard ONNX QOperator-format interop (the QDQ form's
+        # sibling): the integer op is explicit in the graph, so runtimes
+        # without QDQ pattern fusion still run integer kernels. Executed
+        # integer-exact through q_matmul / qconv2d plus ONE output
+        # requantize: y = clip(rint(acc * s_a*s_b / s_y) + zp_y) to the
+        # storage dtype's range -- the same rint-then-add-zp convention
+        # as this registry's QuantizeLinear import above.
+        a, a_s, a_z = inputs[0], inputs[1], inputs[2]
+        b, b_s, b_z = inputs[3], inputs[4], inputs[5]
+        y_s, y_z = inputs[6], inputs[7] if len(inputs) > 7 else None
+        bias = inputs[8] if len(inputs) > 8 else None
+
+        def _host_scale(t):
+            """Scale initializers must be readable at trace time (they
+            parameterize QTensors): the host shadow model._wrap_constant
+            attaches to scalar/1-D float constants."""
+            h = getattr(t, "host", None)
+            if h is None:
+                h = t.data  # eager mode / raw constants: already host
+            return np.asarray(h, np.float32)
+
+        def _storage(zp_t, payload_t):
+            """Storage dtype from the zero point (or payload) initializer;
+            bits use the signed-range convention (QuantizeLinear above)."""
+            dtype = getattr(zp_t, "orig_dtype", None) \
+                if zp_t is not None else None
+            if dtype is None:
+                dtype = getattr(payload_t, "orig_dtype", None) \
+                    or np.dtype(np.uint8)
+            info = np.iinfo(dtype)
+            if info.bits > 8:
+                raise ValueError(f"{op}: only 8-bit storage supported")
+            return int(info.bits) + (1 if info.min == 0 else 0), info, dtype
+
+        def _operand(t, st, zt, per_channel=False):
+            sdata = _host_scale(st)
+            if sdata.size != 1 and not per_channel:
+                raise ValueError(f"{op}: per-axis operand scales are only "
+                                 "supported for QLinearConv weights")
+            bits, _, _ = _storage(zt, t)
+            zp = None
+            if zt is not None:
+                z = np.asarray(zt.data).reshape(-1)
+                if z.size != 1:
+                    # the common per-channel form carries an all-zero
+                    # zp vector beside the per-channel scales
+                    if np.any(z != 0):
+                        raise ValueError(f"{op}: per-axis zero points "
+                                         "are not supported")
+                elif int(z[0]) != 0:
+                    zp = np.int64(int(z[0]))
+            scale = np.float32(sdata.reshape(-1)[0]) if sdata.size == 1 \
+                else sdata.reshape(-1)
+            return QTensor(jnp.asarray(t.data, jnp.int32), bits, scale, zp)
+
+        qa = _operand(a, a_s, a_z)
+        qb = _operand(b, b_s, b_z, per_channel=(op == "QLinearConv"))
+        if op == "QLinearConv":
+            from ..tensor import qconv2d
+            qbias = None
+            if bias is not None:
+                # int32 bias at scale s_x*s_w, zero point 0 (ONNX spec)
+                bscale = np.float32(qa.scale) \
+                    * np.asarray(qb.scale, np.float32)
+                qbias = QTensor(jnp.asarray(bias.data, jnp.int32), 32,
+                                bscale, None)
+            acc = qconv2d(qa, qb, qbias,
+                          tuple(attrs.get("pads", (0, 0, 0, 0))),
+                          tuple(attrs.get("strides", (1, 1))),
+                          tuple(attrs.get("dilations", (1, 1))),
+                          int(attrs.get("group", 1)))
+        else:
+            acc = qa.matmul(qb)
+        bits_y, info_y, dtype_y = _storage(y_z, None)
+        ys = np.float32(_host_scale(y_s).reshape(-1)[0])
+        q = jnp.rint(jnp.asarray(acc.dequantize().data, jnp.float32) / ys)
+        zy = None
+        if y_z is not None:
+            z = int(np.asarray(y_z.data).reshape(-1)[0])
+            if z:
+                q = q + z
+                zy = np.int64(z)
+        q = jnp.clip(q, info_y.min, info_y.max)
+        out = QTensor(q.astype(jnp.int32), bits_y, ys, zy)
+        out.orig_dtype = dtype_y
+        return [out]
     elif op == "FusedGelu":
         # Produced by QModel.fuse_gelu() from the exporter's exact-GELU
         # chain Div(x, c) -> Erf -> Add(one) -> Mul(x) -> Mul(half).

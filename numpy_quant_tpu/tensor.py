@@ -544,8 +544,9 @@ def qconv2d(x: QTensor, w: QTensor, b: Optional[QTensor], pads, strides,
     from .ops.conv import extract_patches_exact
     from .quantization import q_matmul as _q_matmul
 
-    assert x.bit_width == w.bit_width, f"{x.bit_width} != {w.bit_width}"
-    bit_width = x.bit_width
+    # mixed widths accumulate at 4x the wider operand's width, exactly
+    # like QTensor.matmul (W4A8 weights, uint8-activation QLinearConv)
+    bit_width = max(x.bit_width, w.bit_width)
     o, cg, kh, kw = w.data.shape
     g = int(group)
     c = cg * g

@@ -3,11 +3,13 @@ from .profiling import (device_trace, profile_results_plot,
                         summarize_device_trace)
 from .serialization import (
     export_qdq,
+    export_qoperator,
     load_calibration_stats,
     merge_calibration_stats,
     load_qmodel,
     save_calibration_stats,
     save_qmodel,
     save_qmodel_qdq,
+    save_qmodel_qoperator,
 )
 from .summary import summarize

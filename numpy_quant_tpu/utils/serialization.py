@@ -226,6 +226,51 @@ def import_onnx_quantized(model_proto: O.ModelProto, tensor_meta: dict):
     return list(nodes.values()), list(value_dict.values()), inputs, outputs
 
 
+def _unpack_packed(data):
+    """PackedQTensor -> the equal-value plain QTensor (int payload);
+    anything else passes through."""
+    from ..kernels.pack import (
+        unpack_bitplanes_np, unpack_splitk_np, unpack_stacked_np)
+    from ..tensor import PackedQTensor
+
+    if not isinstance(data, PackedQTensor):
+        return data
+    if data.layout == "splitk_stacked":
+        vals = unpack_stacked_np(np.asarray(data.planes),
+                                 data.bit_width, data.k)
+    elif data.layout == "splitk":
+        vals = np.asarray(data.planes, np.int8) if data.bit_width == 8 \
+            else unpack_splitk_np(np.asarray(data.planes),
+                                  data.bit_width, data.k)
+    else:
+        vals = unpack_bitplanes_np(np.asarray(data.planes),
+                                   data.bit_width, data.k)
+    return QTensor(vals, data.bit_width, data.scale, None)
+
+
+def _merged_weight_slices(qmodel: QModel) -> dict:
+    """merge_parallel_matmuls removed the original weight Constants (the
+    payload lives in '<node>/merged_w'): re-slice per-initializer
+    QTensors out of the merged tensor so exports carry the SAME int8
+    weights the executor computes with (ADVICE r2: they used to
+    silently export as plain float initializers)."""
+    merged_slices = {}
+    for node in qmodel.nodes:
+        if node.op != "MatMulSplit" or "source_weights" not in node.attrs:
+            continue
+        mdata = _unpack_packed(node.inputs[1].data)
+        vals = np.asarray(mdata.data)
+        start = 0
+        for name, seg, s in zip(node.attrs["source_weights"],
+                                node.attrs["segments"],
+                                node.attrs["segment_scales"]):
+            merged_slices[name] = QTensor(vals[:, start:start + seg],
+                                          mdata.bit_width,
+                                          np.float32(s), None)
+            start += seg
+    return merged_slices
+
+
 def export_qdq(qmodel: QModel, source_onnx: O.ModelProto) -> O.ModelProto:
     """Export a QModel as a STANDARD QDQ-format ONNX model
     (QuantizeLinear/DequantizeLinear) that any ONNX runtime can serve.
@@ -244,49 +289,12 @@ def export_qdq(qmodel: QModel, source_onnx: O.ModelProto) -> O.ModelProto:
     Requires bit_width <= 8 (int8 QDQ zero points; 16-bit QDQ needs
     opset 21).
     """
-    from ..kernels.pack import (
-        unpack_bitplanes_np, unpack_splitk_np, unpack_stacked_np)
-    from ..tensor import PackedQTensor
-
     assert qmodel.bit_width <= 8, "QDQ export needs bit_width <= 8"
     model = O.load_from_string(source_onnx.SerializeToString())  # deep copy
     g = model.graph
     qconst = {v.name: v for v in qmodel.values if isinstance(v, Constant)}
     qp = qmodel.quant_params
-
-    # merge_parallel_matmuls removed the original weight Constants (the
-    # payload lives in '<node>/merged_w'): re-slice per-initializer
-    # QTensors out of the merged tensor so the export carries the SAME
-    # int8 weights the executor computes with (ADVICE r2: they used to
-    # silently export as plain float initializers).
-    merged_slices = {}
-    for node in qmodel.nodes:
-        if node.op != "MatMulSplit" or "source_weights" not in node.attrs:
-            continue
-        mdata = node.inputs[1].data
-        if isinstance(mdata, PackedQTensor):
-            if mdata.layout == "splitk_stacked":
-                vals = unpack_stacked_np(np.asarray(mdata.planes),
-                                         mdata.bit_width, mdata.k)
-            elif mdata.layout == "splitk":
-                vals = np.asarray(mdata.planes, np.int8) \
-                    if mdata.bit_width == 8 else \
-                    unpack_splitk_np(np.asarray(mdata.planes),
-                                     mdata.bit_width, mdata.k)
-            else:
-                vals = unpack_bitplanes_np(np.asarray(mdata.planes),
-                                           mdata.bit_width, mdata.k)
-            bw = mdata.bit_width
-        else:
-            vals = np.asarray(mdata.data)
-            bw = mdata.bit_width
-        start = 0
-        for name, seg, s in zip(node.attrs["source_weights"],
-                                node.attrs["segments"],
-                                node.attrs["segment_scales"]):
-            merged_slices[name] = QTensor(vals[:, start:start + seg], bw,
-                                          np.float32(s), None)
-            start += seg
+    merged_slices = _merged_weight_slices(qmodel)
 
     # ---- weights/biases -> int initializers + DequantizeLinear
     new_inits = []
@@ -297,19 +305,7 @@ def export_qdq(qmodel: QModel, source_onnx: O.ModelProto) -> O.ModelProto:
         if data is None and init.name in merged_slices:
             v = None
             data = merged_slices[init.name]
-        if isinstance(data, PackedQTensor):
-            if data.layout == "splitk_stacked":
-                vals = unpack_stacked_np(np.asarray(data.planes),
-                                         data.bit_width, data.k)
-            elif data.layout == "splitk":
-                vals = np.asarray(data.planes, np.int8) \
-                    if data.bit_width == 8 else \
-                    unpack_splitk_np(np.asarray(data.planes),
-                                     data.bit_width, data.k)
-            else:
-                vals = unpack_bitplanes_np(np.asarray(data.planes),
-                                           data.bit_width, data.k)
-            data = QTensor(vals, data.bit_width, data.scale, None)
+        data = _unpack_packed(data)
         if not isinstance(data, QTensor) or data.zero_point is not None:
             new_inits.append(init)  # float/shape-domain constants as-is
             continue
@@ -432,6 +428,239 @@ def export_qdq(qmodel: QModel, source_onnx: O.ModelProto) -> O.ModelProto:
 def save_qmodel_qdq(qmodel: QModel, path, source_onnx: O.ModelProto) -> None:
     """export_qdq + save: one standard ONNX file other runtimes serve."""
     O.save(export_qdq(qmodel, source_onnx), path)
+
+
+def export_qoperator(qmodel: QModel,
+                     source_onnx: O.ModelProto) -> O.ModelProto:
+    """Export a QModel in QOperator format: quantized MatMuls become
+    QLinearMatMul and quantized Convs QLinearConv -- the integer op is
+    EXPLICIT in the graph, so runtimes without QDQ pattern fusion still
+    run integer kernels. Activations enter each converted op through a
+    QuantizeLinear with the calibrated parameters, and the op's int8
+    output dequantizes back to float under its original value name, so
+    the model interface and every unconverted consumer are unchanged.
+
+    The standard opset has no quantized Gemm (QGemm is a com.microsoft
+    extension), so Gemm nodes -- and any MatMul the format cannot
+    express (per-channel weights: QLinearMatMul requires scalar operand
+    scales) -- keep the QDQ form of export_qdq, yielding a legal mixed
+    model.
+
+    Numerics note: the format requantizes every converted op's OUTPUT
+    to its calibrated (scale, zero_point); the in-process executor
+    instead carries the exact int32 accumulator into the consumer
+    (reference semantics, numpy_quant/model.py:528-538), so QOperator
+    serving adds one output-quantization rounding per converted node.
+    The registry executes both QLinear ops (ops/registry.py), closing
+    an export -> import -> execute conformance loop in-process.
+    """
+    assert qmodel.bit_width <= 8, "QOperator export needs bit_width <= 8"
+    model = O.load_from_string(source_onnx.SerializeToString())  # deep copy
+    g = model.graph
+    qconst = {v.name: v for v in qmodel.values if isinstance(v, Constant)}
+    qp = qmodel.quant_params
+    merged_slices = _merged_weight_slices(qmodel)
+
+    # ---- quantized weight/bias initializers -> int payloads
+    # '<name>/q' (+ '/q_scale', '/q_zp') for QLinear operands; a
+    # DequantizeLinear re-emitting the float name is appended only when
+    # some unconverted consumer still reads it (pruned at the end).
+    new_inits = []
+    extra_inits = []
+    new_nodes = []
+    weight_q = {}        # float init name -> (qname, sname, zname, QTensor)
+    weight_dq_nodes = {}  # float init name -> DequantizeLinear node
+    for init in g.initializer:
+        v = qconst.get(init.name)
+        data = getattr(v, "data", None)
+        if data is None and init.name in merged_slices:
+            data = merged_slices[init.name]
+        data = _unpack_packed(data)
+        if not isinstance(data, QTensor) or data.zero_point is not None:
+            new_inits.append(init)  # float/shape-domain constants as-is
+            continue
+        arr = np.asarray(data.data)
+        scale = np.asarray(data.scale, np.float32).reshape(-1)
+        store = arr.astype(np.int8) if data.bit_width <= 8 \
+            else arr.astype(np.int32)
+        qname, sname, zname = (init.name + "/q", init.name + "/q_scale",
+                               init.name + "/q_zp")
+        new_inits.append(O.from_array(store, qname))
+        sval = scale.astype(np.float32) if scale.size > 1 \
+            else np.float32(scale[0])
+        new_inits.append(O.from_array(sval, sname))
+        if store.dtype == np.int8:
+            zval = np.zeros(scale.shape, np.int8) if scale.size > 1 \
+                else np.int8(0)
+            new_inits.append(O.from_array(zval, zname))
+        else:
+            zname = None  # int32 biases carry no zero point input
+        weight_q[init.name] = (qname, sname, zname, data)
+        kw = {}
+        if scale.size > 1:
+            axis = next(i for i, d in enumerate(arr.shape)
+                        if d == scale.size)
+            kw["axis"] = axis
+        dq_in = [qname, sname] + ([zname] if zname else [])
+        weight_dq_nodes[init.name] = O.make_node(
+            "DequantizeLinear", dq_in, [init.name],
+            name=f"DQ_{init.name}", **kw)
+    init_names = {i.name for i in new_inits} | set(weight_dq_nodes)
+
+    rename: dict[str, str] = {}
+    wrapped: dict[str, str] = {}
+    quantized_act: dict[str, str] = {}
+
+    def _qdq_param_inits(name: str, p, suffix: str = "qdq") -> list:
+        sname = f"{name}/{suffix}_scale"
+        extra_inits.append(O.from_array(np.float32(p.scale), sname))
+        # ALWAYS emit an int8 zero point: without one, ONNX QuantizeLinear
+        # defaults to uint8 storage (see export_qdq)
+        zname = f"{name}/{suffix}_zp"
+        zp_val = 0 if p.zero_point is None else int(p.zero_point)
+        extra_inits.append(O.from_array(np.int8(zp_val), zname))
+        return [sname, zname]
+
+    def _wrappable(p) -> bool:
+        if p is None or np.asarray(p.scale).size > 1:
+            return False
+        zp = p.zero_point
+        return zp is None or -128 <= int(zp) <= 127
+
+    def ensure_q(name: str):
+        """int8 activation for a QLinear operand: QuantizeLinear once,
+        shared by every converted consumer. Returns (q_name, scale
+        initializer, zp initializer) or None."""
+        p = qp.get(name)
+        if not _wrappable(p):
+            return None
+        if name not in quantized_act:
+            pnames = _qdq_param_inits(name, p, suffix="qop")
+            qout = f"{name}/qop_q"
+            new_nodes.append(O.make_node("QuantizeLinear", [name] + pnames,
+                                         [qout], name=f"Qop_{name}"))
+            quantized_act[name] = (qout, pnames[0], pnames[1])
+        return quantized_act[name]
+
+    def ensure_qdq(name: str) -> str:
+        """QDQ fallback: consumer-side fake-quant wrap (see export_qdq)."""
+        if name in wrapped:
+            return wrapped[name]
+        p = qp.get(name)
+        if not _wrappable(p):
+            return name
+        pnames = _qdq_param_inits(name, p)
+        qout, dqout = f"{name}/qdq_q", f"{name}/qdq"
+        new_nodes.append(O.make_node("QuantizeLinear", [name] + pnames,
+                                     [qout], name=f"Q_{name}"))
+        new_nodes.append(O.make_node("DequantizeLinear", [qout] + pnames,
+                                     [dqout], name=f"DQ_{name}"))
+        wrapped[name] = dqout
+        return dqout
+
+    def wrap_producer(node) -> None:
+        out = node.output[0]
+        p = qp.get(out)
+        if not _wrappable(p):
+            return
+        raw = out + "/raw"
+        node.output[0] = raw
+        pnames = _qdq_param_inits(out, p)
+        new_nodes.append(O.make_node("QuantizeLinear", [raw] + pnames,
+                                     [out + "/q"], name=f"Q_{out}"))
+        new_nodes.append(O.make_node("DequantizeLinear",
+                                     [out + "/q"] + pnames, [out],
+                                     name=f"DQ_{out}"))
+
+    def _qlinear_operand(name: str):
+        """(int8 name, scale name, zp name) for a QLinear input: a
+        quantized weight initializer directly, or an activation through
+        its shared QuantizeLinear."""
+        wq = weight_q.get(name)
+        if wq is not None:
+            qname, sname, zname, data = wq
+            if zname is None or np.asarray(data.scale).ndim > 0:
+                return None  # bias payload / per-channel: not scalar
+            return (qname, sname, zname)
+        if name in init_names:
+            return None  # unquantized initializer
+        return ensure_q(name)
+
+    # graph inputs quantize on entry for QDQ-fallback consumers
+    for vi in g.input:
+        if vi.name not in init_names:
+            rename[vi.name] = ensure_qdq(vi.name)
+
+    converted = 0
+    for node in g.node:
+        if node.op_type == "MatMul":
+            a, b = node.input[0], node.input[1]
+            out = node.output[0]
+            p_out = qp.get(out)
+            qa, qb = _qlinear_operand(a), _qlinear_operand(b)
+            if qa and qb and _wrappable(p_out):
+                ynames = _qdq_param_inits(out, p_out, suffix="qop_y")
+                new_nodes.append(O.make_node(
+                    "QLinearMatMul",
+                    list(qa) + list(qb) + ynames, [out + "/qop"],
+                    name=f"QL_{node.name or out}"))
+                new_nodes.append(O.make_node(
+                    "DequantizeLinear", [out + "/qop"] + ynames, [out],
+                    name=f"QLDQ_{out}"))
+                converted += 1
+                continue
+        if node.op_type == "Conv" and "Conv" in qmodel.quantized_ops:
+            x, w = node.input[0], node.input[1]
+            bias = node.input[2] if len(node.input) > 2 else None
+            out = node.output[0]
+            p_out = qp.get(out)
+            qx = _qlinear_operand(x)
+            wq = weight_q.get(w)
+            bias_ok = bias is None or (
+                bias in weight_q and weight_q[bias][2] is None)
+            if qx and wq and wq[2] is not None and bias_ok \
+                    and _wrappable(p_out):
+                # per-channel weight scales are legal for QLinearConv
+                ynames = _qdq_param_inits(out, p_out, suffix="qop_y")
+                ins = list(qx) + [wq[0], wq[1], wq[2]] + ynames
+                if bias is not None:
+                    ins.append(weight_q[bias][0])
+                qlc = O.make_node("QLinearConv", ins, [out + "/qop"],
+                                  name=f"QL_{node.name or out}")
+                for a in node.attribute:
+                    qlc.attribute.append(a)
+                new_nodes.append(qlc)
+                new_nodes.append(O.make_node(
+                    "DequantizeLinear", [out + "/qop"] + ynames, [out],
+                    name=f"QLDQ_{out}"))
+                converted += 1
+                continue
+        # unconverted path: QDQ semantics (export_qdq)
+        node.input = [rename.get(i, i) for i in node.input]
+        if node.op_type in ("MatMul", "Gemm"):
+            node.input = [i if i in init_names else ensure_qdq(i)
+                          for i in node.input]
+        new_nodes.append(node)
+        if node.op_type == "Gemm" and node.output[0] in qp:
+            wrap_producer(node)
+
+    # keep a float-rebuilding DequantizeLinear only for quantized
+    # initializers some remaining node still reads by the float name
+    used = {i for n in new_nodes for i in n.input}
+    dq_keep = [dq for name, dq in weight_dq_nodes.items() if name in used]
+    out_names = {o.name for o in g.output}
+    dq_keep += [dq for name, dq in weight_dq_nodes.items()
+                if name in out_names and name not in used]
+
+    model.graph.node = dq_keep + new_nodes
+    model.graph.initializer = new_inits + extra_inits
+    return model
+
+
+def save_qmodel_qoperator(qmodel: QModel, path,
+                          source_onnx: O.ModelProto) -> None:
+    """export_qoperator + save: one QOperator-format ONNX file."""
+    O.save(export_qoperator(qmodel, source_onnx), path)
 
 
 def merge_calibration_stats(*stats_dicts: dict) -> dict:
