@@ -447,6 +447,40 @@ class Model:
             return [np.asarray(o) for o in outs]
         return list(outs)
 
+    def serve_stream(self, batches, depth: int = 2, as_numpy: bool = True):
+        """Pipelined request-stream inference: a generator yielding one
+        output list per input batch (in order), keeping up to ``depth``
+        forwards in flight.
+
+        JAX dispatch is asynchronous -- ``__call__(as_numpy=False)``
+        returns device futures without blocking -- so enqueueing the
+        next request BEFORE synchronizing the previous one overlaps
+        host->device transfer, dispatch and compute across requests.
+        On a remote-attached chip each dispatch pays an RPC round trip;
+        pipelining hides it behind the in-flight compute. This is the
+        ONLINE serving shape: unlike ``map_batches`` (one device program
+        over a fixed [steps, ...] dataset) it needs no inputs upfront
+        and yields each result as it completes.
+
+        ``batches``: iterable of input lists, each as ``__call__``'s
+        ``inputs`` (all batches must share one shape signature to reuse
+        the compiled program)."""
+        from collections import deque
+
+        if depth < 1:
+            raise ValueError(f"depth must be >= 1, got {depth}")
+        inflight: deque = deque()
+
+        def _finish(outs):
+            return [np.asarray(o) for o in outs] if as_numpy else outs
+
+        for batch in batches:
+            inflight.append(self(list(batch), as_numpy=False))
+            if len(inflight) > depth:
+                yield _finish(inflight.popleft())
+        while inflight:
+            yield _finish(inflight.popleft())
+
     def _place_batched_input(self, array):
         """Shard a [steps, batch, ...] input over the mesh data axis
         (axis 1 -- the per-step batch)."""

@@ -215,3 +215,27 @@ def test_map_batches_matches_per_call():
     qgot = q.map_batches([xs])[0]
     for s in range(5):
         np.testing.assert_array_equal(qgot[s], q([xs[s]])[0])
+
+
+@pytest.mark.parametrize("depth", [1, 3, 10])
+def test_serve_stream_matches_per_call(depth):
+    """serve_stream (pipelined online serving: up to ``depth`` forwards
+    in flight) yields, in order, exactly what blocking per-batch
+    __call__ returns -- float and quantized, any pipeline depth
+    (deeper than the request count included)."""
+    import numpy_quant_tpu as nq
+
+    mlp = nq.onnx.load("numpy_quant_tpu/models/mlp.onnx")
+    model = Model.from_onnx(mlp)
+    xs = RNG.normal(size=(6, 16, 2)).astype(np.float32)
+    seq = [model([x])[0] for x in xs]
+    got = list(model.serve_stream(([x] for x in xs), depth=depth))
+    assert len(got) == len(seq)
+    for g, s in zip(got, seq):
+        np.testing.assert_array_equal(g[0], s)
+
+    q = model.quantize([xs.reshape(-1, 2)], bit_width=8)
+    qseq = [q([x])[0] for x in xs]
+    qgot = list(q.serve_stream(([x] for x in xs), depth=depth))
+    for g, s in zip(qgot, qseq):
+        np.testing.assert_array_equal(g[0], s)
