@@ -182,6 +182,42 @@ def test_export_qoperator_vit_roundtrip():
     assert np.array_equal(a.argmax(1), b.argmax(1))
 
 
+def test_export_qoperator_after_optimize_and_pack(tmp_path):
+    """QOperator export composes with the serving transforms: a W4A8,
+    optimize()d (fused attention + early-int8 + narrow_gather),
+    pack_weights()ed QModel exports from the SOURCE graph structure
+    with unpacked per-initializer payloads; per-channel weights keep
+    the QDQ form (QLinearMatMul requires scalar operand scales) so the
+    result is a legal mixed model matching the integer path."""
+    from numpy_quant_tpu.models.vit import vit_image_classifier
+    from numpy_quant_tpu.utils import save_qmodel_qoperator
+    from transformers import ViTConfig
+
+    rng = np.random.default_rng(2)
+    cfg = ViTConfig(image_size=16, patch_size=4, hidden_size=16,
+                    num_attention_heads=2, intermediate_size=32,
+                    num_hidden_layers=1, num_labels=4)
+    mv = vit_image_classifier(config=cfg, batch_size=2, seed=0)
+    model = nq.Model.from_onnx(mv)
+    xv = rng.normal(size=(2, 3, 16, 16)).astype(np.float32)
+    q = model.quantize([xv], bit_width=8, weight_bit_width=4,
+                       per_channel_weights=True)
+    q.optimize()
+    assert q.pack_weights() > 0
+    expected = q([xv])[0]
+    path = tmp_path / "vit_w4a8_qop.onnx"
+    save_qmodel_qoperator(q, path, mv)
+    loaded_proto = nq.onnx.load(path)
+    ops = [n.op_type for n in loaded_proto.graph.node]
+    # the attention's two-activation matmuls convert (scalar scales);
+    # per-channel-weight matmuls stay QDQ
+    assert "QLinearMatMul" in ops
+    loaded = nq.Model.from_onnx(loaded_proto)
+    a, b = expected, loaded([xv])[0]
+    assert np.abs(a - b).mean() < 0.05, np.abs(a - b).mean()
+    assert np.array_equal(a.argmax(1), b.argmax(1))
+
+
 def test_export_qoperator_mlp_gemm_stays_qdq(tmp_path):
     """Gemm has no standard QOperator form (QGemm is a com.microsoft
     extension): the MLP exports as a legal mixed model whose Gemms keep
