@@ -1885,6 +1885,17 @@ class QModel(Model):
             self._sharded_param_cache = None
         return corrected
 
+    def adaround(self, float_model: "Model", inputs, **kw) -> int:
+        """AdaRound (Nagel et al., arXiv:2004.10568): learn each weight
+        element's rounding direction by minimizing per-layer output
+        reconstruction error on calibration data -- rounding-to-nearest
+        is optimal per weight, not per layer output. Mutates the
+        quantized MatMul/Gemm weight payloads in place; call BEFORE
+        pack_weights(). Returns the number of tuned weights. See
+        numpy_quant_tpu/adaround.py for the full recipe."""
+        from .adaround import adaround_qmodel
+        return adaround_qmodel(self, float_model, inputs, **kw)
+
     def _shift_q_bias(self, value: Constant, corr: np.ndarray) -> int:
         """Subtract a per-channel float correction from a quantized bias
         Constant, in its integer domain: q -= rint(corr / scale), clipped
