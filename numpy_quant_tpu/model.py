@@ -1896,6 +1896,17 @@ class QModel(Model):
         from .adaround import adaround_qmodel
         return adaround_qmodel(self, float_model, inputs, **kw)
 
+    def gptq(self, float_model: "Model", inputs, **kw) -> int:
+        """GPTQ (Frantar et al., arXiv:2210.17323): requantize weights
+        sequentially along the contraction axis, absorbing each slice's
+        error into the remainder weighted by the inverse Hessian of the
+        layer reconstruction loss. Same grid as the PTQ pass, different
+        integers. Mutates MatMul/Gemm weight payloads in place; call
+        BEFORE pack_weights(). Returns the number of requantized
+        weights. See numpy_quant_tpu/gptq.py."""
+        from .gptq import gptq_qmodel
+        return gptq_qmodel(self, float_model, inputs, **kw)
+
     def _shift_q_bias(self, value: Constant, corr: np.ndarray) -> int:
         """Subtract a per-channel float correction from a quantized bias
         Constant, in its integer domain: q -= rint(corr / scale), clipped
