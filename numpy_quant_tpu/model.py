@@ -412,6 +412,19 @@ class Model:
             return None
         return shapes
 
+    def smooth_outliers(self, inputs, alpha: float = 0.5) -> int:
+        """SmoothQuant-style activation-outlier migration (Xiao et al.,
+        arXiv:2211.10438): an exact reparameterization that divides
+        each LayerNormalization output by a per-channel factor (folded
+        into gamma/beta) and multiplies the consuming MatMul/Gemm
+        weights back -- same float function, flatter activation ranges,
+        so per-tensor activation quantization wastes fewer levels on
+        outlier channels. Run on the FLOAT model before ``quantize``.
+        Returns the number of smoothed LN groups. See
+        numpy_quant_tpu/smoothquant.py."""
+        from .smoothquant import smooth_outliers
+        return smooth_outliers(self, inputs, alpha=alpha)
+
     def map_batches(self, inputs: List[np.ndarray], as_numpy: bool = True):
         """Throughput inference over a leading STEPS axis: each input is
         ``[steps, *per_call_shape]`` and all steps execute inside ONE
