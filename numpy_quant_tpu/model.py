@@ -425,6 +425,17 @@ class Model:
         from .smoothquant import smooth_outliers
         return smooth_outliers(self, inputs, alpha=alpha)
 
+    def equalize(self, iterations: int = 2) -> int:
+        """Cross-layer equalization (Nagel et al., arXiv:1906.04721):
+        DATA-FREE exact rescaling that balances per-channel weight
+        ranges across consecutive Conv/MatMul/Gemm layers joined by
+        ReLU/MaxPool chains -- per-tensor weight quantization then
+        stops being set by a single wide channel. Run on the FLOAT
+        model before ``quantize``. Returns the pairs equalized per
+        sweep. See numpy_quant_tpu/equalize.py."""
+        from .equalize import equalize
+        return equalize(self, iterations=iterations)
+
     def map_batches(self, inputs: List[np.ndarray], as_numpy: bool = True):
         """Throughput inference over a leading STEPS axis: each input is
         ``[steps, *per_call_shape]`` and all steps execute inside ONE
