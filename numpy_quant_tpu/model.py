@@ -633,7 +633,10 @@ class Model:
         parity-plus: the reference asserts equal operand widths,
         tensor.py:206). Sub-byte weights pack to exactly that many bits
         in HBM via pack_weights() while activations keep the accuracy
-        of ``bit_width``.
+        of ``bit_width``. A dict ``{weight name: bits}`` assigns
+        PER-WEIGHT widths (unlisted weights keep ``bit_width``) -- the
+        sensitivity-planned mixed precision of
+        utils.sensitivity.plan_mixed_precision.
 
         ``percentile``: percentile-clipped activation calibration
         (see calibration_stats) -- outlier-robust scales, markedly
@@ -646,7 +649,10 @@ class Model:
         node_dict = {node.name: node for node in self.nodes}
         value_dict = {value.name: value for value in self.values}
 
-        wbw = weight_bit_width if weight_bit_width is not None else bit_width
+        wbw_map = weight_bit_width if isinstance(weight_bit_width, dict) \
+            else None
+        wbw = weight_bit_width \
+            if isinstance(weight_bit_width, int) else bit_width
 
         def qparams_for(name: str, asymmetric: bool,
                         bits: int = None) -> QuantizationParams:
@@ -716,7 +722,11 @@ class Model:
                 is_weight = bool(value.outputs) and all(
                     n.op in ("MatMul", "Gemm") and len(n.inputs) > 1
                     and n.inputs[1] is value for n in value.outputs)
-                cbw = wbw if is_weight else bit_width
+                if is_weight:
+                    cbw = wbw_map.get(value.name, bit_width) \
+                        if wbw_map is not None else wbw
+                else:
+                    cbw = bit_width
                 ch_axis = _weight_channel_axis(value) if per_channel_weights \
                     else None
                 if ch_axis is not None and np.asarray(value.data.data).ndim == 2:

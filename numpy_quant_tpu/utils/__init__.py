@@ -12,4 +12,5 @@ from .serialization import (
     save_qmodel_qdq,
     save_qmodel_qoperator,
 )
+from .sensitivity import plan_mixed_precision, weight_sensitivity
 from .summary import summarize
