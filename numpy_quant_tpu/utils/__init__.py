@@ -12,5 +12,6 @@ from .serialization import (
     save_qmodel_qdq,
     save_qmodel_qoperator,
 )
+from .calibration import mse_clipped_stats
 from .sensitivity import plan_mixed_precision, weight_sensitivity
 from .summary import summarize
