@@ -37,6 +37,33 @@ def test_weight_bit_width_dict_per_weight():
     np.testing.assert_array_equal(q([calib])[0], expected)
 
 
+def test_mixed_widths_save_load_roundtrip(tmp_path):
+    """A per-weight mixed QModel survives the native save/load
+    round trip bit-exactly, each payload at its own width."""
+    from numpy_quant_tpu.models import fixtures as F
+    from numpy_quant_tpu.graph import Constant
+    from numpy_quant_tpu.utils import load_qmodel, save_qmodel
+
+    m = F.trained_vit_onnx(batch_size=8)
+    model = nq.Model.from_onnx(m)
+    calib, _ = F.make_batch(np.random.default_rng(16), 8)
+    names = [v.name for v in model.values
+             if isinstance(v, Constant) and hasattr(v.data, "data")
+             and np.asarray(v.data.data).ndim == 2
+             and v.outputs and all(n.op in ("MatMul", "Gemm")
+                                   for n in v.outputs)][:2]
+    plan = {names[0]: 4, names[1]: 3}
+    q = model.quantize([calib], bit_width=8, weight_bit_width=plan)
+    expected = q([calib])[0]
+    path = tmp_path / "mixed.onnx"
+    save_qmodel(q, path, m)
+    loaded = load_qmodel(path)
+    widths = {v.name: v.data.bit_width for v in loaded.values
+              if v.name in plan}
+    assert widths == plan
+    np.testing.assert_array_equal(loaded([calib])[0], expected)
+
+
 def test_plan_mixed_precision_beats_uniform_low():
     """The sensitivity plan puts the low width on the least-sensitive
     half of the parameters: accuracy is at least uniform-low's, the
