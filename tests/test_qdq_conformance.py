@@ -131,6 +131,15 @@ def _spec_eval(model_proto, inputs: dict) -> dict:
             out = np.maximum(ins[0], 0)
         elif op == "Sigmoid":
             out = (1.0 / (1.0 + np.exp(-ins[0]))).astype(np.float32)
+        elif op == "QLinearMatMul":
+            aq, a_s, a_z, bq, b_s, b_z, y_s, y_z = ins[:8]
+            acc = ((aq.astype(np.int64) - int(a_z))
+                   @ (bq.astype(np.int64) - int(b_z)))
+            info = np.iinfo(y_z.dtype)
+            q = np.rint(acc.astype(np.float64)
+                        * (np.float32(a_s) * np.float32(b_s))
+                        / np.float32(y_s)) + int(y_z)
+            out = np.clip(q, info.min, info.max).astype(y_z.dtype)
         else:
             raise NotImplementedError(op)
         vals[node.output[0]] = out
@@ -160,3 +169,45 @@ def test_export_qdq_runs_on_spec_evaluator():
     # and the spec evaluator agrees with OUR executor on the SAME graph
     ours_qdq = nq.Model.from_onnx(qdq)([X])[0]
     np.testing.assert_allclose(spec, ours_qdq, atol=1e-5)
+
+
+def test_export_qoperator_runs_on_spec_evaluator():
+    """export_qoperator's output computes the same answers on the
+    spec-derived evaluator (its QLinearMatMul written straight from
+    Operators.md, int64 accumulator) as on our executor -- conformance
+    evidence for the QOperator form, mirroring the QDQ test. The only
+    admissible difference is the output-requantize rint evaluated in
+    f64 (spec) vs f32 (executor): at most ONE quantization step on a
+    vanishing fraction of elements."""
+    w1 = (RNG.normal(size=(8, 16)) * 0.5).astype(np.float32)
+    w2 = (RNG.normal(size=(16, 4)) * 0.5).astype(np.float32)
+    nodes = [
+        O.make_node("MatMul", ["x", "w1"], ["h"], name="mm1"),
+        O.make_node("Relu", ["h"], ["r"], name="act"),
+        O.make_node("MatMul", ["r", "w2"], ["y"], name="mm2"),
+    ]
+    g = O.make_graph(
+        nodes, "qop",
+        [O.make_tensor_value_info("x", O.TensorProto.FLOAT, [32, 8])],
+        [O.make_tensor_value_info("y", O.TensorProto.FLOAT, None)],
+        initializer=[O.from_array(w1, "w1"), O.from_array(w2, "w2")])
+    src = O.make_model(g)
+    model = nq.Model.from_onnx(src)
+    X = RNG.normal(size=(32, 8)).astype(np.float32)
+    q = model.quantize([X], bit_width=8)
+
+    from numpy_quant_tpu.utils.serialization import export_qoperator
+    qop = export_qoperator(q, src)
+    ops = [n.op_type for n in qop.graph.node]
+    assert ops.count("QLinearMatMul") == 2 and "MatMul" not in ops
+
+    out_name = qop.graph.output[0].name
+    init_names = {i.name for i in qop.graph.initializer}
+    in_name = next(i.name for i in qop.graph.input
+                   if i.name not in init_names)
+    spec = _spec_eval(qop, {in_name: X})[out_name]
+    ours = nq.Model.from_onnx(qop)([X])[0]
+    y_scale = float(q.quant_params["y"].scale)
+    diff = np.abs(spec - ours)
+    assert diff.max() <= y_scale * 1.01, (diff.max(), y_scale)
+    assert (diff > 0).mean() < 0.02, (diff > 0).mean()
