@@ -67,6 +67,10 @@ def equalize(model, iterations: int = 2) -> int:
     def consumers(v):
         return [n for n in model.nodes if v in n.inputs]
 
+    # every value between the pair is rescaled by 1/s: if one is also a
+    # graph OUTPUT, equalizing would change observable model outputs
+    out_names = {o.name for o in model.outputs}
+
     pairs = 0
     for sweep in range(max(1, int(iterations))):
         count = 0
@@ -86,6 +90,8 @@ def equalize(model, iterations: int = 2) -> int:
             # walk the single-consumer chain: optional rank-1 Add bias
             # (the exporter's MatMul linear form), then homogeneous ops
             v = node.outputs[0]
+            if v.name in out_names:
+                continue
             cons = consumers(v)
             if len(cons) == 1 and cons[0].op == "Add" \
                     and cons[0].inputs[0] is v:
@@ -98,12 +104,13 @@ def equalize(model, iterations: int = 2) -> int:
                     cons = consumers(v)
             saw_homogeneous = False
             while len(cons) == 1 and cons[0].op in _HOMOGENEOUS \
-                    and cons[0].inputs[0] is v:
+                    and cons[0].inputs[0] is v and v.name not in out_names:
                 saw_homogeneous = True
                 v = cons[0].outputs[0]
                 cons = consumers(v)
-            if not saw_homogeneous:
-                continue  # a direct linear pair folds, not equalizes
+            if not saw_homogeneous or v.name in out_names:
+                continue  # direct linear pairs fold; outputs must not
+                # rescale
             if len(cons) != 1 or cons[0].inputs[0] is not v:
                 continue
             w2 = _weight(cons[0])

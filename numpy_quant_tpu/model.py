@@ -501,7 +501,7 @@ class Model:
 
         for batch in batches:
             inflight.append(self(list(batch), as_numpy=False))
-            if len(inflight) > depth:
+            if len(inflight) >= depth:
                 yield _finish(inflight.popleft())
         while inflight:
             yield _finish(inflight.popleft())

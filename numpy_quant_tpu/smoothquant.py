@@ -53,6 +53,8 @@ def smooth_outliers(model, inputs, alpha: float = 0.5) -> int:
                                  or not isinstance(beta.data, FTensor)):
             continue
         out = node.outputs[0]
+        if any(out.name == o.name for o in model.outputs):
+            continue  # a graph output must not rescale
         consumers = [n for n in model.nodes if out in n.inputs]
         if not consumers:
             continue

@@ -38,20 +38,23 @@ def weight_sensitivity(model, inputs, bit_width: int = 8,
                        **quantize_kw) -> dict:
     """{weight name: mean |output delta|} when quantizing ONLY that
     weight at ``low_bits`` (everything else at ``bit_width``), measured
-    against the all-``bit_width`` QModel on the calibration inputs.
-    One quantize+forward per weight: a calibration-time search, not a
-    serving path."""
+    against the all-``bit_width`` QModel on the calibration inputs --
+    averaged over EVERY graph output, so multi-output models rank
+    weights that feed any output. One quantize+forward per weight: a
+    calibration-time search, not a serving path."""
     if stats is None:
         stats = model.calibration_stats(inputs)
     base = model.quantize(bit_width=bit_width, stats=stats, **quantize_kw)
-    ref = base(inputs)[0]
+    refs = [np.asarray(r) for r in base(inputs)]
     sens = {}
     for w in _matmul_weights(model):
         q = model.quantize(bit_width=bit_width, stats=stats,
                            weight_bit_width={w.name: low_bits},
                            **quantize_kw)
-        sens[w.name] = float(np.abs(np.asarray(q(inputs)[0])
-                                    - np.asarray(ref)).mean())
+        outs = q(inputs)
+        sens[w.name] = float(np.mean([
+            np.abs(np.asarray(o) - r).mean()
+            for o, r in zip(outs, refs)]))
     return sens
 
 

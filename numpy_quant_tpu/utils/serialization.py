@@ -271,6 +271,25 @@ def _merged_weight_slices(qmodel: QModel) -> dict:
     return merged_slices
 
 
+def _per_channel_axis(v, arr: np.ndarray, scale: np.ndarray) -> int:
+    """Channel axis for a per-channel weight's DequantizeLinear, derived
+    from the CONSUMER (the per_channel_weights PTQ rule: MatMul rhs ->
+    axis 1, Gemm transB -> axis 0) -- a square weight makes plain shape
+    matching ambiguous. Falls back to shape matching for 1-D biases and
+    sourceless (merged) payloads."""
+    axis = None
+    if arr.ndim == 2:  # weights; 1-D biases always use axis 0
+        for n in getattr(v, "outputs", None) or []:
+            if n.op == "Gemm":
+                axis = 0 if n.attrs.get("transB") else 1
+            elif n.op in ("MatMul", "MatMulSplit"):
+                axis = 1
+    if axis is None or axis >= arr.ndim or arr.shape[axis] != scale.size:
+        axis = next(i for i, d in enumerate(arr.shape)
+                    if d == scale.size)
+    return axis
+
+
 def export_qdq(qmodel: QModel, source_onnx: O.ModelProto) -> O.ModelProto:
     """Export a QModel as a STANDARD QDQ-format ONNX model
     (QuantizeLinear/DequantizeLinear) that any ONNX runtime can serve.
@@ -319,23 +338,8 @@ def export_qdq(qmodel: QModel, source_onnx: O.ModelProto) -> O.ModelProto:
         new_inits.append(O.from_array(store, qname))
         kw = {}
         if scale.size > 1:
-            # per-channel: channel axis comes from the CONSUMER (the
-            # per_channel_weights PTQ rule: MatMul rhs -> axis 1, Gemm
-            # transB -> axis 0) -- a square weight makes shape-matching
-            # ambiguous
-            axis = None
-            if arr.ndim == 2:  # weights; 1-D biases always use axis 0
-                for n in getattr(v, "outputs", []):
-                    if n.op == "Gemm":
-                        axis = 0 if n.attrs.get("transB") else 1
-                    elif n.op in ("MatMul", "MatMulSplit"):
-                        axis = 1
-            if axis is None or axis >= arr.ndim \
-                    or arr.shape[axis] != scale.size:
-                axis = next(i for i, d in enumerate(arr.shape)
-                            if d == scale.size)
             new_inits.append(O.from_array(scale.astype(np.float32), sname))
-            kw["axis"] = axis
+            kw["axis"] = _per_channel_axis(v, arr, scale)
         else:
             new_inits.append(O.from_array(np.float32(scale[0]), sname))
         weight_dq_nodes.append(O.make_node(
@@ -401,6 +405,12 @@ def export_qdq(qmodel: QModel, source_onnx: O.ModelProto) -> O.ModelProto:
         new_nodes.append(O.make_node("DequantizeLinear",
                                      [out + "/q"] + pnames, [out],
                                      name=f"DQ_{out}"))
+        # the re-emitted name already carries fake-quant values: a
+        # consumer-side re-wrap would duplicate the Q_<out> node and
+        # qdq_scale/zp initializer names (and is a numeric no-op --
+        # quantize of a fake-quant value with the same params is the
+        # identity), so later ensure_qdq calls reuse the name as-is
+        wrapped[out] = out
 
     # graph inputs quantize on entry (reference: model.py:488-495) --
     # EVERY consumer sees the fake-quant value
@@ -498,9 +508,7 @@ def export_qoperator(qmodel: QModel,
         weight_q[init.name] = (qname, sname, zname, data)
         kw = {}
         if scale.size > 1:
-            axis = next(i for i, d in enumerate(arr.shape)
-                        if d == scale.size)
-            kw["axis"] = axis
+            kw["axis"] = _per_channel_axis(v, arr, scale)
         dq_in = [qname, sname] + ([zname] if zname else [])
         weight_dq_nodes[init.name] = O.make_node(
             "DequantizeLinear", dq_in, [init.name],
@@ -571,6 +579,9 @@ def export_qoperator(qmodel: QModel,
         new_nodes.append(O.make_node("DequantizeLinear",
                                      [out + "/q"] + pnames, [out],
                                      name=f"DQ_{out}"))
+        # later consumer-side wraps reuse the already-fake-quant name
+        # (see export_qdq: avoids duplicate node/initializer names)
+        wrapped[out] = out
 
     def _qlinear_operand(name: str):
         """(int8 name, scale name, zp name) for a QLinear input: a

@@ -96,6 +96,32 @@ def test_equalize_cnn_zoo_conv_chain():
     assert eq_err <= base * 1.2, (eq_err, base)
 
 
+def test_equalize_skips_exposed_intermediate():
+    """Any value between the pair that is ALSO a graph output must stop
+    the rescale -- equalizing would change observable outputs
+    (code-review regression)."""
+    W1 = RNG.normal(size=(8, 8)).astype(np.float32) \
+        * np.logspace(-1, 1, 8, dtype=np.float32)[None, :]
+    W2 = RNG.normal(size=(8, 4)).astype(np.float32)
+    nodes = [
+        O.make_node("MatMul", ["x", "w1"], ["h0"], name="mm1"),
+        O.make_node("Relu", ["h0"], ["h1"], name="act"),
+        O.make_node("MatMul", ["h1", "w2"], ["y"], name="mm2"),
+    ]
+    g = O.make_graph(
+        nodes, "cle3",
+        [O.make_tensor_value_info("x", O.TensorProto.FLOAT, [4, 8])],
+        [O.make_tensor_value_info("y", O.TensorProto.FLOAT, None),
+         O.make_tensor_value_info("h1", O.TensorProto.FLOAT, None)],
+        initializer=[O.from_array(W1, "w1"), O.from_array(W2, "w2")])
+    model = nq.Model.from_onnx(O.make_model(g))
+    x = RNG.normal(size=(4, 8)).astype(np.float32)
+    base = model([x])
+    assert model.equalize() == 0
+    for got, want in zip(model([x]), base):
+        np.testing.assert_array_equal(got, want)
+
+
 def test_equalize_requires_homogeneous_link():
     """A Sigmoid between the layers does NOT commute with per-channel
     scaling: the pair must be left untouched."""

@@ -239,3 +239,36 @@ def test_serve_stream_matches_per_call(depth):
     qgot = list(q.serve_stream(([x] for x in xs), depth=depth))
     for g, s in zip(qgot, qseq):
         np.testing.assert_array_equal(g[0], s)
+
+
+def test_serve_stream_bounds_inflight_to_depth():
+    """At most ``depth`` forwards are dispatched-but-unyielded at any
+    moment -- depth=1 really is serialized serving (code-review
+    regression: the bound was off by one)."""
+    import numpy_quant_tpu as nq
+
+    mlp = nq.onnx.load("numpy_quant_tpu/models/mlp.onnx")
+    model = Model.from_onnx(mlp)
+    xs = RNG.normal(size=(5, 16, 2)).astype(np.float32)
+
+    dispatched = []
+    orig_call = Model.__call__
+
+    def counting_call(self, *a, **k):
+        dispatched.append(1)
+        return orig_call(self, *a, **k)
+
+    for depth in (1, 2):
+        dispatched.clear()
+        seen = []
+        Model.__call__ = counting_call
+        try:
+            gen = model.serve_stream(([x] for x in xs), depth=depth)
+            for out in gen:
+                seen.append(out)
+                # when the k-th result arrives, at most depth-1 newer
+                # requests may have been dispatched beyond it
+                assert len(dispatched) <= len(seen) + depth - 1, depth
+        finally:
+            Model.__call__ = orig_call
+        assert len(seen) == len(xs)

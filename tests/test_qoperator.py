@@ -218,6 +218,68 @@ def test_export_qoperator_after_optimize_and_pack(tmp_path):
     assert np.array_equal(a.argmax(1), b.argmax(1))
 
 
+def test_export_qoperator_square_per_channel_axis():
+    """A SQUARE per-channel MatMul weight cannot convert to
+    QLinearMatMul (scalar operand scales required) and falls back to a
+    weight DequantizeLinear -- whose channel axis must come from the
+    CONSUMER (MatMul rhs -> axis 1), not naive shape matching, which is
+    ambiguous for square weights (code-review regression)."""
+    from numpy_quant_tpu.utils import export_qoperator
+
+    d = 6
+    w = RNG.normal(size=(d, d)).astype(np.float32) * 0.3
+    g = O.make_graph(
+        [O.make_node("MatMul", ["x", "w"], ["y"], name="mm")], "sq",
+        [O.make_tensor_value_info("x", O.TensorProto.FLOAT, [8, d])],
+        [O.make_tensor_value_info("y", O.TensorProto.FLOAT, None)],
+        initializer=[O.from_array(w, "w")])
+    src = O.make_model(g)
+    model = nq.Model.from_onnx(src)
+    x = RNG.normal(size=(8, d)).astype(np.float32)
+    q = model.quantize([x], bit_width=8, per_channel_weights=True)
+    exported = export_qoperator(q, src)
+    dqw = next(n for n in exported.graph.node if n.name == "DQ_w")
+    assert O.get_attribute_value(
+        next(a for a in dqw.attribute if a.name == "axis")) == 1
+    loaded = nq.Model.from_onnx(exported)
+    np.testing.assert_allclose(loaded([x])[0], q([x])[0], atol=1e-4)
+
+
+def test_export_chained_gemm_no_duplicate_names(tmp_path):
+    """Gemm -> Gemm: the first output is producer-wrapped AND consumed
+    by a quantized op; both exporters must emit each qdq initializer /
+    node name once (duplicates break conformant runtimes'
+    single-definition rule; code-review regression)."""
+    from numpy_quant_tpu.utils import export_qdq, export_qoperator
+
+    w1 = RNG.normal(size=(5, 8)).astype(np.float32)
+    b1 = RNG.normal(size=5).astype(np.float32)
+    w2 = RNG.normal(size=(3, 5)).astype(np.float32)
+    nodes = [
+        O.make_node("Gemm", ["x", "w1", "b1"], ["h"], name="g1",
+                    transB=1),
+        O.make_node("Gemm", ["h", "w2"], ["y"], name="g2", transB=1),
+    ]
+    g = O.make_graph(
+        nodes, "gg",
+        [O.make_tensor_value_info("x", O.TensorProto.FLOAT, [16, 8])],
+        [O.make_tensor_value_info("y", O.TensorProto.FLOAT, None)],
+        initializer=[O.from_array(w1, "w1"), O.from_array(b1, "b1"),
+                     O.from_array(w2, "w2")])
+    src = O.make_model(g)
+    model = nq.Model.from_onnx(src)
+    x = RNG.normal(size=(16, 8)).astype(np.float32)
+    q = model.quantize([x], bit_width=8)
+    for export in (export_qdq, export_qoperator):
+        exported = export(q, src)
+        init_names = [i.name for i in exported.graph.initializer]
+        assert len(init_names) == len(set(init_names)), export.__name__
+        node_names = [n.name for n in exported.graph.node]
+        assert len(node_names) == len(set(node_names)), export.__name__
+        loaded = nq.Model.from_onnx(exported)
+        np.testing.assert_allclose(loaded([x])[0], q([x])[0], atol=1e-3)
+
+
 def test_export_qoperator_mlp_gemm_stays_qdq(tmp_path):
     """Gemm has no standard QOperator form (QGemm is a com.microsoft
     extension): the MLP exports as a legal mixed model whose Gemms keep

@@ -83,6 +83,30 @@ def test_smooth_outliers_skips_unabsorbable_consumers():
     assert model.smooth_outliers([x]) == 0
 
 
+def test_smooth_outliers_skips_exposed_ln_output():
+    """An LN output that is ALSO a graph output must not rescale --
+    smoothing would change observable outputs (code-review
+    regression)."""
+    gamma = np.ones(8, np.float32)
+    gamma[0] = 50.0
+    nodes = [
+        O.make_node("LayerNormalization", ["x", "gamma"], ["h"],
+                    name="ln", axis=-1),
+        O.make_node("MatMul", ["h", "w"], ["y"], name="mm"),
+    ]
+    g = O.make_graph(
+        nodes, "sq3",
+        [O.make_tensor_value_info("x", O.TensorProto.FLOAT, [4, 8])],
+        [O.make_tensor_value_info("y", O.TensorProto.FLOAT, None),
+         O.make_tensor_value_info("h", O.TensorProto.FLOAT, None)],
+        initializer=[O.from_array(gamma, "gamma"),
+                     O.from_array(RNG.normal(size=(8, 4))
+                                  .astype(np.float32), "w")])
+    model = nq.Model.from_onnx(O.make_model(g))
+    x = RNG.normal(size=(4, 8)).astype(np.float32)
+    assert model.smooth_outliers([x]) == 0
+
+
 def test_smooth_outliers_vit_fixture_composes():
     """On the trained ViT fixture: smoothing covers the encoder LNs
     whose outputs feed only projections, float outputs stay put, and
