@@ -164,7 +164,8 @@ class Model:
         if data.ndim != 2:
             return None
         if not value.outputs or not all(
-                n.op in ("MatMul", "MatMulSplit") and len(n.inputs) > 1
+                n.op in ("MatMul", "MatMulSplit", "DynamicMatMul")
+                and len(n.inputs) > 1
                 and n.inputs[1] is value for n in value.outputs):
             return None
         cs = data.astype(np.int64).sum(axis=0, keepdims=True)
@@ -841,6 +842,24 @@ class Model:
         return QModel(list(qnodes_dict.values()), list(qvalues_dict.values()),
                       qinputs, qoutputs, bit_width, qparams_per_value,
                       quantized_ops=quantized_ops)
+
+    def quantize_dynamic(self, bit_width: int = 8, **kw):
+        """Dynamic quantization: integer matmuls whose activation scales
+        are computed from the actual batch inside the jitted program --
+        NO calibration data. See dynamic.quantize_dynamic for the knobs
+        (granularity, weight_bit_width, per_channel_weights)."""
+        from .dynamic import quantize_dynamic
+        return quantize_dynamic(self, bit_width=bit_width, **kw)
+
+    def qat_quantize(self, inputs: list[np.ndarray], **kw) -> "QModel":
+        """Quantization-aware training: fine-tune the weights end-to-end
+        under fake quantization (straight-through gradients through the
+        whole forward via jax.grad + optax), then quantize with the same
+        frozen calibration params. See qat.qat_quantize for the knobs;
+        quantize() kwargs (bit_width, weight_bit_width, ...) pass
+        through. The float model is left untouched."""
+        from .qat import qat_quantize
+        return qat_quantize(self, inputs, **kw)
 
 
 _PASSTHROUGH_OPS = ("Reshape", "Transpose", "Identity", "Squeeze",

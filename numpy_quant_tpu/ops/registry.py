@@ -461,6 +461,36 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
             # full-speed int8 dot -- same values, HBM stays sub-byte
             return [a.matmul(b.unpack())]
         return [a.matmul(b)]
+    elif op == "DynamicMatMul":
+        # Dynamic quantization (dynamic.py): the float input quantizes
+        # on the fly with scales from THIS batch -- min/max reduce, rint,
+        # int8 MXU dot, zero-point-corrected dequantize, all traced (no
+        # calibration constants anywhere). Weight is a symmetric QTensor.
+        from ..quantization import _int_matmul, container_int_dtype, qrange
+        x, w = inputs[0], inputs[1]
+        bw = int(attrs["bit_width"])
+        lo, hi = qrange(bw)
+        xd = x.data.astype(jnp.float32)
+        if attrs.get("granularity", "row") == "row":
+            mn = jnp.minimum(jnp.min(xd, axis=-1, keepdims=True), 0.0)
+            mx = jnp.maximum(jnp.max(xd, axis=-1, keepdims=True), 0.0)
+        else:
+            mn = jnp.minimum(jnp.min(xd), 0.0)
+            mx = jnp.maximum(jnp.max(xd), 0.0)
+        scale = (mx - mn) / np.float32(hi - lo)
+        scale = jnp.where(scale > 0, scale, np.float32(1.0))  # const slices
+        zp = jnp.rint(np.float32(lo) - mn / scale)
+        xq = jnp.rint(jnp.clip(xd / scale + zp, lo, hi))
+        acc = _int_matmul(xq.astype(container_int_dtype()), w.data,
+                          max(bw, w.bit_width))
+        colsum = w.colsum
+        if colsum is None:
+            colsum = jnp.sum(jnp.asarray(w.data, acc.dtype), axis=-2,
+                             keepdims=True)
+        corr = jnp.asarray(zp, acc.dtype) * jnp.asarray(colsum, acc.dtype)
+        y = (acc - corr).astype(jnp.float32) \
+            * (scale * jnp.asarray(w.scale, jnp.float32))
+        return [FTensor(y)]
     elif op == "MatMulSplit":
         # Produced by QModel.merge_parallel_matmuls(): one wide MXU dot
         # against horizontally-concatenated weights, split back into the
