@@ -13,7 +13,7 @@ from .serialization import (
     save_qmodel_qoperator,
 )
 from .analyzer import print_quantization_report, quantization_report
-from .generate import generate
+from .generate import decode_calibration, generate, generate_kv
 from .calibration import mse_clipped_stats
 from .sensitivity import plan_mixed_precision, weight_sensitivity
 from .summary import summarize

@@ -83,3 +83,111 @@ def generate(model, prompt_ids: np.ndarray, wte: np.ndarray,
 
     out = run(jnp.asarray(prompt_ids, jnp.int32))
     return np.asarray(out)[:, : t0 + max_new_tokens]
+
+
+def _kv_layout(step_model):
+    """(n_layer, batch, heads, max_len, head_dim) from the decode-step
+    graph's input hints (models/gpt.py gpt_decode_step input order)."""
+    n_layer = (len(step_model.inputs) - 2) // 2
+    b, nh, length, hd = step_model.inputs[2].shape_hint
+    return n_layer, b, nh, length, hd
+
+
+def _step_mask(t, length):
+    mask = jnp.where(jnp.arange(length) < t, jnp.float32(0),
+                     jnp.float32(-1e9))
+    mask = jnp.concatenate([mask, jnp.zeros((1,), jnp.float32)])  # self
+    return mask.reshape(1, 1, 1, length + 1)
+
+
+def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
+                wpe: np.ndarray, max_new_tokens: int,
+                temperature: float = None, key=None) -> np.ndarray:
+    """Autoregressive decode through the KV-cache step graph
+    (models/gpt.py gpt_decode_step): one token per step at O(L) cost,
+    the whole loop -- prefill (teacher-forced) and generation -- ONE
+    compiled XLA program. Cache updates are raw-JAX
+    dynamic_update_slice on the loop carry; the graph itself stays
+    static. Same contract as :func:`generate` otherwise.
+    """
+    prompt_ids = np.asarray(prompt_ids)
+    batch, t0 = prompt_ids.shape
+    n_layer, b, nh, length, hd = _kv_layout(step_model)
+    if b != batch:
+        raise ValueError(f"graph batch {b} != prompt batch {batch}")
+    if t0 + max_new_tokens - 1 > length:
+        raise ValueError(
+            f"prompt {t0} + {max_new_tokens} new tokens exceeds the "
+            f"cache length {length}")
+
+    wte_j = jnp.asarray(wte, jnp.float32)
+    wpe_j = jnp.asarray(wpe, jnp.float32)
+    fwd = step_model.lowered_fn()
+    params = step_model._placed_params()
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    total = t0 + max_new_tokens
+
+    def body(t, carry):
+        ids, caches, key = carry
+        tok = jnp.take(ids, t, axis=1)
+        x = (jnp.take(wte_j, tok, axis=0)
+             + jnp.take(wpe_j, t, axis=0))[:, None, :]
+        flat = [c for pair in caches for c in pair]
+        outs = fwd([x, _step_mask(t, length)] + flat, params)
+        row = outs[0][:, 0, :]
+        if temperature is None:
+            nxt = jnp.argmax(row, axis=-1).astype(jnp.int32)
+        else:
+            key, sub = jax.random.split(key)
+            nxt = jax.random.categorical(
+                sub, row / jnp.float32(temperature), axis=-1
+            ).astype(jnp.int32)
+        caches = tuple(
+            (jax.lax.dynamic_update_slice_in_dim(k, outs[1 + 2 * i], t,
+                                                 axis=2),
+             jax.lax.dynamic_update_slice_in_dim(v, outs[2 + 2 * i], t,
+                                                 axis=2))
+            for i, (k, v) in enumerate(caches))
+        cand = jax.lax.dynamic_update_slice_in_dim(ids, nxt[:, None],
+                                                   t + 1, axis=1)
+        # teacher forcing: inside the prompt the next token is given
+        ids = jnp.where(t + 1 >= t0, cand, ids)
+        return ids, caches, key
+
+    @jax.jit
+    def run(prompt):
+        ids = jnp.zeros((batch, total), jnp.int32).at[:, :t0].set(prompt)
+        caches = tuple(
+            (jnp.zeros((batch, nh, length, hd), jnp.float32),
+             jnp.zeros((batch, nh, length, hd), jnp.float32))
+            for _ in range(n_layer))
+        ids, _, _ = jax.lax.fori_loop(0, total - 1, body,
+                                      (ids, caches, key))
+        return ids
+
+    return np.asarray(run(jnp.asarray(prompt_ids, jnp.int32)))
+
+
+def decode_calibration(step_model, prompt_ids: np.ndarray,
+                       wte: np.ndarray, wpe: np.ndarray) -> list:
+    """Replay ``prompt_ids`` (teacher-forced) through the float decode
+    step and return one input-list per step -- per-step calibration
+    batches for quantizing the step graph. Compose with
+    ``Model.calibration_stats`` + ``utils.merge_calibration_stats``,
+    then ``quantize(stats=...)``."""
+    prompt_ids = np.asarray(prompt_ids)
+    batch, t0 = prompt_ids.shape
+    n_layer, b, nh, length, hd = _kv_layout(step_model)
+    caches = [np.zeros((batch, nh, length, hd), np.float32)
+              for _ in range(2 * n_layer)]
+    out = []
+    for t in range(t0):
+        x = (wte[prompt_ids[:, t]] + wpe[t])[:, None, :].astype(np.float32)
+        mask = np.asarray(_step_mask(t, length), np.float32)
+        inputs = [x, mask] + [c.copy() for c in caches]
+        out.append(inputs)
+        res = step_model(inputs)
+        for i in range(2 * n_layer):
+            caches[i][:, :, t : t + 1, :] = res[1 + i]
+    return out

@@ -7,8 +7,9 @@ import numpy as np
 import pytest
 
 import numpy_quant_tpu as nq
-from numpy_quant_tpu.models.gpt import gpt_causal_lm
-from numpy_quant_tpu.utils import generate
+from numpy_quant_tpu.models.gpt import gpt_causal_lm, gpt_decode_step
+from numpy_quant_tpu.utils import (decode_calibration, generate,
+                                   generate_kv, merge_calibration_stats)
 
 RNG = np.random.default_rng(29)
 
@@ -83,6 +84,45 @@ def test_generate_bounds_and_sampling(gpt):
     np.testing.assert_array_equal(s1, s2)  # same key -> same sample
     assert s1.shape == (2, 10) and (s1 >= 0).all() and (s1 < 96).all()
     np.testing.assert_array_equal(s1[:, :4], prompt)
+
+
+def test_decode_step_matches_full_form(gpt):
+    """The KV-cache step graph (O(L)/token) decodes the exact same
+    greedy sequence as the full-sequence graph and the torch loop --
+    same seed builds the same module, so weights are shared."""
+    proto, _ = gpt
+    step_proto = gpt_decode_step(batch_size=2, max_len=16, seed=0)
+    step = nq.Model.from_onnx(step_proto)
+
+    prompt = RNG.integers(0, 96, size=(2, 5)).astype(np.int32)
+    want = _torch_greedy(proto._torch_module, proto._wte, prompt, 8)
+    got = generate_kv(step, prompt, step_proto._wte, step_proto._wpe,
+                      max_new_tokens=8)
+    np.testing.assert_array_equal(got, want)
+
+    with pytest.raises(ValueError):
+        generate_kv(step, prompt, step_proto._wte, step_proto._wpe,
+                    max_new_tokens=14)
+
+
+def test_decode_step_quantized(gpt):
+    """int8 decode: calibrate the step graph by replaying a prompt
+    (per-step stats merged), then drive the same one-program loop."""
+    step_proto = gpt_decode_step(batch_size=2, max_len=16, seed=0)
+    step = nq.Model.from_onnx(step_proto)
+    wte, wpe = step_proto._wte, step_proto._wpe
+
+    prompt = RNG.integers(0, 96, size=(2, 8)).astype(np.int32)
+    f_seq = generate_kv(step, prompt, wte, wpe, max_new_tokens=6)
+
+    batches = decode_calibration(step, prompt, wte, wpe)
+    stats = merge_calibration_stats(
+        *[step.calibration_stats(b) for b in batches])
+    qstep = step.quantize(stats=stats, bit_width=8)
+    q_seq = generate_kv(qstep, prompt, wte, wpe, max_new_tokens=6)
+    assert q_seq.shape == f_seq.shape
+    np.testing.assert_array_equal(q_seq[:, :8], prompt)
+    assert (q_seq == f_seq).mean() >= 0.6
 
 
 def test_generate_quantized_paths(gpt):
