@@ -105,10 +105,12 @@ def main(json_path=None):
     sp, zp_p = 1 / 255., -128
     res_s, res_zp = 0.04, -5
 
-    def ref_head(qh, kh, vh, scaling, requant=True):
+    def ref_head(qh, kh, vh, scaling, requant=True, mask=None):
         acc, s, zp = Q.q_matmul(qh, sq, zq, kh.T, sk, zk, bit_width=8)
         sc = np.asarray(Q.dequantize(np.asarray(acc), s,
                                      np.asarray(zp))) * scaling
+        if mask is not None:
+            sc = sc + mask
         e = np.exp(sc - sc.max(-1, keepdims=True))
         probs = e / e.sum(-1, keepdims=True)
         pq = np.asarray(Q.quantize(probs, 8, sp, zp_p))
@@ -187,6 +189,38 @@ def main(json_path=None):
                                                        err.max())
 
     record("blockwise_attention_n4096", blockwise_long_check)
+
+    # ---- causal (decoder) mask: in-kernel additive triangular mask,
+    # bit-identical to the unfused math on hardware, monolithic ==
+    # blockwise (whose q tiles must index rows by absolute position)
+    def causal_check():
+        B, N_, H, D = 4, 37, 2, 64
+        hd = H * D
+        M = float(np.float32(-3.2e8))
+        xq = jnp.asarray(rng.integers(-128, 128, (B, N_, hd), np.int64),
+                         jnp.int8)
+        xk = jnp.asarray(rng.integers(-128, 128, (B, N_, hd), np.int64),
+                         jnp.int8)
+        xv = jnp.asarray(rng.integers(-128, 128, (B, N_, hd), np.int64),
+                         jnp.int8)
+        kw = dict(num_heads=H, scaling=0.125, sq=sq, zq=zq, sk=sk, zk=zk,
+                  sv=sv, zv=zv, sp=sp, zp_p=zp_p, bit_width=8,
+                  causal_mask_val=M)
+        y = np.asarray(fused_attention_hs(xq, xk, xv, **kw))
+        blocked = np.asarray(fused_attention_hs(xq, xk, xv, block_q=16,
+                                                **kw))
+        np.testing.assert_array_equal(y, blocked)
+        mask = np.triu(np.full((N_, N_), np.float32(M), np.float32), k=1)
+        for b in range(B):
+            for h in range(H):
+                sl = slice(h * D, (h + 1) * D)
+                ref = ref_head(np.asarray(xq[b, :, sl], np.int64),
+                               np.asarray(xk[b, :, sl], np.int64),
+                               np.asarray(xv[b, :, sl], np.int64), 0.125,
+                               requant=False, mask=mask)
+                np.testing.assert_array_equal(y[b, :, sl], ref)
+
+    record("causal_attention", causal_check)
 
     print("ALL_OK", flush=True)
     if json_path:

@@ -124,7 +124,8 @@ def _attention_kernel(q_ref, kt_ref, v_ref, o_ref, *, n_real, d_real,
 def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
                          d, scaling, sq, zq, sk, zk, sv, zv, sp, zp_p,
                          bit_width, out_requant, hijack, fast,
-                         score_max=None, nq_real=None):
+                         score_max=None, nq_real=None, causal_val=None,
+                         causal_axis=None):
     """Head-splitting kernel body: G batch rows per grid step, heads
     unrolled, NT score dots on 64-lane head slices -- no XLA-side head
     reshuffles or d-padding at all.
@@ -154,6 +155,18 @@ def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
         nq_real = n_real
     n_sub = q_ref.shape[-2]   # query rows (round_up(nq+1, 8), NOT 128)
     n_lane = k_ref.shape[-2]  # key rows = score lanes (round_up(n, 128))
+
+    def causal_add(s, mask_val):
+        """Decoder causal mask: add ``mask_val`` (the graph's additive
+        mask constant, dequantized) above the diagonal -- the same f32
+        add the unfused graph's Add(mask) performs, applied in VMEM
+        instead of materializing [B,H,N,N] in HBM. Under the blockwise
+        grid the q-row tile's absolute offset comes from the grid."""
+        off = 0 if causal_axis is None \
+            else pl.program_id(causal_axis) * n_sub
+        rowc = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + off
+        colc = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        return s + jnp.where(colc <= rowc, np.float32(0.0), mask_val)
     qa = q_ref[...]   # [G, n_sub, H*D] int8 (row nq_real = ones when zq)
     ka = k_ref[...]   # [G, n_lane, H*D] int8 (row n_real = ones when zk)
     va = v_ref[...]   # [G, n_lane, H*D] int8 (pad rows = zv)
@@ -213,6 +226,11 @@ def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
                 percol = jnp.where(col1 < n_real, base, -jnp.inf)
                 percol = jnp.broadcast_to(percol, (g, 1, n_lane))
             s = raw.astype(jnp.float32) * c2 + percol
+            if causal_val is not None:
+                # fp-tolerance path works in the exp2 domain: scale the
+                # additive mask by log2(e) to match
+                s = causal_add(s, np.float32(causal_val
+                                             * np.float32(np.log2(np.e))))
             if static_shift is not None:
                 # no per-row max reduce: the static shift already
                 # centers calibrated-range scores at <= 0 bits. Clamp
@@ -256,6 +274,8 @@ def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
                 scores = scores + np.int32(zq) * np.int32(zk) * np.int32(d)
             s = scores.astype(jnp.float32) * np.float32(sq * sk)
             s = s * np.float32(scaling)
+            if causal_val is not None:
+                s = causal_add(s, np.float32(causal_val))
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
             s = jnp.where(col < n_real, s, -jnp.inf)
             m = jnp.max(s, axis=-1, keepdims=True)
@@ -318,13 +338,15 @@ _BLOCKWISE_N = 1024
     jax.jit,
     static_argnames=("num_heads", "scaling", "sq", "zq", "sk", "zk", "sv",
                      "zv", "sp", "zp_p", "bit_width", "out_requant",
-                     "fast", "score_max", "block_q", "interpret"))
+                     "fast", "score_max", "block_q", "causal_mask_val",
+                     "interpret"))
 def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
                        sq: float, zq: int, sk: float, zk: int, sv: float,
                        zv: int, sp: float, zp_p: int, bit_width: int = 8,
                        out_requant: tuple | None = None, fast: bool = False,
                        score_max: float | None = None,
                        block_q: int | None = None,
+                       causal_mask_val: float | None = None,
                        interpret: bool = False):
     """Head-splitting fused attention: xq/xk/xv are [B, N, H*D] int8 --
     the raw Q/K/V projection outputs. Head split, transposes, scores,
@@ -349,6 +371,9 @@ def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
     n = xk.shape[1]              # real KEY/VALUE token count
     assert xv.shape[1] == n, (xv.shape, xk.shape)
     assert nq <= n, (nq, n)
+    # causal masking indexes q rows by absolute position -- narrow
+    # (gathered) q would mask the wrong rows
+    assert causal_mask_val is None or nq == n, (nq, n)
     d = hd // num_heads
     assert d * num_heads == hd, (hd, num_heads)
     n_lane = _round_up(n, 128)   # key rows = score lane dim
@@ -358,7 +383,7 @@ def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
             sk=sk, zk=zk, sv=sv, zv=zv, sp=sp, zp_p=zp_p,
             bit_width=bit_width, out_requant=out_requant, fast=fast,
             score_max=score_max, block_q=block_q or 256,
-            interpret=interpret)
+            causal_mask_val=causal_mask_val, interpret=interpret)
     # Both paths keep the ones-row hijack: the planted rows make the
     # correction sums fall out of the SAME MXU dots. Computing the
     # k-col-sums in-kernel instead (fast path, hijack off, q rows 200
@@ -409,7 +434,9 @@ def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
         (np.float32(out_requant[0]),
          None if out_requant[1] is None else np.float32(out_requant[1])),
         hijack=hijack, fast=fast,
-        score_max=None if score_max is None else np.float32(score_max))
+        score_max=None if score_max is None else np.float32(score_max),
+        causal_val=None if causal_mask_val is None
+        else np.float32(causal_mask_val), causal_axis=None)
 
     # G batch rows per grid step amortizes the per-step fixed cost
     # (mask/iota builds, op dispatch) over G images; per-head VPU score
@@ -454,7 +481,7 @@ def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
 def _fused_attention_hs_blockq(xq, xk, xv, *, num_heads, scaling, sq, zq,
                                sk, zk, sv, zv, sp, zp_p, bit_width,
                                out_requant, fast, score_max, block_q,
-                               interpret):
+                               causal_mask_val=None, interpret=False):
     """Blockwise (flash-style) grid for long sequences: q rows stream
     in block_q tiles, K/V stay whole in VMEM per batch row. The kernel
     BODY is the same ``_attention_hs_kernel`` with hijack=False -- its
@@ -493,7 +520,12 @@ def _fused_attention_hs_blockq(xq, xk, xv, *, num_heads, scaling, sq, zq,
         (np.float32(out_requant[0]),
          None if out_requant[1] is None else np.float32(out_requant[1])),
         hijack=False, fast=fast,
-        score_max=None if score_max is None else np.float32(score_max))
+        score_max=None if score_max is None else np.float32(score_max),
+        causal_val=None if causal_mask_val is None
+        else np.float32(causal_mask_val),
+        # q rows stream in bq tiles: the tile's absolute row offset is
+        # grid axis 1 (program_id * tile rows) inside the kernel
+        causal_axis=None if causal_mask_val is None else 1)
 
     # VMEM per grid step: K+V whole (g*n_lane*hd int8 each), the q/out
     # tiles, and ~3 f32 [bq, n_lane] score temps per unrolled head

@@ -1048,7 +1048,15 @@ class QModel(Model):
             if int(sm.attrs.get("axis", -1)) != -1:
                 fail(sm, f"softmax axis {sm.attrs.get('axis')} != -1")
                 continue
-            mul = producer.get(sm.inputs[0].name)
+            # optional additive causal mask (decoder graphs): the
+            # Softmax input may be Add(scaled scores, triangular const);
+            # the kernel applies the same additive value in VMEM
+            mask_node, mask_val = self._match_causal_mask(
+                producer, consumers, sm.inputs[0])
+            scale_val = sm.inputs[0] if mask_node is None else \
+                mask_node.inputs[1 if isinstance(mask_node.inputs[0],
+                                                 Constant) else 0]
+            mul = producer.get(scale_val.name)
             if mul is not None and mul.op == "MatMul":
                 # exporter pre-scaled q (or k): scores feed softmax
                 # directly; the kernel's scaling factor is 1
@@ -1096,8 +1104,11 @@ class QModel(Model):
                      "MatMul as its lhs")
                 continue
             mm2 = cons[0]
-            chain_vals = (mm1.outputs[0],) if mul is None \
-                else (mm1.outputs[0], mul.outputs[0])
+            chain_vals = [mm1.outputs[0]]
+            if mul is not None:
+                chain_vals.append(mul.outputs[0])
+            if mask_node is not None:
+                chain_vals.append(mask_node.outputs[0])
             if any(len(consumers(v)) != 1 for v in chain_vals):
                 fail(sm, "scores/probabilities have consumers outside "
                      "the attention chain")
@@ -1107,12 +1118,16 @@ class QModel(Model):
                      "probs_scale": float(np.float32(probs_qp.scale)),
                      "probs_zero_point": 0 if probs_qp.zero_point is None
                      else int(probs_qp.zero_point)}
+            if mask_node is not None:
+                attrs["causal_mask_val"] = mask_val
             # calibrated max of the softmax INPUT: the fast serving
             # kernel uses it as a STATIC exp2 shift instead of the
             # per-row max-subtract reduce pass (softmax is shift-
             # invariant; a clamp keeps pathological out-of-calibration
             # scores finite) -- kernels/attention.py fast path
-            sm_in_qp = self.quant_params.get(sm.inputs[0].name)
+            # (for causal graphs: the PRE-mask scores -- the masked
+            # value's range is dominated by the -1e9 mask entries)
+            sm_in_qp = self.quant_params.get(scale_val.name)
             if sm_in_qp is not None and sm_in_qp.zero_point is not None \
                     and getattr(sm_in_qp.scale, "ndim", 0) == 0:
                 qmax = 2.0 ** (self.bit_width - 1) - 1
@@ -1133,10 +1148,18 @@ class QModel(Model):
                 for dn in dead:
                     if dn in self.nodes:
                         self.nodes.remove(dn)
-                for dn in (mm1, mul, sm):
+                for dn in (mm1, mul, mask_node, sm):
                     if dn is not None:
                         self.nodes.remove(dn)
                 fused += 1
+                continue
+
+            if mask_node is not None:
+                # the plain kernel has no mask operand: fusing it would
+                # silently drop the causal structure
+                fail(sm, "causal mask matched but the head-split "
+                     "pattern did not; only FusedAttentionHS supports "
+                     "the additive mask")
                 continue
 
             if mul is None:
@@ -1171,6 +1194,42 @@ class QModel(Model):
             self._jit_cache.clear()
         self.fusion_report["fused"] = fused
         return fused
+
+    def _match_causal_mask(self, producer, consumers, value):
+        """Match ``Add(x, C)`` feeding a Softmax where C dequantizes to
+        a causal additive mask: 0 on/below the diagonal, ONE large
+        negative value above it (the decoder-exporter idiom,
+        models/gpt.py). Returns (add_node, mask_value) -- mask_value is
+        the EXECUTOR-exact dequantized constant, so the fused kernel's
+        in-VMEM add is bit-identical to the unfused graph's -- or
+        (None, None)."""
+        from .tensor import FTensor
+
+        node = producer.get(value.name)
+        if node is None or node.op != "Add":
+            return None, None
+        consts = [v for v in node.inputs if isinstance(v, Constant)]
+        if len(consts) != 1 or consts[0].data is None:
+            return None, None
+        d = consts[0].data
+        if isinstance(d, QTensor):
+            arr = np.asarray(d.dequantize().data)
+        elif isinstance(d, FTensor):
+            arr = np.asarray(d.data)
+        else:
+            return None, None
+        if arr.ndim < 2 or arr.shape[-1] != arr.shape[-2] \
+                or any(s != 1 for s in arr.shape[:-2]):
+            return None, None
+        m = arr.reshape(arr.shape[-2], arr.shape[-1])
+        lower = np.tril(np.ones(m.shape, bool))
+        if not (m[lower] == 0).all():
+            return None, None
+        upper = m[~lower]
+        if upper.size == 0 or not (upper == upper[0]).all() \
+                or not upper[0] < -1e4:
+            return None, None
+        return node, float(upper[0])
 
     def _match_attention_hs(self, mm1, mm2, producer, consumers):
         """Match the standard multi-head split/merge around a fused
@@ -1670,6 +1729,11 @@ class QModel(Model):
                     # kernels/attention.py) -- on ViT this narrows the
                     # LAST layer's score/context work and its whole
                     # q-projection chain from 197 rows to 1
+                    if "causal_mask_val" in p.attrs:
+                        # causal masking indexes q rows by absolute
+                        # position; a gathered q row would be masked as
+                        # row 0
+                        continue
                     slice_idx = [0]
                 elif p.op in BINARY:
                     vshape = shapes[v.name]

@@ -666,11 +666,14 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
                     xv.data.astype(jnp.int8))
 
         score_max = attrs.get("score_max")
+        causal_mask_val = attrs.get("causal_mask_val")  # decoder graphs
 
         def call(q_, k_, v_, heads=num_heads):
             return fused_attention_hs(
                 q_, k_, v_,
                 num_heads=heads,
+                causal_mask_val=None if causal_mask_val is None
+                else float(causal_mask_val),
                 # fp-tolerance serving mode (bfloat16 float segments):
                 # fewer-VPU-passes softmax; f32 keeps the bit-exact path
                 fast=_config.float_dtype == jnp.bfloat16,

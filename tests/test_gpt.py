@@ -86,6 +86,30 @@ def test_generate_bounds_and_sampling(gpt):
     np.testing.assert_array_equal(s1[:, :4], prompt)
 
 
+def test_causal_attention_fuses_bit_identical(gpt):
+    """fuse_attention matches the decoder idiom (Mul -> Add(triangular
+    mask) -> Softmax): both layers fuse into FusedAttentionHS with the
+    dequantized mask value applied in-kernel, bit-identically -- and
+    generation through the fused executor returns the same tokens."""
+    proto, model = gpt
+    embeds = RNG.normal(size=(2, 16, 32)).astype(np.float32)
+    q = model.quantize([embeds], bit_width=8)
+    base = q([embeds])[0]
+    prompt = RNG.integers(0, 96, size=(2, 5)).astype(np.int32)
+    seq = generate(q, prompt, proto._wte, max_new_tokens=6)
+
+    rep = q.optimize()
+    assert rep["fuse_attention"] == 2, rep
+    assert rep["fusion_failures"] == []
+    fnodes = [n for n in q.nodes if n.op == "FusedAttentionHS"]
+    assert len(fnodes) == 2
+    assert all(n.attrs["causal_mask_val"] < -1e4 for n in fnodes)
+
+    np.testing.assert_array_equal(q([embeds])[0], base)
+    np.testing.assert_array_equal(
+        generate(q, prompt, proto._wte, max_new_tokens=6), seq)
+
+
 def test_decode_step_matches_full_form(gpt):
     """The KV-cache step graph (O(L)/token) decodes the exact same
     greedy sequence as the full-sequence graph and the torch loop --

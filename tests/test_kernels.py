@@ -761,6 +761,62 @@ def test_blockwise_attention_hs_bit_identical_to_monolithic():
     np.testing.assert_array_equal(mono_f, blocked_f)
 
 
+def test_fused_attention_hs_causal():
+    """causal_mask_val: the decoder's additive triangular mask applies
+    inside the kernel bit-identically to the unfused math, on the
+    monolithic AND the q-row-blocked grid (whose tiles must index rows
+    by absolute position)."""
+    from numpy_quant_tpu.kernels.attention import fused_attention_hs
+    from numpy_quant_tpu.quantization import dequantize as dq_
+    from numpy_quant_tpu.quantization import q_matmul
+    from numpy_quant_tpu.quantization import quantize as q_
+
+    B, N, H, D = 2, 12, 2, 8
+    sq, zq, sk, zk, sv, zv = 0.02, 3, 0.03, -2, 0.05, 4
+    sp, zp_p = 1 / 255., -128
+    M = float(np.float32(-3.2e8))  # a dequantized -1e9-style mask value
+    rng = np.random.default_rng(5)
+    xq = rng.integers(-100, 100, size=(B, N, H * D)).astype(np.int8)
+    xk = rng.integers(-100, 100, size=(B, N, H * D)).astype(np.int8)
+    xv = rng.integers(-100, 100, size=(B, N, H * D)).astype(np.int8)
+    kw = dict(num_heads=H, scaling=0.5, sq=sq, zq=zq, sk=sk, zk=zk, sv=sv,
+              zv=zv, sp=sp, zp_p=zp_p, bit_width=8, causal_mask_val=M,
+              interpret=jax.default_backend() == "cpu")
+
+    out = np.asarray(fused_attention_hs(xq, xk, xv, **kw))
+
+    mask = np.triu(np.full((N, N), np.float32(M), np.float32), k=1)
+    expect = np.zeros((B, N, H * D), np.float32)
+    for b in range(B):
+        for h in range(H):
+            sl = slice(h * D, (h + 1) * D)
+            acc, scale, zp = q_matmul(
+                jnp.asarray(xq[b][:, sl].astype(np.int64)), np.float32(sq),
+                np.int64(zq), jnp.asarray(xk[b][:, sl].astype(np.int64).T),
+                np.float32(sk), np.int64(zk), bit_width=8)
+            s = np.asarray(dq_(acc, scale, zp)) * np.float32(0.5) + mask
+            e = np.exp(s - s.max(-1, keepdims=True))
+            probs = (e / e.sum(-1, keepdims=True)).astype(np.float32)
+            pq = np.asarray(q_(probs, 8, np.float32(sp), np.int64(zp_p)))
+            acc2, scale2, zp2 = q_matmul(
+                jnp.asarray(pq), np.float32(sp), np.int64(zp_p),
+                jnp.asarray(xv[b][:, sl].astype(np.int64)), np.float32(sv),
+                np.int64(zv), bit_width=8)
+            expect[b][:, sl] = np.asarray(dq_(acc2, scale2, zp2))
+    np.testing.assert_array_equal(out, expect)
+
+    # row 0 attends only to itself: context row 0 == dequant(v row 0)
+    # (probability 1 quantizes to 1/sp + zp)
+    blocked = np.asarray(fused_attention_hs(xq, xk, xv, block_q=8, **kw))
+    np.testing.assert_array_equal(out, blocked)
+    # fast path: same mask semantics within fp tolerance
+    fast = np.asarray(fused_attention_hs(xq, xk, xv, fast=True, **kw))
+    fast_b = np.asarray(fused_attention_hs(xq, xk, xv, fast=True,
+                                           block_q=8, **kw))
+    np.testing.assert_array_equal(fast, fast_b)
+    np.testing.assert_allclose(fast, out, atol=2e-2)
+
+
 def test_blockwise_attention_hs_long_sequence():
     """N=4096: the monolithic layout would need [rows, 4096] x 4096 f32
     score temps (>190 MB VMEM) and cannot run; the auto-selected
