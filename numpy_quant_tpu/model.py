@@ -887,6 +887,14 @@ class QModel(Model):
             qp = self.quant_params[variable.name]
             return quantize_tensor(FTensor(jax.numpy.asarray(array)),
                                    self.bit_width, qp.scale, qp.zero_point)
+        if array.dtype == np.int8:
+            # pre-quantized input (int8 KV caches, utils/generate.py):
+            # the caller quantized with THIS input's calibrated params,
+            # so it enters the integer domain directly -- bit-identical
+            # to feeding the dequantized float (quantize is idempotent)
+            qp = self.quant_params[variable.name]
+            return QTensor(jax.numpy.asarray(array), self.bit_width,
+                           qp.scale, qp.zero_point)
         if array.dtype == np.int64:
             return ITensor(array)
         raise ValueError(f"Array dtype {array.dtype} not supported")

@@ -31,8 +31,37 @@ _VIT_TP_PATTERNS = [
 
 def vit_tp_rules(name: str, ndim: int) -> P:
     """PartitionSpec for a ViT parameter name under the 'model' axis.
-    Unmatched parameters are replicated."""
+    Unmatched parameters are replicated. The BERT text graphs
+    (models/text.py) emit the same ``.query/.key/.value/.attention.
+    output/.intermediate/.output`` naming, so these rules cover both
+    encoder families."""
     for pattern, spec in _VIT_TP_PATTERNS:
+        if pattern.search(name):
+            return spec(ndim)
+    return P()
+
+
+# GPT decoder (models/gpt.py): merged-QKV c_attn and the vocab-parallel
+# LM head column-shard; the c_proj projections row-shard. GSPMD handles
+# the Split over the column-sharded 3H axis by resharding -- identical
+# values, the collectives just move (Megatron interleaves the merged
+# QKV shards instead; with GSPMD annotations that is a layout choice,
+# not a correctness one).
+_GPT_TP_PATTERNS = [
+    (re.compile(r"\.attn\.c_attn\.weight$"), lambda nd: P(None, "model")),
+    (re.compile(r"\.attn\.c_attn\.bias$"), lambda nd: P("model")),
+    (re.compile(r"\.attn\.c_proj\.weight$"), lambda nd: P("model", None)),
+    (re.compile(r"\.mlp\.c_fc\.weight$"), lambda nd: P(None, "model")),
+    (re.compile(r"\.mlp\.c_fc\.bias$"), lambda nd: P("model")),
+    (re.compile(r"\.mlp\.c_proj\.weight$"), lambda nd: P("model", None)),
+    (re.compile(r"^lm_head\.weight_t$"), lambda nd: P(None, "model")),
+]
+
+
+def gpt_tp_rules(name: str, ndim: int) -> P:
+    """PartitionSpec for a GPT (models/gpt.py) parameter name under the
+    'model' axis. Unmatched parameters are replicated."""
+    for pattern, spec in _GPT_TP_PATTERNS:
         if pattern.search(name):
             return spec(ndim)
     return P()

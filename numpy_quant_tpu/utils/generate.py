@@ -102,13 +102,21 @@ def _step_mask(t, length):
 
 def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
                 wpe: np.ndarray, max_new_tokens: int,
-                temperature: float = None, key=None) -> np.ndarray:
+                temperature: float = None, key=None,
+                kv_cache_dtype: str = None) -> np.ndarray:
     """Autoregressive decode through the KV-cache step graph
     (models/gpt.py gpt_decode_step): one token per step at O(L) cost,
     the whole loop -- prefill (teacher-forced) and generation -- ONE
     compiled XLA program. Cache updates are raw-JAX
     dynamic_update_slice on the loop carry; the graph itself stays
     static. Same contract as :func:`generate` otherwise.
+
+    ``kv_cache_dtype="int8"`` (quantized step models only) stores the
+    cache carries as int8 -- 4x less KV HBM -- by quantizing each
+    present with ITS cache input's calibrated params outside the graph;
+    the executor then enters the integer domain directly. Quantization
+    is idempotent, so the tokens are bit-identical to the float-carry
+    run of the same quantized model.
     """
     prompt_ids = np.asarray(prompt_ids)
     batch, t0 = prompt_ids.shape
@@ -128,6 +136,28 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
         key = jax.random.PRNGKey(0)
     total = t0 + max_new_tokens
 
+    if kv_cache_dtype is None:
+        def q_cache(x, _):
+            return x
+        cache_qps = [None] * (2 * n_layer)
+        cache_dtype = jnp.float32
+    elif kv_cache_dtype == "int8":
+        qp_map = getattr(step_model, "quant_params", None)
+        if qp_map is None:
+            raise ValueError("kv_cache_dtype='int8' needs a quantized "
+                             "step model (its calibrated cache params "
+                             "set the storage scale)")
+        from ..quantization import quantize as _quantize
+
+        def q_cache(x, qp):
+            return _quantize(x, step_model.bit_width, qp.scale,
+                             qp.zero_point).astype(jnp.int8)
+        cache_qps = [qp_map[v.name] for v in step_model.inputs[2:]]
+        cache_dtype = jnp.int8
+    else:
+        raise ValueError(f"kv_cache_dtype {kv_cache_dtype!r} not in "
+                         "(None, 'int8')")
+
     def body(t, carry):
         ids, caches, key = carry
         tok = jnp.take(ids, t, axis=1)
@@ -144,10 +174,11 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
                 sub, row / jnp.float32(temperature), axis=-1
             ).astype(jnp.int32)
         caches = tuple(
-            (jax.lax.dynamic_update_slice_in_dim(k, outs[1 + 2 * i], t,
-                                                 axis=2),
-             jax.lax.dynamic_update_slice_in_dim(v, outs[2 + 2 * i], t,
-                                                 axis=2))
+            (jax.lax.dynamic_update_slice_in_dim(
+                k, q_cache(outs[1 + 2 * i], cache_qps[2 * i]), t, axis=2),
+             jax.lax.dynamic_update_slice_in_dim(
+                 v, q_cache(outs[2 + 2 * i], cache_qps[2 * i + 1]), t,
+                 axis=2))
             for i, (k, v) in enumerate(caches))
         cand = jax.lax.dynamic_update_slice_in_dim(ids, nxt[:, None],
                                                    t + 1, axis=1)
@@ -158,10 +189,14 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
     @jax.jit
     def run(prompt):
         ids = jnp.zeros((batch, total), jnp.int32).at[:, :t0].set(prompt)
+        # int8 carries initialize to quantize(0.0) (= the zero point),
+        # exactly what the executor's on-entry quantize of a float zero
+        # buffer produces -- the masked tail stays bit-identical
+        zeros = jnp.zeros((batch, nh, length, hd), jnp.float32)
         caches = tuple(
-            (jnp.zeros((batch, nh, length, hd), jnp.float32),
-             jnp.zeros((batch, nh, length, hd), jnp.float32))
-            for _ in range(n_layer))
+            (q_cache(zeros, cache_qps[2 * i]).astype(cache_dtype),
+             q_cache(zeros, cache_qps[2 * i + 1]).astype(cache_dtype))
+            for i in range(n_layer))
         ids, _, _ = jax.lax.fori_loop(0, total - 1, body,
                                       (ids, caches, key))
         return ids

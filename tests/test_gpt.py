@@ -148,6 +148,15 @@ def test_decode_step_quantized(gpt):
     np.testing.assert_array_equal(q_seq[:, :8], prompt)
     assert (q_seq == f_seq).mean() >= 0.6
 
+    # int8 KV cache: 4x less cache HBM, bit-identical tokens (the carry
+    # stores exactly what the executor's on-entry quantize produces)
+    q8_seq = generate_kv(qstep, prompt, wte, wpe, max_new_tokens=6,
+                         kv_cache_dtype="int8")
+    np.testing.assert_array_equal(q8_seq, q_seq)
+    with pytest.raises(ValueError):
+        generate_kv(step, prompt, wte, wpe, max_new_tokens=6,
+                    kv_cache_dtype="int8")  # float model has no qparams
+
 
 def test_generate_quantized_paths(gpt):
     """int8 PTQ and dynamic quantization both drive the same decode

@@ -307,3 +307,57 @@ def test_stacked_packed_serialization_roundtrip():
         loaded = load_qmodel(path)
     out = loaded([x])[0]
     np.testing.assert_array_equal(out, expected)
+
+
+@requires_8_devices
+def test_tp_bert_text_quantized():
+    """vit_tp_rules cover the BERT text graphs unchanged (same emitter
+    naming): DP x TP quantized inference matches single-device. The
+    int64 token ids ride the host shape domain, so only parameters and
+    activations shard."""
+    from numpy_quant_tpu.models.text import bert_text_classifier
+
+    m = bert_text_classifier(batch_size=8, seq_len=12, seed=5)
+    ids = RNG.integers(0, 96, size=(8, 12)).astype(np.int64)
+    model = nq.Model.from_onnx(m)
+    qmodel = model.quantize([ids], bit_width=8)
+    expected = qmodel([ids])[0]
+
+    mesh = par.make_dp_tp_mesh(8, tp=2)
+    par.shard_model(qmodel, mesh, data_axis="data", rules=par.vit_tp_rules)
+    np.testing.assert_allclose(qmodel([ids])[0], expected, atol=1e-5)
+
+    placed = qmodel._placed_params()
+    from jax.sharding import PartitionSpec as P
+    qk = next(n for n in placed if n.endswith(".query.weight_t"))
+    assert placed[qk].sharding.spec == P(None, "model")
+
+
+@requires_8_devices
+def test_tp_gpt_quantized_generation():
+    """gpt_tp_rules: merged-QKV/vocab-head column-sharded, projections
+    row-sharded. The quantized forward AND the one-program generation
+    loop match the single-device run under DP x TP."""
+    from numpy_quant_tpu.models.gpt import gpt_causal_lm
+    from numpy_quant_tpu.utils import generate
+
+    proto = gpt_causal_lm(batch_size=4, seq_len=12, seed=2)
+    embeds = RNG.normal(size=(4, 12, 32)).astype(np.float32)
+    model = nq.Model.from_onnx(proto)
+    qmodel = model.quantize([embeds], bit_width=8)
+    expected = qmodel([embeds])[0]
+    prompt = RNG.integers(0, 96, size=(4, 4)).astype(np.int32)
+    seq = generate(qmodel, prompt, proto._wte, max_new_tokens=6)
+
+    mesh = par.make_dp_tp_mesh(8, tp=2)
+    par.shard_model(qmodel, mesh, data_axis="data", rules=par.gpt_tp_rules)
+    np.testing.assert_allclose(qmodel([embeds])[0], expected, atol=1e-5)
+    np.testing.assert_array_equal(
+        generate(qmodel, prompt, proto._wte, max_new_tokens=6), seq)
+
+    placed = qmodel._placed_params()
+    from jax.sharding import PartitionSpec as P
+    ca = next(n for n in placed if n.endswith(".attn.c_attn.weight"))
+    assert placed[ca].sharding.spec == P(None, "model")
+    head = next(n for n in placed if n == "lm_head.weight_t")
+    assert placed[head].sharding.spec == P(None, "model")
