@@ -24,18 +24,44 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _next_token(row, temperature, top_k, top_p, key):
+    """Pick the next token from a [B, V] logit row: greedy argmax when
+    no sampling knob is set, else temperature/top-k/top-p filtered
+    categorical sampling (all traced; runs inside the decode loop)."""
+    if temperature is None and top_k is None and top_p is None:
+        return jnp.argmax(row, axis=-1).astype(jnp.int32)
+    logits = row / jnp.float32(1.0 if temperature is None else temperature)
+    neg = jnp.float32(-1e30)
+    if top_k is not None:
+        kth = jax.lax.top_k(logits, int(top_k))[0][..., -1:]
+        logits = jnp.where(logits < kth, neg, logits)
+    if top_p is not None:
+        # nucleus: keep the smallest prefix of the sorted distribution
+        # whose mass reaches top_p (the first token always survives)
+        v = logits.shape[-1]
+        sorted_logits, sorted_idx = jax.lax.top_k(logits, v)
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        drop = cum - probs > jnp.float32(top_p)
+        masked = jnp.where(drop, neg, sorted_logits)
+        b_idx = jnp.arange(logits.shape[0])[:, None]
+        logits = jnp.full_like(logits, neg).at[b_idx, sorted_idx].set(masked)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
 def generate(model, prompt_ids: np.ndarray, wte: np.ndarray,
              max_new_tokens: int, temperature: float = None,
+             top_k: int = None, top_p: float = None,
              key=None) -> np.ndarray:
     """Generate ``max_new_tokens`` continuations of ``prompt_ids``
     [B, T0] with ``model`` (any Model/QModel over an inputs_embeds
     causal graph) and the token-embedding table ``wte`` [V, H].
 
-    Greedy argmax by default; pass ``temperature`` (and optionally a
-    PRNG ``key``) for sampling. Returns [B, T0 + max_new_tokens] int
-    ids. T0 + max_new_tokens must fit the graph's fixed length L; the
-    causal mask guarantees the padded tail never influences live
-    positions.
+    Greedy argmax by default; ``temperature``/``top_k``/``top_p`` (and
+    optionally a PRNG ``key``) switch to filtered categorical sampling.
+    Returns [B, T0 + max_new_tokens] int ids. T0 + max_new_tokens must
+    fit the graph's fixed length L; the causal mask guarantees the
+    padded tail never influences live positions.
     """
     prompt_ids = np.asarray(prompt_ids)
     batch, t0 = prompt_ids.shape
@@ -53,18 +79,19 @@ def generate(model, prompt_ids: np.ndarray, wte: np.ndarray,
     if key is None:
         key = jax.random.PRNGKey(0)
 
+    sampling = (temperature is not None or top_k is not None
+                or top_p is not None)
+
     def body(i, carry):
         embeds, ids, key = carry
         t = t0 - 1 + i  # position whose logits predict token t+1
         logits = fwd([embeds], params)[0]
         row = jax.lax.dynamic_slice_in_dim(logits, t, 1, axis=1)[:, 0, :]
-        if temperature is None:
-            nxt = jnp.argmax(row, axis=-1).astype(jnp.int32)
-        else:
+        if sampling:
             key, sub = jax.random.split(key)
-            nxt = jax.random.categorical(
-                sub, row / jnp.float32(temperature), axis=-1
-            ).astype(jnp.int32)
+        else:
+            sub = key
+        nxt = _next_token(row, temperature, top_k, top_p, sub)
         embeds = jax.lax.dynamic_update_slice_in_dim(
             embeds, jnp.take(wte_j, nxt, axis=0)[:, None, :], t + 1, axis=1)
         ids = jax.lax.dynamic_update_slice_in_dim(
@@ -102,7 +129,8 @@ def _step_mask(t, length):
 
 def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
                 wpe: np.ndarray, max_new_tokens: int,
-                temperature: float = None, key=None,
+                temperature: float = None, top_k: int = None,
+                top_p: float = None, key=None,
                 kv_cache_dtype: str = None) -> np.ndarray:
     """Autoregressive decode through the KV-cache step graph
     (models/gpt.py gpt_decode_step): one token per step at O(L) cost,
@@ -158,6 +186,9 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
         raise ValueError(f"kv_cache_dtype {kv_cache_dtype!r} not in "
                          "(None, 'int8')")
 
+    sampling = (temperature is not None or top_k is not None
+                or top_p is not None)
+
     def body(t, carry):
         ids, caches, key = carry
         tok = jnp.take(ids, t, axis=1)
@@ -166,13 +197,11 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
         flat = [c for pair in caches for c in pair]
         outs = fwd([x, _step_mask(t, length)] + flat, params)
         row = outs[0][:, 0, :]
-        if temperature is None:
-            nxt = jnp.argmax(row, axis=-1).astype(jnp.int32)
-        else:
+        if sampling:
             key, sub = jax.random.split(key)
-            nxt = jax.random.categorical(
-                sub, row / jnp.float32(temperature), axis=-1
-            ).astype(jnp.int32)
+        else:
+            sub = key
+        nxt = _next_token(row, temperature, top_k, top_p, sub)
         caches = tuple(
             (jax.lax.dynamic_update_slice_in_dim(
                 k, q_cache(outs[1 + 2 * i], cache_qps[2 * i]), t, axis=2),

@@ -85,6 +85,19 @@ def test_generate_bounds_and_sampling(gpt):
     assert s1.shape == (2, 10) and (s1 >= 0).all() and (s1 < 96).all()
     np.testing.assert_array_equal(s1[:, :4], prompt)
 
+    # top-k=1 is greedy whatever the temperature; top-p runs and stays
+    # deterministic under a fixed key
+    greedy = generate(model, prompt, proto._wte, max_new_tokens=6)
+    k1 = generate(model, prompt, proto._wte, max_new_tokens=6,
+                  temperature=5.0, top_k=1, key=jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(k1, greedy)
+    p1 = generate(model, prompt, proto._wte, max_new_tokens=6,
+                  temperature=0.8, top_p=0.9, key=jax.random.PRNGKey(5))
+    p2 = generate(model, prompt, proto._wte, max_new_tokens=6,
+                  temperature=0.8, top_p=0.9, key=jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(p1, p2)
+    assert (p1[:, 4:] < 96).all()
+
 
 def test_causal_attention_fuses_bit_identical(gpt):
     """fuse_attention matches the decoder idiom (Mul -> Add(triangular

@@ -97,6 +97,32 @@ def test_qat_label_loss_and_filter(mlp, circles):
     assert acc(qat) >= acc(ptq)
 
 
+def test_qat_recovers_trained_vit_at_3bit():
+    """Capstone: on the trained ViT fixture, 3-bit PTQ visibly drops
+    held-out accuracy; end-to-end QAT on ONE 64-sample calibration
+    batch (self-distilled, no labels) recovers a solid chunk of it --
+    and the gain generalizes to unseen batches, it is not calibration
+    overfit (measured: float 99.6%, PTQ ~91%, QAT ~95%)."""
+    from numpy_quant_tpu.models import fixtures as F
+
+    model = nq.Model.from_onnx(F.trained_vit_onnx(batch_size=64))
+
+    def acc(m):
+        hits, n = 0, 0
+        for seed in range(4):  # held-out: disjoint from the calib seed
+            x, labels = F.make_batch(np.random.default_rng(100 + seed), 64)
+            hits += (m([x])[0].argmax(-1) == labels).sum()
+            n += len(labels)
+        return hits / n
+
+    calib, _ = F.make_batch(np.random.default_rng(1), 64)
+    ptq_acc = acc(model.quantize([calib], bit_width=3))
+    qat = model.qat_quantize([calib], bit_width=3, steps=60, lr=1e-3)
+    qat_acc = acc(qat)
+    assert qat.qat_loss_history.min() < qat.qat_loss_history[0] * 0.5
+    assert qat_acc > ptq_acc + 0.015, (qat_acc, ptq_acc)
+
+
 def test_qat_int64_inputs_and_mixed_width():
     """BERT text graph: int64 ids bind as static shape-domain constants
     of the training step; W4A8 kwargs pass through to both quantize
