@@ -461,6 +461,45 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
             # full-speed int8 dot -- same values, HBM stays sub-byte
             return [a.matmul(b.unpack())]
         return [a.matmul(b)]
+    elif op == "DynamicQuantizeLinear":
+        # ONNX opset-11 dynamic quantization (the op onnxruntime's
+        # quantize_dynamic emits): uint8 asymmetric params from THIS
+        # tensor's min/max, all traced. Outputs ride as float-valued
+        # FTensors (y in [0, 255] is exact in f32; the framework keeps
+        # traced ints out of the tensor layer by design) -- the
+        # MatMulInteger consumer re-enters the integer domain exactly.
+        x = inputs[0].data.astype(jnp.float32)
+        mn = jnp.minimum(jnp.min(x), np.float32(0.0))
+        mx = jnp.maximum(jnp.max(x), np.float32(0.0))
+        scale = (mx - mn) / np.float32(255.0)
+        scale = jnp.where(scale > 0, scale, np.float32(1.0))
+        zp = jnp.clip(jnp.rint(-mn / scale), 0.0, 255.0)
+        y = jnp.clip(jnp.rint(x / scale) + zp, 0.0, 255.0)
+        return [FTensor(y), FTensor(scale.reshape(())),
+                FTensor(zp.reshape(()))]
+    elif op == "MatMulInteger":
+        # ONNX opset-10: integer matmul with zero-point subtraction,
+        # int32 accumulation (exact -- the f32 cast happens at the
+        # consumer Cast, exactly as in onnxruntime). Activations arrive
+        # as float-valued FTensors (DynamicQuantizeLinear above) or
+        # host int initializers; zero points either way.
+        def as_int(t):
+            if t is None:
+                return None
+            d = t.data
+            if isinstance(d, np.ndarray):
+                return jnp.asarray(d.astype(np.int32))
+            return jnp.asarray(d).astype(jnp.int32)
+
+        a, b = as_int(inputs[0]), as_int(inputs[1])
+        azp = as_int(inputs[2]) if len(inputs) > 2 else None
+        bzp = as_int(inputs[3]) if len(inputs) > 3 else None
+        if azp is not None:
+            a = a - azp
+        if bzp is not None:
+            b = b - bzp
+        acc = jnp.matmul(a, b, preferred_element_type=jnp.int32)
+        return [FTensor(acc.astype(jnp.float32))]
     elif op == "DynamicMatMul":
         # Dynamic quantization (dynamic.py): the float input quantizes
         # on the fly with scales from THIS batch -- min/max reduce, rint,

@@ -135,3 +135,85 @@ def test_dynamic_transformer_weights_only():
     out = dyn([ids])[0]
     assert np.array_equal(out.argmax(-1), f_out.argmax(-1))
     np.testing.assert_allclose(out, f_out, atol=0.1)
+
+
+def _dql_ref(x):
+    """Numpy mirror of the ONNX DynamicQuantizeLinear spec."""
+    mn = min(np.float32(0), np.float32(x.min()))
+    mx = max(np.float32(0), np.float32(x.max()))
+    scale = np.float32((mx - mn) / np.float32(255.0))
+    scale = np.float32(1.0) if scale == 0 else scale
+    zp = np.clip(np.rint(-mn / scale), 0, 255).astype(np.float32)
+    y = np.clip(np.rint(x / scale) + zp, 0, 255).astype(np.float32)
+    return y, scale, zp
+
+
+def test_dynamic_quantize_linear_spec():
+    """The opset-11 DynamicQuantizeLinear op (what onnxruntime's
+    quantize_dynamic emits) executes per spec: uint8 range, zero point
+    from the zero-including min/max, round-half-even."""
+    x = np.array([[0, 2, -3, -2.5, 1.34, 0.5],
+                  [1, 7, 0.25, -0.1, 0, 3.5]], np.float32)
+    inp = O.make_tensor_value_info("x", O.TensorProto.FLOAT, [2, 6])
+    node = O.make_node("DynamicQuantizeLinear", ["x"],
+                       ["y", "ys", "yzp"], name="dql")
+    outs = [O.make_tensor_value_info("y", O.TensorProto.FLOAT, [2, 6]),
+            O.make_tensor_value_info("ys", O.TensorProto.FLOAT, []),
+            O.make_tensor_value_info("yzp", O.TensorProto.FLOAT, [])]
+    g = O.make_graph([node], "DQL", [inp], outs)
+    model = nq.Model.from_onnx(
+        O.make_model(g, opset_imports=[O.make_opsetid("", 13)]))
+    y, ys, yzp = model([x])
+    ry, rs, rzp = _dql_ref(x)
+    np.testing.assert_array_equal(y, ry)
+    np.testing.assert_allclose(ys, rs, rtol=1e-7)
+    np.testing.assert_array_equal(np.asarray(yzp).reshape(()), rzp)
+    # the round trip bounds: |dequant - x| <= scale/2 inside the range
+    assert (np.abs((y - rzp) * rs - x) <= rs / 2 + 1e-7).all()
+
+
+def _ort_dynamic_layer(g, x, W, b, name):
+    """The node pattern onnxruntime's quantize_dynamic emits per
+    MatMul: DynamicQuantizeLinear -> MatMulInteger -> Cast -> Mul
+    (combined scale) -> Add (float bias)."""
+    ws = np.float32(2.0 * np.abs(W).max() / 254.0)
+    wq = np.clip(np.rint(W / ws), -127, 127).astype(np.int8)
+    xq, xs, xzp = g.node("DynamicQuantizeLinear", [x],
+                         out=f"{name}/dql", n_outputs=3)
+    wqi = g.init(f"{name}/wq", wq)
+    wzp = g.init(f"{name}/wzp", np.int8(0))
+    mm = g.node("MatMulInteger", [xq, wqi, xzp, wzp], out=f"{name}/mmi")
+    c = g.node("Cast", [mm], out=f"{name}/cast", to=1)
+    sc = g.node("Mul", [xs, g.init(f"{name}/ws", ws)], out=f"{name}/scale")
+    y = g.node("Mul", [c, sc], out=f"{name}/scaled")
+    return g.node("Add", [y, g.init(f"{name}/b", b)], out=f"{name}/out")
+
+
+def test_ort_dynamic_format_graph_executes():
+    """A quantize_dynamic-format ONNX graph (DynamicQuantizeLinear +
+    MatMulInteger, uint8 activations x int8 weights) imports and tracks
+    the float math end-to-end -- onnxruntime's dynamic models serve
+    from this framework directly."""
+    from numpy_quant_tpu.onnx.builder import GraphBuilder
+
+    rng = np.random.default_rng(11)
+    W1 = rng.normal(size=(12, 20)).astype(np.float32)
+    b1 = rng.normal(size=20).astype(np.float32)
+    W2 = rng.normal(size=(20, 5)).astype(np.float32)
+    b2 = rng.normal(size=5).astype(np.float32)
+
+    g = GraphBuilder("ort_dynamic_mlp")
+    x = g.input("x", [16, 12])
+    h = _ort_dynamic_layer(g, x, W1, b1, "l1")
+    h = g.node("Relu", [h], out="relu")
+    h = _ort_dynamic_layer(g, h, W2, b2, "l2")
+    g.node("Identity", [h], out="out", name="out_id")
+    g.output("out", [16, 5])
+    model = nq.Model.from_onnx(g.model())
+
+    xv = rng.normal(size=(16, 12)).astype(np.float32) * 2
+    got = model([xv])[0]
+    want = np.maximum(xv @ W1 + b1, 0) @ W2 + b2
+    assert np.abs(got - want).mean() < 0.05 * np.abs(want).mean()
+    assert np.array_equal(got.argmax(-1), want.argmax(-1)) or \
+        (got.argmax(-1) == want.argmax(-1)).mean() >= 0.8
