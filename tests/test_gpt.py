@@ -171,6 +171,29 @@ def test_decode_step_quantized(gpt):
                     kv_cache_dtype="int8")  # float model has no qparams
 
 
+def test_generate_benchmark_tiny_smoke():
+    """extras/generate_benchmark.py --tiny stays runnable (the TPU
+    bench path compiles and reports all five variants)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "extras",
+                                      "generate_benchmark.py"), "--tiny"],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    recs = [json.loads(ln) for ln in r.stdout.splitlines()
+            if ln.startswith("{")]
+    assert len(recs) == 5
+    assert all(rec["tokens_per_sec"] > 0 for rec in recs)
+
+
 def test_generate_quantized_paths(gpt):
     """int8 PTQ and dynamic quantization both drive the same decode
     loop; random-weights logits make exact token parity too brittle to
