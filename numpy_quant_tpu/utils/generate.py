@@ -112,6 +112,74 @@ def generate(model, prompt_ids: np.ndarray, wte: np.ndarray,
     return np.asarray(out)[:, : t0 + max_new_tokens]
 
 
+def generate_seq2seq(enc_model, dec_model, src_ids: np.ndarray,
+                     wte: np.ndarray, max_new_tokens: int,
+                     decoder_start_id: int, temperature: float = None,
+                     top_k: int = None, top_p: float = None,
+                     key=None) -> np.ndarray:
+    """Encoder-decoder generation (models/seq2seq.py graph forms):
+    run the encoder ONCE over ``src_ids`` [B, S], then autoregressively
+    decode against the resulting memory -- encoder forward and the
+    whole decode loop in ONE compiled XLA program. ``enc_model`` /
+    ``dec_model`` are any Model/QModel over the bart_encoder /
+    bart_decoder graphs (float, PTQ, or QAT; they may be quantized
+    independently). Positions and layernorm_embedding live INSIDE the
+    graphs; only the token-embedding gather (``wte`` [V, H]) happens in
+    raw JAX here, so ids stay traced int32 throughout.
+
+    Returns [B, 1 + max_new_tokens] int ids starting with
+    ``decoder_start_id``. 1 + max_new_tokens must fit the decoder
+    graph's fixed target length; its causal self-attention guarantees
+    the padded tail never influences live positions (cross-attention
+    reads the full memory, which is position-independent).
+    """
+    src_ids = np.asarray(src_ids)
+    batch = src_ids.shape[0]
+    tgt_hint = dec_model.inputs[0].shape_hint
+    length = int(tgt_hint[1])
+    if 1 + max_new_tokens > length:
+        raise ValueError(
+            f"start token + {max_new_tokens} new tokens exceeds the "
+            f"decoder graph's fixed length {length}")
+
+    wte_j = jnp.asarray(wte, jnp.float32)
+    enc_fwd, enc_params = enc_model.lowered_fn(), enc_model._placed_params()
+    dec_fwd, dec_params = dec_model.lowered_fn(), dec_model._placed_params()
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    sampling = (temperature is not None or top_k is not None
+                or top_p is not None)
+
+    def body(i, carry):
+        embeds, ids, memory, key = carry
+        logits = dec_fwd([embeds, memory], dec_params)[0]
+        row = jax.lax.dynamic_slice_in_dim(logits, i, 1, axis=1)[:, 0, :]
+        if sampling:
+            key, sub = jax.random.split(key)
+        else:
+            sub = key
+        nxt = _next_token(row, temperature, top_k, top_p, sub)
+        embeds = jax.lax.dynamic_update_slice_in_dim(
+            embeds, jnp.take(wte_j, nxt, axis=0)[:, None, :], i + 1, axis=1)
+        ids = jax.lax.dynamic_update_slice_in_dim(
+            ids, nxt[:, None], i + 1, axis=1)
+        return embeds, ids, memory, key
+
+    @jax.jit
+    def run(src):
+        memory = enc_fwd([jnp.take(wte_j, src, axis=0)], enc_params)[0]
+        start = jnp.full((batch,), decoder_start_id, jnp.int32)
+        embeds = jnp.zeros((batch, length, wte_j.shape[1]), jnp.float32)
+        embeds = embeds.at[:, 0, :].set(jnp.take(wte_j, start, axis=0))
+        ids = jnp.zeros((batch, length), jnp.int32).at[:, 0].set(start)
+        _, ids, _, _ = jax.lax.fori_loop(
+            0, max_new_tokens, body, (embeds, ids, memory, key))
+        return ids
+
+    out = run(jnp.asarray(src_ids, jnp.int32))
+    return np.asarray(out)[:, : 1 + max_new_tokens]
+
+
 def _kv_layout(step_model):
     """(n_layer, batch, heads, max_len, head_dim) from the decode-step
     graph's input hints (models/gpt.py gpt_decode_step input order)."""
