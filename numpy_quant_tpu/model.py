@@ -437,6 +437,16 @@ class Model:
         from .equalize import equalize
         return equalize(self, iterations=iterations)
 
+    def fold_batchnorm(self) -> int:
+        """Fold inference-mode BatchNormalization nodes into the
+        preceding constant-weight Conv/Gemm (W' = W*k, b' = b*k + shift
+        with k = gamma/sqrt(var+eps)) -- the standard PTQ preparation
+        for BN networks (ResNet-style exports). Exact float
+        reparameterization; run before ``quantize``. Returns the number
+        of BN nodes folded. See numpy_quant_tpu/bnfold.py."""
+        from .bnfold import fold_batchnorm
+        return fold_batchnorm(self)
+
     def map_batches(self, inputs: List[np.ndarray], as_numpy: bool = True):
         """Throughput inference over a leading STEPS axis: each input is
         ``[steps, *per_call_shape]`` and all steps execute inside ONE

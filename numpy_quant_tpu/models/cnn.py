@@ -134,6 +134,95 @@ def mobilenet_classifier(batch: int, image_size: int = 32,
     return model
 
 
+def resnet_classifier(batch: int, image_size: int = 32, channels: int = 3,
+                      widths=(16, 32), n_classes: int = 10,
+                      seed: int = 0) -> O.ModelProto:
+    """ResNet-style residual classifier: stem Conv+BN+ReLU, one basic
+    block per width (Conv+BN+ReLU+Conv+BN, 1x1 Conv+BN projection skip
+    on stride/width changes, Add, ReLU), GAP head. Every Conv is
+    bias-free with a trailing BatchNormalization -- the canonical CNN
+    export shape -- so this is the fold_batchnorm + quantize_conv
+    exercise: after folding, the whole residual trunk runs on the int8
+    conv path."""
+    rng = np.random.default_rng(seed)
+    g = GraphBuilder("resnet_classifier")
+    x = g.input("input", [batch, channels, image_size, image_size])
+    params = {}
+
+    def conv_bn(name, h, c_in, c_out, stride, k=3):
+        w = (rng.standard_normal((c_out, c_in, k, k)) /
+             np.sqrt(k * k * c_in)).astype(np.float32)
+        gamma = rng.uniform(0.5, 1.5, c_out).astype(np.float32)
+        beta = (rng.standard_normal(c_out) * 0.1).astype(np.float32)
+        mean = (rng.standard_normal(c_out) * 0.2).astype(np.float32)
+        var = rng.uniform(0.5, 1.5, c_out).astype(np.float32)
+        params[name] = (w, gamma, beta, mean, var)
+        h = g.node("Conv", [h, g.init(f"{name}.weight", w)],
+                   out=f"/{name}_conv",
+                   kernel_shape=[k, k], pads=[(k - 1) // 2] * 4,
+                   strides=[stride, stride])
+        return g.node("BatchNormalization",
+                      [h, g.init(f"{name}.gamma", gamma),
+                       g.init(f"{name}.beta", beta),
+                       g.init(f"{name}.mean", mean),
+                       g.init(f"{name}.var", var)],
+                      out=f"/{name}_bn", epsilon=1e-5)
+
+    h = conv_bn("stem", x, channels, widths[0], 1)
+    h = g.node("Relu", [h], out="/stem_relu")
+    c_in = widths[0]
+    for i, c_out in enumerate(widths):
+        stride = 1 if c_out == c_in else 2
+        main = conv_bn(f"block{i}.conv1", h, c_in, c_out, stride)
+        main = g.node("Relu", [main], out=f"/block{i}_relu1")
+        main = conv_bn(f"block{i}.conv2", main, c_out, c_out, 1)
+        skip = h if stride == 1 and c_in == c_out else \
+            conv_bn(f"block{i}.proj", h, c_in, c_out, stride, k=1)
+        h = g.node("Add", [main, skip], out=f"/block{i}_add")
+        h = g.node("Relu", [h], out=f"/block{i}_relu2")
+        c_in = c_out
+
+    h = g.node("GlobalAveragePool", [h], out="/gap_out")
+    h = g.node("Flatten", [h], out="/flat_out", axis=1)
+    wf = g.init("fc.weight",
+                (rng.standard_normal((n_classes, c_in)) /
+                 np.sqrt(c_in)).astype(np.float32))
+    bf = g.init("fc.bias",
+                (rng.standard_normal(n_classes) * 0.1).astype(np.float32))
+    g.node("Gemm", [h, wf, bf], out="logits", alpha=1.0, beta=1.0, transB=1)
+    g.output("logits", [batch, n_classes])
+    model = g.model()
+
+    def torch_forward(x_np):
+        import torch
+
+        def cbn(name, t, stride=1):
+            w, gamma, beta, mean, var = (torch.tensor(a)
+                                         for a in params[name])
+            pad = (w.shape[-1] - 1) // 2
+            t = torch.nn.functional.conv2d(t, w, stride=stride, padding=pad)
+            return torch.nn.functional.batch_norm(
+                t, mean, var, weight=gamma, bias=beta, eps=1e-5)
+
+        t = torch.relu(cbn("stem", torch.tensor(x_np)))
+        ci = widths[0]
+        for i, co in enumerate(widths):
+            stride = 1 if co == ci else 2
+            main = torch.relu(cbn(f"block{i}.conv1", t, stride))
+            main = cbn(f"block{i}.conv2", main)
+            skip = t if stride == 1 and ci == co else \
+                cbn(f"block{i}.proj", t, stride)
+            t = torch.relu(main + skip)
+            ci = co
+        t = t.mean(dim=(2, 3))
+        inits = {i.name: torch.tensor(O.to_array(i))
+                 for i in model.graph.initializer}
+        return (t @ inits["fc.weight"].T + inits["fc.bias"]).numpy()
+
+    model._torch_forward = torch_forward
+    return model
+
+
 def unet_segmenter(batch: int, image_size: int = 32, channels: int = 3,
                    width: int = 8, n_classes: int = 4,
                    seed: int = 0) -> O.ModelProto:

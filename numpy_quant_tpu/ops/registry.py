@@ -1133,6 +1133,22 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         one = FTensor(np.float32(1.0))
         u = x * FTensor(np.float32(1.0 / np.sqrt(2.0)))
         return [x * half * (u.erf() + one)]
+    elif op == "BatchNormalization":
+        # Inference form only (spec test_mode semantics): normalize with
+        # the SAVED running statistics, broadcast over channel axis 1 of
+        # any rank >= 2. Training outputs (running_mean/var updates) are
+        # not produced -- this is an inference framework.
+        if int(attrs.get("training_mode", 0)):
+            raise ValueError("BatchNormalization training_mode=1 is not "
+                             "supported (inference framework)")
+        x, scale, bias, mean, var = inputs[:5]
+        eps = float(attrs.get("epsilon", 1e-5))
+        xd = x.data
+        bshape = (1, -1) + (1,) * (len(xd.shape) - 2)
+        k = (scale.data / jnp.sqrt(var.data + np.float32(eps)))
+        y = (xd - mean.data.reshape(bshape)) * k.reshape(bshape) \
+            + bias.data.reshape(bshape)
+        return [FTensor(y)]
     elif op == "InstanceNormalization":
         x, scale, bias = inputs[0], inputs[1], inputs[2]
         eps = float(attrs.get("epsilon", 1e-5))
