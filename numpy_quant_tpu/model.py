@@ -33,6 +33,7 @@ from .graph import Constant, Node, Value, Variable, import_onnx
 from .ops.registry import onnx_operator_implementation
 from .quantization import quant_parameters
 from .tensor import (
+    DITensor,
     FTensor,
     ITensor,
     PackedQTensor,
@@ -1005,6 +1006,8 @@ class QModel(Model):
             return data
         if isinstance(tensor, QTensor):
             return tensor.dequantize().data
+        if isinstance(tensor, DITensor):
+            return tensor.data
         raise ValueError(f"Unsupported output tensor {type(tensor)}")
 
     def fuse_attention(self) -> int:

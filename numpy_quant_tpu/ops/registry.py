@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..tensor import (
+    DITensor,
     FTensor,
     ITensor,
     PackedQTensor,
@@ -384,7 +385,13 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
     elif op == "Expand":
         return [inputs[0].expand(inputs[1])]
     elif op == "Gather":
-        return [inputs[0].take(inputs[1], axis=int(attrs.get("axis", 0)))]
+        x, idx = inputs[0], inputs[1]
+        axis = int(attrs.get("axis", 0))
+        if isinstance(x, ITensor) and isinstance(idx, DITensor):
+            # host table gathered by DEVICE indices: result is traced
+            return [DITensor(jnp.take(jnp.asarray(x.data, jnp.int32),
+                                      idx.data, axis=axis))]
+        return [x.take(idx, axis=axis)]
     elif op == "Gemm":
         x, w = inputs[0], inputs[1]
         b = inputs[2] if len(inputs) > 2 else None
@@ -787,9 +794,11 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         if to == 1:  # FLOAT
             if isinstance(x, FTensor):
                 return [x.copy()]
+            if isinstance(x, DITensor):
+                return [FTensor(x.data.astype(jnp.float32))]
             return [FTensor(np.asarray(x.data, dtype=np.float32))]
-        if to in (6, 7):  # INT32 / INT64 (shape domain, host)
-            if isinstance(x, ITensor):
+        if to in (6, 7):  # INT32 / INT64
+            if isinstance(x, (ITensor, DITensor)):
                 return [x.copy()]
             raise ValueError("Cast of traced float data to int is not "
                              "supported under jit (shape domain only)")
@@ -874,6 +883,51 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
             return [ITensor(nfn(x.data, axis=axes, keepdims=keepdims))]
         fn = jnp.max if op == "ReduceMax" else jnp.min
         return [FTensor(fn(x.data, axis=axes, keepdims=keepdims))]
+    elif op in ("ArgMax", "ArgMin"):
+        x = inputs[0]
+        axis = int(attrs.get("axis", 0))
+        keepdims = bool(attrs.get("keepdims", 1))
+        last = bool(attrs.get("select_last_index", 0))
+        if isinstance(x, ITensor):  # host shape domain stays host
+            fn = np.argmax if op == "ArgMax" else np.argmin
+            d = np.flip(x.data, axis) if last else x.data
+            idx = fn(d, axis=axis)
+            if last:
+                idx = x.data.shape[axis] - 1 - idx
+            if keepdims:
+                idx = np.expand_dims(idx, axis)
+            return [ITensor(idx)]
+        fn = jnp.argmax if op == "ArgMax" else jnp.argmin
+        d = x.data
+        if last:
+            idx = d.shape[axis] - 1 - fn(jnp.flip(d, axis), axis=axis)
+        else:
+            idx = fn(d, axis=axis)
+        if keepdims:
+            idx = jnp.expand_dims(idx, axis)
+        return [DITensor(idx)]
+    elif op == "TopK":
+        import jax
+
+        x = inputs[0]
+        if not isinstance(inputs[1], ITensor):
+            raise ValueError("TopK k must be a graph constant (static "
+                             "output shapes under jit)")
+        k = int(np.asarray(inputs[1].data).reshape(-1)[0])
+        axis = int(attrs.get("axis", -1))
+        largest = bool(attrs.get("largest", 1))
+        # jax.lax.top_k returns sorted results; sorted=0 only relaxes
+        # the spec's ordering guarantee, so sorted output still conforms
+        d = x.data
+        rank = len(d.shape)
+        axis = axis % rank
+        moved = jnp.moveaxis(d, axis, -1)
+        vals, idx = jax.lax.top_k(moved if largest else -moved, k)
+        if not largest:
+            vals = -vals
+        vals = jnp.moveaxis(vals, -1, axis)
+        idx = jnp.moveaxis(idx, -1, axis)
+        return [FTensor(vals), DITensor(idx)]
     elif op in ("Min", "Max"):
         fn = jnp.minimum if op == "Min" else jnp.maximum
         y = inputs[0].data

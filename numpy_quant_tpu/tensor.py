@@ -93,6 +93,56 @@ class ITensor:
         return f"ITensor({self._data!r})"
 
 
+class DITensor:
+    """DEVICE integer tensor: data-DEPENDENT integers (ArgMax/TopK
+    indices, sampled ids) that cannot live in the host shape domain
+    because their values are unknown at trace time. Third domain beside
+    host ITensor (static, trace-time folded) and FTensor (device float).
+    int32 storage -- the TPU-native index width (x64 is off under jit).
+    No reference analogue: the reference's single-domain int64 ITensor
+    (numpy_quant/tensor.py:12-44) conflates both roles; under XLA they
+    must split."""
+
+    def __init__(self, data):
+        arr = jnp.asarray(data)
+        if not jnp.issubdtype(arr.dtype, jnp.integer):
+            raise ValueError(f"DITensor needs integer data, got {arr.dtype}")
+        self._data = arr.astype(jnp.int32)
+
+    @property
+    def data(self) -> jax.Array:
+        return self._data
+
+    @property
+    def shape(self) -> ITensor:
+        return ITensor(np.array(self._data.shape, dtype=np.int64))
+
+    @property
+    def size(self) -> int:
+        return self._data.size
+
+    def copy(self) -> "DITensor":
+        return DITensor(self._data)
+
+    def reshape(self, shape: ITensor) -> "DITensor":
+        return DITensor(self._data.reshape(tuple(shape.data)))
+
+    def transpose(self, axes=None) -> "DITensor":
+        return DITensor(self._data.transpose(axes))
+
+    def expand_dims(self, axis: ITensor) -> "DITensor":
+        return DITensor(jnp.expand_dims(self._data, axis=tuple(axis.data)))
+
+    def __getitem__(self, ind):
+        return DITensor(self._data.__getitem__(ind))
+
+    def take(self, indices, axis: int) -> "DITensor":
+        return DITensor(jnp.take(self._data, indices.data, axis=axis))
+
+    def __repr__(self):
+        return f"DITensor({self._data!r})"
+
+
 def _as_float(x) -> jax.Array:
     arr = jnp.asarray(x)
     target = config.float_dtype
@@ -474,7 +524,7 @@ def pack_qtensor(qt: QTensor, shards: int = 1) -> PackedQTensor:
     return PackedQTensor(planes, colsum, k, n, qt.bit_width, qt.scale)
 
 
-Tensor = Union[ITensor, FTensor, QTensor, PackedQTensor]
+Tensor = Union[ITensor, DITensor, FTensor, QTensor, PackedQTensor]
 
 
 def quantize_tensor(tensor: FTensor, bit_width: int, scale, zero_point) -> QTensor:
