@@ -1187,6 +1187,42 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         one = FTensor(np.float32(1.0))
         u = x * FTensor(np.float32(1.0 / np.sqrt(2.0)))
         return [x * half * (u.erf() + one)]
+    elif op == "LeakyRelu":
+        alpha = np.float32(attrs.get("alpha", 0.01))
+        xd = inputs[0].data
+        return [FTensor(jnp.where(xd >= 0, xd, alpha * xd))]
+    elif op == "Elu":
+        alpha = np.float32(attrs.get("alpha", 1.0))
+        xd = inputs[0].data
+        return [FTensor(jnp.where(xd >= 0, xd,
+                                  alpha * (jnp.exp(xd) - np.float32(1))))]
+    elif op == "Selu":
+        alpha = np.float32(attrs.get("alpha", 1.67326319217681884765625))
+        gamma = np.float32(attrs.get("gamma", 1.05070102214813232421875))
+        xd = inputs[0].data
+        return [FTensor(gamma * jnp.where(
+            xd > 0, xd, alpha * (jnp.exp(xd) - np.float32(1))))]
+    elif op == "Softplus":
+        return [FTensor(jnp.logaddexp(inputs[0].data, np.float32(0)))]
+    elif op == "Softsign":
+        xd = inputs[0].data
+        return [FTensor(xd / (np.float32(1) + jnp.abs(xd)))]
+    elif op == "HardSigmoid":
+        alpha = np.float32(attrs.get("alpha", 0.2))
+        beta = np.float32(attrs.get("beta", 0.5))
+        xd = inputs[0].data
+        return [FTensor(jnp.clip(alpha * xd + beta, 0.0, 1.0))]
+    elif op == "HardSwish":
+        xd = inputs[0].data  # x * HardSigmoid(x; 1/6, 1/2), spec constants
+        return [FTensor(xd * jnp.clip(
+            xd * np.float32(1 / 6) + np.float32(0.5), 0.0, 1.0))]
+    elif op == "Mish":
+        xd = inputs[0].data  # x * tanh(softplus(x))
+        return [FTensor(xd * jnp.tanh(jnp.logaddexp(xd, np.float32(0))))]
+    elif op == "PRelu":
+        xd = inputs[0].data
+        slope = inputs[1].data  # unidirectional broadcast per spec
+        return [FTensor(jnp.where(xd >= 0, xd, slope * xd))]
     elif op == "BatchNormalization":
         # Inference form only (spec test_mode semantics): normalize with
         # the SAVED running statistics, broadcast over channel axis 1 of
@@ -1247,6 +1283,81 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
                     padding=((0, 0), (0, 0), (ph0, ph1), (pw0, pw1)))
                 y = y / counts
         return [FTensor(y)]
+    elif op == "Tile":
+        x, rep = inputs[0], inputs[1]
+        reps = tuple(int(r) for r in np.asarray(rep.data).reshape(-1))
+        if isinstance(x, ITensor):
+            return [ITensor(np.tile(x.data, reps))]
+        if isinstance(x, DITensor):
+            return [DITensor(jnp.tile(x.data, reps))]
+        return [FTensor(jnp.tile(x.data, reps))]
+    elif op == "Range":
+        def _host_scalar(t):
+            if isinstance(t, ITensor):
+                return int(np.asarray(t.data).reshape(-1)[0])
+            host = getattr(t, "host", None)  # float constant's shadow
+            if host is not None:
+                return float(np.asarray(host).reshape(-1)[0])
+            raise ValueError("Range start/limit/delta must be graph "
+                             "constants (static shapes under jit)")
+        start, limit, delta = (_host_scalar(t) for t in inputs[:3])
+        if all(isinstance(t, ITensor) for t in inputs[:3]):
+            return [ITensor(np.arange(start, limit, delta, dtype=np.int64))]
+        return [FTensor(np.arange(start, limit, delta, dtype=np.float32))]
+    elif op == "CumSum":
+        x = inputs[0]
+        axis = int(np.asarray(inputs[1].data).reshape(-1)[0])
+        exclusive = int(attrs.get("exclusive", 0))
+        reverse = int(attrs.get("reverse", 0))
+        xp = np if isinstance(x, ITensor) else jnp
+        d = x.data
+        if reverse:
+            d = xp.flip(d, axis)
+        c = xp.cumsum(d, axis=axis)
+        if exclusive:
+            c = c - d  # shift: y_i = sum_{j<i}
+        if reverse:
+            c = xp.flip(c, axis)
+        d = c
+        cls = ITensor if isinstance(x, ITensor) else \
+            (DITensor if isinstance(x, DITensor) else FTensor)
+        return [cls(d)]
+    elif op == "Trilu":
+        x = inputs[0]
+        k = int(np.asarray(inputs[1].data).reshape(-1)[0]) \
+            if len(inputs) > 1 and inputs[1] is not None else 0
+        upper = int(attrs.get("upper", 1))
+        xp = np if isinstance(x, ITensor) else jnp
+        d = (xp.triu if upper else xp.tril)(x.data, k)
+        cls = ITensor if isinstance(x, ITensor) else \
+            (DITensor if isinstance(x, DITensor) else FTensor)
+        return [cls(d)]
+    elif op == "OneHot":
+        idx, depth, values = inputs[0], inputs[1], inputs[2]
+        axis = int(attrs.get("axis", -1))
+        n = int(np.asarray(depth.data).reshape(-1)[0])
+        host = isinstance(idx, ITensor)
+        xp = np if host else jnp
+        ids = xp.asarray(idx.data)
+        ids = xp.where(ids < 0, ids + n, ids)  # spec: negative wraps
+        mask = ids[..., None] == xp.arange(n)  # one-hot on a NEW last axis
+        if axis != -1 and axis != mask.ndim - 1:
+            mask = xp.moveaxis(mask, -1, axis % mask.ndim)
+        vals = values.data
+        if isinstance(values, FTensor):
+            # float values may be traced device params: compute on device
+            return [FTensor(jnp.where(jnp.asarray(mask), vals[1], vals[0]))]
+        out = xp.where(mask, int(vals[1]), int(vals[0]))
+        return [ITensor(out) if host else DITensor(out)]
+    elif op == "Einsum":
+        eq = attrs.get("equation", "")
+        if isinstance(eq, bytes):
+            eq = eq.decode()
+        from .. import config as _config
+
+        arrs = [t.data for t in inputs]
+        return [FTensor(jnp.einsum(
+            eq, *arrs, precision=_config.float_matmul_precision))]
     elif op == "Split":
         x = inputs[0]
         axis = int(attrs.get("axis", 0))
