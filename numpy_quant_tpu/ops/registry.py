@@ -1239,6 +1239,70 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         y = (xd - mean.data.reshape(bshape)) * k.reshape(bshape) \
             + bias.data.reshape(bshape)
         return [FTensor(y)]
+    elif op == "ConvTranspose":
+        import jax
+
+        x, w = inputs[0], inputs[1]
+        b = inputs[2] if len(inputs) > 2 and inputs[2] is not None else None
+        xd, wd = x.data, w.data
+        n_sp = len(xd.shape) - 2
+        strides = [int(s) for s in attrs.get("strides", [1] * n_sp)]
+        dil = [int(d) for d in attrs.get("dilations", [1] * n_sp)]
+        group = int(attrs.get("group", 1))
+        out_pad = [int(p) for p in attrs.get("output_padding", [0] * n_sp)]
+        ksp = [int(k) for k in attrs.get("kernel_shape", wd.shape[2:])]
+        if "output_shape" in attrs:
+            raise ValueError("ConvTranspose output_shape attr not "
+                             "supported (use pads/output_padding)")
+        ap = attrs.get("auto_pad", b"NOTSET")
+        if isinstance(ap, bytes):
+            ap = ap.decode()
+        if ap not in ("NOTSET", ""):
+            raise ValueError(f"ConvTranspose auto_pad {ap!r} not supported")
+        pads = [int(p) for p in attrs.get("pads", [0] * (2 * n_sp))]
+        # ConvTranspose == conv over the s-dilated input with the
+        # spatially-flipped, in/out-swapped kernel; ONNX pads become
+        # conv padding (d*(k-1) - pad) per edge (+output_padding at the
+        # trailing edge).
+        ci = wd.shape[0]
+        co_g = wd.shape[1]
+        wg = wd.reshape(group, ci // group, co_g, *wd.shape[2:])
+        wg = jnp.swapaxes(wg, 1, 2).reshape(group * co_g, ci // group,
+                                            *wd.shape[2:])
+        wg = jnp.flip(wg, axis=tuple(range(2, 2 + n_sp)))
+        padding = [(dil[i] * (ksp[i] - 1) - pads[i],
+                    dil[i] * (ksp[i] - 1) - pads[n_sp + i] + out_pad[i])
+                   for i in range(n_sp)]
+        from .. import config as _config
+
+        y = jax.lax.conv_general_dilated(
+            xd, wg.astype(xd.dtype), window_strides=[1] * n_sp,
+            padding=padding, lhs_dilation=strides, rhs_dilation=dil,
+            feature_group_count=group,
+            precision=_config.float_matmul_precision)
+        if b is not None:
+            y = y + b.data.reshape((1, -1) + (1,) * n_sp)
+        return [FTensor(y)]
+    elif op == "GroupNormalization":
+        x, scale, bias = inputs[0], inputs[1], inputs[2]
+        eps = float(attrs.get("epsilon", 1e-5))
+        groups = int(attrs["num_groups"])
+        xd = x.data
+        n, c = xd.shape[0], xd.shape[1]
+        sp = xd.shape[2:]
+        xg = xd.reshape(n, groups, c // groups, *sp)
+        red = tuple(range(2, xg.ndim))
+        mean = jnp.mean(xg, axis=red, keepdims=True)
+        d = xg - mean
+        var = jnp.mean(d * d, axis=red, keepdims=True)
+        y = (d / jnp.sqrt(var + np.float32(eps))).reshape(xd.shape)
+        sd, bd = scale.data, bias.data
+        if sd.shape[0] == groups and groups != c:
+            # opset-18 per-group affine; opset-21 made it per-channel
+            sd = jnp.repeat(sd, c // groups)
+            bd = jnp.repeat(bd, c // groups)
+        bshape = (1, -1) + (1,) * len(sp)
+        return [FTensor(y * sd.reshape(bshape) + bd.reshape(bshape))]
     elif op == "InstanceNormalization":
         x, scale, bias = inputs[0], inputs[1], inputs[2]
         eps = float(attrs.get("epsilon", 1e-5))
