@@ -98,6 +98,38 @@ def _packed_matmul(a: QTensor, b: PackedQTensor) -> FTensor:
     return FTensor(y2.reshape(*lead, b.n))
 
 
+# simple float-only unary ops: ONNX name -> jnp ufunc (spec admits only
+# float inputs for all of these, so they live in the device float domain)
+_UNARY_FLOAT_FNS = {
+    "Exp": jnp.exp, "Log": jnp.log,
+    "Sin": jnp.sin, "Cos": jnp.cos, "Tan": jnp.tan,
+    "Asin": jnp.arcsin, "Acos": jnp.arccos, "Atan": jnp.arctan,
+    "Sinh": jnp.sinh, "Cosh": jnp.cosh,
+    "Asinh": jnp.arcsinh, "Acosh": jnp.arccosh, "Atanh": jnp.arctanh,
+    "Floor": jnp.floor, "Ceil": jnp.ceil,
+    "Reciprocal": jnp.reciprocal,
+}
+
+
+def _gather_nd(xp, data, indices, batch_dims: int):
+    """ONNX GatherND: index the leading ``indices.shape[-1]`` dims of
+    ``data`` (after ``batch_dims`` shared leading batch axes) with the
+    int tuples in ``indices``. Vectorised advanced indexing; works for
+    both numpy (host fold) and jnp (device)."""
+    k = indices.shape[-1]
+    loc_shape = indices.shape[:-1]
+    loc = []
+    for d in range(batch_dims):
+        # broadcasted batch index: arange over dim d, shaped to align
+        # with the shared leading axes of ``indices``
+        shape = [1] * len(loc_shape)
+        shape[d] = data.shape[d]
+        loc.append(xp.arange(data.shape[d]).reshape(shape))
+    for i in range(k):
+        loc.append(indices[..., i])
+    return data[tuple(loc)]
+
+
 def _resolve_reshape_shape(x_shape, shape: np.ndarray, allowzero: int) -> tuple:
     """ONNX Reshape: 0 copies the input dim (unless allowzero), -1 infers."""
     out = list(int(d) for d in shape)
@@ -1442,5 +1474,169 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
             outs.append(x.__getitem__(tuple(sl)))
             start += s
         return outs
+    elif op in _UNARY_FLOAT_FNS:
+        # spec: these accept float tensors only -> device float domain
+        return [FTensor(_UNARY_FLOAT_FNS[op](inputs[0].data))]
+    elif op == "Round":
+        # ONNX Round is round-half-to-even, which jnp.round implements
+        return [FTensor(jnp.round(inputs[0].data))]
+    elif op == "Sign":
+        x = inputs[0]
+        if isinstance(x, ITensor):
+            return [ITensor(np.sign(x.data))]
+        if isinstance(x, DITensor):
+            return [DITensor(jnp.sign(x.data))]
+        return [FTensor(jnp.sign(x.data))]
+    elif op == "Mod":
+        a, b = inputs[0], inputs[1]
+        fmod = bool(attrs.get("fmod", 0))
+        if isinstance(a, ITensor) and isinstance(b, ITensor):
+            y = np.fmod(a.data, b.data) if fmod else np.mod(a.data, b.data)
+            return [ITensor(np.asarray(y, np.int64))]
+        fn = jnp.fmod if fmod else jnp.mod
+        y = fn(jnp.asarray(a.data), jnp.asarray(b.data))
+        if jnp.issubdtype(y.dtype, jnp.integer):
+            return [DITensor(y)]
+        return [FTensor(y)]
+    elif op in ("Greater", "Less", "GreaterOrEqual", "LessOrEqual"):
+        import operator as _operator
+
+        fn = {"Greater": _operator.gt, "Less": _operator.lt,
+              "GreaterOrEqual": _operator.ge,
+              "LessOrEqual": _operator.le}[op]
+        a, b = inputs[0], inputs[1]
+        if isinstance(a, ITensor) and isinstance(b, ITensor):
+            # host shape domain stays numpy so trace-time folding holds
+            return [ITensor(np.asarray(fn(a.data, b.data), np.int64))]
+        y = fn(jnp.asarray(a.data), jnp.asarray(b.data))
+        return [DITensor(jnp.asarray(y, jnp.int32))]
+    elif op == "Not":
+        x = inputs[0]
+        if isinstance(x, ITensor):
+            return [ITensor(np.asarray(x.data == 0, np.int64))]
+        return [DITensor(jnp.asarray(jnp.asarray(x.data) == 0, jnp.int32))]
+    elif op in ("And", "Or", "Xor"):
+        a, b = inputs[0], inputs[1]
+        if isinstance(a, ITensor) and isinstance(b, ITensor):
+            av, bv = a.data != 0, b.data != 0
+            y = {"And": av & bv, "Or": av | bv, "Xor": av ^ bv}[op]
+            return [ITensor(np.asarray(y, np.int64))]
+        av = jnp.asarray(a.data) != 0
+        bv = jnp.asarray(b.data) != 0
+        y = {"And": av & bv, "Or": av | bv, "Xor": av ^ bv}[op]
+        return [DITensor(jnp.asarray(y, jnp.int32))]
+    elif op in ("IsNaN", "IsInf"):
+        x = jnp.asarray(inputs[0].data)
+        if op == "IsNaN":
+            y = jnp.isnan(x)
+        else:
+            pos = bool(attrs.get("detect_positive", 1))
+            neg = bool(attrs.get("detect_negative", 1))
+            y = jnp.isinf(x) & ((x > 0) if pos and not neg else
+                                (x < 0) if neg and not pos else
+                                jnp.full(x.shape, pos or neg, bool))
+        return [DITensor(jnp.asarray(y, jnp.int32))]
+    elif op == "LogSoftmax":
+        import jax
+
+        axis = int(attrs.get("axis", -1))
+        return [FTensor(jax.nn.log_softmax(inputs[0].data, axis=axis))]
+    elif op in ("ReduceProd", "ReduceL1", "ReduceL2", "ReduceSumSquare",
+                "ReduceLogSum", "ReduceLogSumExp"):
+        x = inputs[0]
+        # axes moved from attr to input at opset 18
+        if len(inputs) > 1 and inputs[1] is not None:
+            axes = tuple(int(a) for a in inputs[1].data) or None
+        else:
+            axes = tuple(int(a) for a in attrs.get("axes", ())) or None
+        keepdims = bool(attrs.get("keepdims", 1))
+        if isinstance(x, ITensor):
+            # host (shape) domain stays numpy so trace-time folding holds
+            d = x.data
+            if op == "ReduceProd":
+                return [ITensor(np.prod(d, axis=axes, keepdims=keepdims))]
+            if op == "ReduceL1":
+                return [ITensor(np.sum(np.abs(d), axis=axes,
+                                       keepdims=keepdims))]
+            if op == "ReduceSumSquare":
+                return [ITensor(np.sum(d * d, axis=axes,
+                                       keepdims=keepdims))]
+            raise ValueError(f"{op} on host integer data is not defined")
+        d = x.data
+        if op == "ReduceProd":
+            y = jnp.prod(d, axis=axes, keepdims=keepdims)
+        elif op == "ReduceL1":
+            y = jnp.sum(jnp.abs(d), axis=axes, keepdims=keepdims)
+        elif op == "ReduceL2":
+            y = jnp.sqrt(jnp.sum(d * d, axis=axes, keepdims=keepdims))
+        elif op == "ReduceSumSquare":
+            y = jnp.sum(d * d, axis=axes, keepdims=keepdims)
+        elif op == "ReduceLogSum":
+            y = jnp.log(jnp.sum(d, axis=axes, keepdims=keepdims))
+        else:  # ReduceLogSumExp
+            from jax.scipy.special import logsumexp
+
+            y = logsumexp(d, axis=axes, keepdims=keepdims)
+        return [FTensor(y)]
+    elif op == "GatherND":
+        x, idx = inputs[0], inputs[1]
+        batch_dims = int(attrs.get("batch_dims", 0))
+        if isinstance(x, ITensor) and isinstance(idx, ITensor):
+            return [ITensor(_gather_nd(np, x.data, idx.data, batch_dims))]
+        y = _gather_nd(jnp, jnp.asarray(x.data),
+                       jnp.asarray(idx.data), batch_dims)
+        if isinstance(x, (ITensor, DITensor)):
+            return [DITensor(y)]
+        return [FTensor(y)]
+    elif op == "ScatterND":
+        x, idx, upd = inputs[0], inputs[1], inputs[2]
+        red = attrs.get("reduction", "none")
+        if isinstance(red, bytes):
+            red = red.decode()
+        k = idx.shape[-1] if isinstance(idx, QTensor) \
+            else int(np.asarray(idx.data).shape[-1])
+        if isinstance(x, ITensor) and isinstance(idx, ITensor):
+            d = np.array(x.data)
+            loc = tuple(np.asarray(idx.data)[..., i] for i in range(k))
+            if red == "add":
+                np.add.at(d, loc, upd.data)
+            elif red == "mul":
+                np.multiply.at(d, loc, upd.data)
+            elif red == "max":
+                np.maximum.at(d, loc, upd.data)
+            elif red == "min":
+                np.minimum.at(d, loc, upd.data)
+            else:
+                d[loc] = upd.data
+            return [ITensor(d)]
+        d = jnp.asarray(x.data)
+        loc = tuple(jnp.asarray(idx.data)[..., i] for i in range(k))
+        at = d.at[loc]
+        y = {"add": at.add, "mul": at.multiply, "max": at.max,
+             "min": at.min}.get(red, at.set)(jnp.asarray(upd.data, d.dtype))
+        if isinstance(x, FTensor):
+            return [FTensor(y)]
+        return [DITensor(y)]
+    elif op in ("DepthToSpace", "SpaceToDepth"):
+        x = inputs[0]
+        bs = int(attrs["blocksize"])
+        n, c, h, w = (int(dim) for dim in x.shape.data)
+        d = x.data
+        if op == "SpaceToDepth":
+            y = d.reshape(n, c, h // bs, bs, w // bs, bs) \
+                 .transpose(0, 3, 5, 1, 2, 4) \
+                 .reshape(n, c * bs * bs, h // bs, w // bs)
+        else:
+            mode = attrs.get("mode", "DCR")
+            if isinstance(mode, bytes):
+                mode = mode.decode()
+            if mode == "DCR":
+                y = d.reshape(n, bs, bs, c // (bs * bs), h, w) \
+                     .transpose(0, 3, 4, 1, 5, 2)
+            else:  # CRD
+                y = d.reshape(n, c // (bs * bs), bs, bs, h, w) \
+                     .transpose(0, 1, 4, 2, 5, 3)
+            y = y.reshape(n, c // (bs * bs), h * bs, w * bs)
+        return [ITensor(y) if isinstance(x, ITensor) else FTensor(y)]
     else:
         raise ValueError(f"ONNX operator {op} not supported.")
