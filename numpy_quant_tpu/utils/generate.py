@@ -180,11 +180,13 @@ def generate_seq2seq(enc_model, dec_model, src_ids: np.ndarray,
     return np.asarray(out)[:, : 1 + max_new_tokens]
 
 
-def _kv_layout(step_model):
+def _kv_layout(step_model, cache_start: int = 2):
     """(n_layer, batch, heads, max_len, head_dim) from the decode-step
-    graph's input hints (models/gpt.py gpt_decode_step input order)."""
-    n_layer = (len(step_model.inputs) - 2) // 2
-    b, nh, length, hd = step_model.inputs[2].shape_hint
+    graph's input hints (models/gpt.py gpt_decode_step input order;
+    ``cache_start=4`` for the RoPE form, models/llama.py, whose inputs
+    insert cos_step/sin_step before the caches)."""
+    n_layer = (len(step_model.inputs) - cache_start) // 2
+    b, nh, length, hd = step_model.inputs[cache_start].shape_hint
     return n_layer, b, nh, length, hd
 
 
@@ -199,7 +201,7 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
                 wpe: np.ndarray, max_new_tokens: int,
                 temperature: float = None, top_k: int = None,
                 top_p: float = None, key=None,
-                kv_cache_dtype: str = None) -> np.ndarray:
+                kv_cache_dtype: str = None, rope=None) -> np.ndarray:
     """Autoregressive decode through the KV-cache step graph
     (models/gpt.py gpt_decode_step): one token per step at O(L) cost,
     the whole loop -- prefill (teacher-forced) and generation -- ONE
@@ -213,10 +215,17 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
     the executor then enters the integer domain directly. Quantization
     is idempotent, so the tokens are bit-identical to the float-carry
     run of the same quantized model.
+
+    ``rope=(cos, sin)`` (each [1, 1, L, head_dim], e.g. a llama step
+    model's ``_rope_tables``) switches to the RoPE input layout
+    (models/llama.py llama_decode_step): the position-t rows are fed as
+    the graph's ``cos_step``/``sin_step`` inputs and ``wpe`` may be
+    None (rotary models have no additive position embedding).
     """
     prompt_ids = np.asarray(prompt_ids)
     batch, t0 = prompt_ids.shape
-    n_layer, b, nh, length, hd = _kv_layout(step_model)
+    cache_start = 2 if rope is None else 4
+    n_layer, b, nh, length, hd = _kv_layout(step_model, cache_start)
     if b != batch:
         raise ValueError(f"graph batch {b} != prompt batch {batch}")
     if t0 + max_new_tokens - 1 > length:
@@ -225,7 +234,10 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
             f"cache length {length}")
 
     wte_j = jnp.asarray(wte, jnp.float32)
-    wpe_j = jnp.asarray(wpe, jnp.float32)
+    wpe_j = None if wpe is None else jnp.asarray(wpe, jnp.float32)
+    if rope is not None:
+        cos_j = jnp.asarray(rope[0], jnp.float32)
+        sin_j = jnp.asarray(rope[1], jnp.float32)
     fwd = step_model.lowered_fn()
     params = step_model._placed_params()
     if key is None:
@@ -248,7 +260,8 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
         def q_cache(x, qp):
             return _quantize(x, step_model.bit_width, qp.scale,
                              qp.zero_point).astype(jnp.int8)
-        cache_qps = [qp_map[v.name] for v in step_model.inputs[2:]]
+        cache_qps = [qp_map[v.name]
+                     for v in step_model.inputs[cache_start:]]
         cache_dtype = jnp.int8
     else:
         raise ValueError(f"kv_cache_dtype {kv_cache_dtype!r} not in "
@@ -260,10 +273,16 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
     def body(t, carry):
         ids, caches, key = carry
         tok = jnp.take(ids, t, axis=1)
-        x = (jnp.take(wte_j, tok, axis=0)
-             + jnp.take(wpe_j, t, axis=0))[:, None, :]
+        x = jnp.take(wte_j, tok, axis=0)
+        if wpe_j is not None:
+            x = x + jnp.take(wpe_j, t, axis=0)
+        x = x[:, None, :]
+        extra = []
+        if rope is not None:
+            extra = [jax.lax.dynamic_slice_in_dim(cos_j, t, 1, axis=2),
+                     jax.lax.dynamic_slice_in_dim(sin_j, t, 1, axis=2)]
         flat = [c for pair in caches for c in pair]
-        outs = fwd([x, _step_mask(t, length)] + flat, params)
+        outs = fwd([x, _step_mask(t, length)] + extra + flat, params)
         row = outs[0][:, 0, :]
         if sampling:
             key, sub = jax.random.split(key)
@@ -302,22 +321,32 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
 
 
 def decode_calibration(step_model, prompt_ids: np.ndarray,
-                       wte: np.ndarray, wpe: np.ndarray) -> list:
+                       wte: np.ndarray, wpe: np.ndarray,
+                       rope=None) -> list:
     """Replay ``prompt_ids`` (teacher-forced) through the float decode
     step and return one input-list per step -- per-step calibration
     batches for quantizing the step graph. Compose with
     ``Model.calibration_stats`` + ``utils.merge_calibration_stats``,
-    then ``quantize(stats=...)``."""
+    then ``quantize(stats=...)``. ``rope``/``wpe`` as in
+    :func:`generate_kv`."""
     prompt_ids = np.asarray(prompt_ids)
     batch, t0 = prompt_ids.shape
-    n_layer, b, nh, length, hd = _kv_layout(step_model)
+    cache_start = 2 if rope is None else 4
+    n_layer, b, nh, length, hd = _kv_layout(step_model, cache_start)
     caches = [np.zeros((batch, nh, length, hd), np.float32)
               for _ in range(2 * n_layer)]
     out = []
     for t in range(t0):
-        x = (wte[prompt_ids[:, t]] + wpe[t])[:, None, :].astype(np.float32)
+        x = wte[prompt_ids[:, t]]
+        if wpe is not None:
+            x = x + wpe[t]
+        x = x[:, None, :].astype(np.float32)
         mask = np.asarray(_step_mask(t, length), np.float32)
-        inputs = [x, mask] + [c.copy() for c in caches]
+        extra = []
+        if rope is not None:
+            extra = [np.asarray(rope[0][:, :, t : t + 1, :], np.float32),
+                     np.asarray(rope[1][:, :, t : t + 1, :], np.float32)]
+        inputs = [x, mask] + extra + [c.copy() for c in caches]
         out.append(inputs)
         res = step_model(inputs)
         for i in range(2 * n_layer):
