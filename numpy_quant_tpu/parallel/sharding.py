@@ -67,6 +67,32 @@ def gpt_tp_rules(name: str, ndim: int) -> P:
     return P()
 
 
+# LLaMA decoder (models/llama.py): Megatron column/row split of the
+# separate q/k/v + SwiGLU gate/up projections and the vocab-parallel LM
+# head. Grouped-query attention changes nothing for GSPMD correctness
+# (annotations never change values); for a balanced layout keep
+# tp <= num_key_value_heads so each device holds whole kv heads.
+# RMSNorm weights and the RoPE cos/sin tables replicate.
+_LLAMA_TP_PATTERNS = [
+    (re.compile(r"\.(q_proj|k_proj|v_proj)\.weight_t$"),
+     lambda nd: P(None, "model")),
+    (re.compile(r"\.o_proj\.weight_t$"), lambda nd: P("model", None)),
+    (re.compile(r"\.(gate_proj|up_proj)\.weight_t$"),
+     lambda nd: P(None, "model")),
+    (re.compile(r"\.down_proj\.weight_t$"), lambda nd: P("model", None)),
+    (re.compile(r"^lm_head\.weight_t$"), lambda nd: P(None, "model")),
+]
+
+
+def llama_tp_rules(name: str, ndim: int) -> P:
+    """PartitionSpec for a LLaMA (models/llama.py) parameter name under
+    the 'model' axis. Unmatched parameters are replicated."""
+    for pattern, spec in _LLAMA_TP_PATTERNS:
+        if pattern.search(name):
+            return spec(ndim)
+    return P()
+
+
 def param_shardings(model, mesh: Mesh, rules=None) -> dict:
     """NamedSharding per device parameter of a Model.
 

@@ -361,3 +361,37 @@ def test_tp_gpt_quantized_generation():
     assert placed[ca].sharding.spec == P(None, "model")
     head = next(n for n in placed if n == "lm_head.weight_t")
     assert placed[head].sharding.spec == P(None, "model")
+
+
+@requires_8_devices
+def test_tp_llama_quantized_generation():
+    """llama_tp_rules: separate q/k/v + SwiGLU gate/up column-sharded,
+    o_proj/down_proj row-sharded, vocab-parallel head. The quantized
+    GQA forward AND the one-program generation loop match the
+    single-device run under DP x TP."""
+    from numpy_quant_tpu.models.llama import llama_causal_lm
+    from numpy_quant_tpu.utils import generate
+
+    proto = llama_causal_lm(batch_size=4, seq_len=12, seed=2)
+    embeds = RNG.normal(size=(4, 12, 32)).astype(np.float32)
+    model = nq.Model.from_onnx(proto)
+    qmodel = model.quantize([embeds], bit_width=8)
+    expected = qmodel([embeds])[0]
+    prompt = RNG.integers(0, 96, size=(4, 4)).astype(np.int32)
+    seq = generate(qmodel, prompt, proto._wte, max_new_tokens=6)
+
+    mesh = par.make_dp_tp_mesh(8, tp=2)
+    par.shard_model(qmodel, mesh, data_axis="data",
+                    rules=par.llama_tp_rules)
+    np.testing.assert_allclose(qmodel([embeds])[0], expected, atol=1e-5)
+    np.testing.assert_array_equal(
+        generate(qmodel, prompt, proto._wte, max_new_tokens=6), seq)
+
+    placed = qmodel._placed_params()
+    from jax.sharding import PartitionSpec as P
+    qp = next(n for n in placed if n.endswith(".q_proj.weight_t"))
+    assert placed[qp].sharding.spec == P(None, "model")
+    dp = next(n for n in placed if n.endswith(".down_proj.weight_t"))
+    assert placed[dp].sharding.spec == P("model", None)
+    head = next(n for n in placed if n == "lm_head.weight_t")
+    assert placed[head].sharding.spec == P(None, "model")
