@@ -56,7 +56,7 @@ def _largest_divisor(n: int, cap: int) -> int:
 
 def _attention_kernel(q_ref, kt_ref, v_ref, o_ref, *, n_real, d_real,
                       scaling, sq, zq, sk, zk, sv, zv, sp, zp_p, bit_width,
-                      out_requant):
+                      out_requant, causal_val=None, causal_axis=None):
     n_lane = kt_ref.shape[-1]
     q = q_ref[...]    # [G, n_pad, d_pad] int8
     kt = kt_ref[...]  # [G, d_pad, n_lane] int8
@@ -83,6 +83,16 @@ def _attention_kernel(q_ref, kt_ref, v_ref, o_ref, *, n_real, d_real,
         scores = scores - corr
     s = scores.astype(jnp.float32) * np.float32(sq * sk)
     s = s * np.float32(scaling)
+    if causal_val is not None:
+        # decoder causal mask: the same f32 add the unfused graph's
+        # Add(mask) performs, applied in VMEM (q-row tile offset from
+        # the grid under the blockwise q split, as in the HS kernel)
+        off = 0 if causal_axis is None \
+            else pl.program_id(causal_axis) * q.shape[1]
+        rowc = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + off
+        colc = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = s + jnp.where(colc <= rowc, np.float32(0.0),
+                          np.float32(causal_val))
 
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
     s = jnp.where(col < n_real, s, -jnp.inf)
@@ -564,16 +574,24 @@ def _fused_attention_hs_blockq(xq, xk, xv, *, num_heads, scaling, sq, zq,
 @functools.partial(
     jax.jit,
     static_argnames=("scaling", "sq", "zq", "sk", "zk", "sv", "zv",
-                     "sp", "zp_p", "bit_width", "out_requant", "interpret"))
+                     "sp", "zp_p", "bit_width", "out_requant",
+                     "causal_mask_val", "interpret"))
 def fused_attention(q, kt, v, *, scaling: float, sq: float, zq: int,
                     sk: float, zk: int, sv: float, zv: int, sp: float,
                     zp_p: int, bit_width: int = 8,
                     out_requant: tuple | None = None,
+                    causal_mask_val: float | None = None,
                     interpret: bool = False):
     """q: [BH, N, D] int8; kt: [BH, D, N] int8; v: [BH, N, D] int8.
     Returns float32 [BH, N, D] (dequantized attention context), or int8
     when ``out_requant=(scale, zero_point)`` fuses the consumer quantize.
     zq/zk/zv/zp_p of 0 mean symmetric (no correction term).
+
+    ``causal_mask_val`` adds the decoder graphs' additive triangular
+    mask constant above the diagonal in VMEM (executor-exact, as in
+    fused_attention_hs) -- used when a causal graph's head-split chains
+    do not match the HS pattern (e.g. RoPE between split and scores,
+    models/llama.py).
 
     Long sequences stream q rows blockwise (same rule as
     fused_attention_hs): the kernel body's reductions are row-local or
@@ -607,7 +625,10 @@ def fused_attention(q, kt, v, *, scaling: float, sq: float, zq: int,
         bit_width=bit_width,
         out_requant=None if out_requant is None else
         (np.float32(out_requant[0]),
-         None if out_requant[1] is None else np.float32(out_requant[1])))
+         None if out_requant[1] is None else np.float32(out_requant[1])),
+        causal_val=None if causal_mask_val is None
+        else np.float32(causal_mask_val),
+        causal_axis=None if causal_mask_val is None else 1)
 
     out_dtype = jnp.float32 if out_requant is None else jnp.int8
     out = pl.pallas_call(

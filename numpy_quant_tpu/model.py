@@ -1175,14 +1175,6 @@ class QModel(Model):
                 fused += 1
                 continue
 
-            if mask_node is not None:
-                # the plain kernel has no mask operand: fusing it would
-                # silently drop the causal structure
-                fail(sm, "causal mask matched but the head-split "
-                     "pattern did not; only FusedAttentionHS supports "
-                     "the additive mask")
-                continue
-
             if mul is None:
                 # pre-scaled scores carry no standalone scale node to
                 # anchor a safe plain fusion (the bare MatMul operands
@@ -1195,7 +1187,11 @@ class QModel(Model):
                 continue
 
             # plain (non-head-split) fusion: still fused, but the head
-            # Reshape/Transpose shuffles stay in the graph -- note it
+            # Reshape/Transpose shuffles stay in the graph -- note it.
+            # Causal graphs take this path too (causal_mask_val is in
+            # attrs; the kernel applies it in VMEM) when the head-split
+            # chains carry extra structure, e.g. RoPE/repeat_kv in
+            # models/llama.py.
             self.fusion_report.setdefault("plain_fusions", []).append(
                 (sm.name, "head-split pattern not matched; fused the "
                  "core only (head shuffles remain in the graph)"))
@@ -1205,7 +1201,7 @@ class QModel(Model):
                 [mm2.outputs[0]])
             idx = self.nodes.index(mm2)
             self.nodes[idx] = fnode
-            for dead in (mm1, mul, sm):
+            for dead in (mm1, mul, mask_node, sm):
                 if dead is not None:
                     self.nodes.remove(dead)
             fused += 1

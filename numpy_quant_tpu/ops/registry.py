@@ -686,6 +686,7 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
             return 0 if t.zero_point is None else int(t.zero_point)
 
         out_requant = attrs.get("out_requant")  # set by int8_dataflow
+        causal_mask_val = attrs.get("causal_mask_val")  # decoder graphs
         operands = (q.data.astype(jnp.int8).reshape(-1, n, d),
                     kt.data.astype(jnp.int8).reshape(-1, d, n),
                     v.data.astype(jnp.int8).reshape(-1, n, d))
@@ -693,6 +694,8 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         def call(q_, kt_, v_):
             return fused_attention(
                 q_, kt_, v_,
+                causal_mask_val=None if causal_mask_val is None
+                else float(causal_mask_val),
                 scaling=float(attrs["scaling"]),
                 sq=float(np.float32(q.scale)), zq=zp_of(q),
                 sk=float(np.float32(kt.scale)), zk=zp_of(kt),

@@ -131,3 +131,28 @@ def test_quantized_full_form(llama):
     q_seq = generate(q, prompt, proto._wte, max_new_tokens=8)
     assert q_seq.shape == f_seq.shape
     assert (q_seq == f_seq).mean() >= 0.6
+
+
+def test_causal_attention_fuses_bit_identical(llama):
+    """RoPE/repeat_kv sit between head-split and scores, so the HS
+    pattern cannot match -- the causal PLAIN fusion applies the
+    additive mask in-kernel instead, bit-identically, and generation
+    through the fused executor returns the same tokens."""
+    proto, model = llama
+    embeds = RNG.normal(size=(2, 16, 32)).astype(np.float32)
+    q = model.quantize([embeds], bit_width=8)
+    base = np.asarray(q([embeds])[0])
+    prompt = RNG.integers(0, 96, size=(2, 5)).astype(np.int32)
+    seq = generate(q, prompt, proto._wte, max_new_tokens=6)
+
+    rep = q.optimize()
+    assert rep["fuse_attention"] == 2, rep
+    assert rep["fusion_failures"] == []
+    assert len(q.fusion_report.get("plain_fusions", [])) == 2
+    fnodes = [n for n in q.nodes if n.op == "FusedAttention"]
+    assert len(fnodes) == 2
+    assert all(n.attrs["causal_mask_val"] < -1e4 for n in fnodes)
+
+    np.testing.assert_array_equal(np.asarray(q([embeds])[0]), base)
+    np.testing.assert_array_equal(
+        generate(q, prompt, proto._wte, max_new_tokens=6), seq)
