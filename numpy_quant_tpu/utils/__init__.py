@@ -13,8 +13,8 @@ from .serialization import (
     save_qmodel_qoperator,
 )
 from .analyzer import print_quantization_report, quantization_report
-from .generate import (decode_calibration, generate, generate_kv,
-                       generate_seq2seq)
+from .generate import (beam_search, decode_calibration, generate,
+                       generate_kv, generate_seq2seq)
 from .calibration import mse_clipped_stats
 from .sensitivity import plan_mixed_precision, weight_sensitivity
 from .summary import summarize

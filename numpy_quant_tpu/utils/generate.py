@@ -112,6 +112,98 @@ def generate(model, prompt_ids: np.ndarray, wte: np.ndarray,
     return np.asarray(out)[:, : t0 + max_new_tokens]
 
 
+def beam_search(model, prompt_ids: np.ndarray, wte: np.ndarray,
+                max_new_tokens: int, num_beams: int,
+                eos_id: int = None):
+    """Beam-search decode over a full-sequence causal graph (the
+    :func:`generate` graph form), the WHOLE search as one compiled XLA
+    program: at every step all ``B*num_beams`` hypotheses forward as
+    ONE batch (the graph must be built with batch ``B*num_beams``),
+    candidate scores expand to [B, W*V], and a single ``lax.top_k``
+    + beam-gather reorders the carry -- no host round trips, no
+    dynamic shapes.
+
+    Scores are summed token log-probabilities. With ``eos_id`` set, a
+    beam that emits EOS freezes: its score stops accumulating and its
+    only continuation is EOS itself (the standard "finished beam"
+    rule). Returns ``(ids, scores)``: ids [B, num_beams,
+    T0+max_new_tokens] int32 and scores [B, num_beams] float32, both
+    sorted best-first.
+
+    The reference framework has no generation surface at all; like
+    :func:`generate` this is parity-plus.
+    """
+    prompt_ids = np.asarray(prompt_ids)
+    batch, t0 = prompt_ids.shape
+    w = int(num_beams)
+    in_shape = model.inputs[0].shape_hint
+    if in_shape is not None and int(in_shape[0]) != batch * w:
+        raise ValueError(
+            f"beam search over {batch} prompts x {w} beams needs a "
+            f"graph with batch {batch * w}, got {int(in_shape[0])}")
+    length = int(in_shape[1]) if in_shape is not None else \
+        t0 + max_new_tokens
+    if t0 + max_new_tokens > length:
+        raise ValueError(
+            f"prompt {t0} + {max_new_tokens} new tokens exceeds the "
+            f"graph's fixed length {length}")
+
+    wte_j = jnp.asarray(wte, jnp.float32)
+    vocab = wte_j.shape[0]
+    hidden = wte_j.shape[1]
+    fwd = model.lowered_fn()
+    params = model._placed_params()
+    neg = jnp.float32(-1e30)
+
+    def body(i, carry):
+        embeds, ids, scores, done = carry
+        t = t0 - 1 + i
+        logits = fwd([embeds.reshape(batch * w, length, hidden)],
+                     params)[0]
+        row = jax.lax.dynamic_slice_in_dim(logits, t, 1, axis=1)
+        logp = jax.nn.log_softmax(
+            row.reshape(batch, w, vocab).astype(jnp.float32), axis=-1)
+        cand = scores[:, :, None] + logp        # [B, W, V]
+        if eos_id is not None:
+            # finished beams: score frozen, sole continuation is EOS
+            frozen = jnp.full((batch, w, vocab), neg) \
+                .at[:, :, eos_id].set(scores)
+            cand = jnp.where(done[:, :, None], frozen, cand)
+        top_scores, flat = jax.lax.top_k(cand.reshape(batch, w * vocab), w)
+        beam_idx = flat // vocab                # [B, W] source beam
+        tok = (flat % vocab).astype(jnp.int32)  # [B, W] next token
+        b_idx = jnp.arange(batch)[:, None]
+        ids = ids[b_idx, beam_idx]              # reorder beam histories
+        ids = jax.lax.dynamic_update_slice_in_dim(
+            ids, tok[:, :, None], t + 1, axis=2)
+        embeds = embeds[b_idx, beam_idx]
+        embeds = jax.lax.dynamic_update_slice_in_dim(
+            embeds, jnp.take(wte_j, tok, axis=0)[:, :, None, :], t + 1,
+            axis=2)
+        if eos_id is not None:
+            done = done[b_idx, beam_idx] | (tok == eos_id)
+        return embeds, ids, top_scores, done
+
+    @jax.jit
+    def run(prompt):
+        pe = jnp.take(wte_j, prompt, axis=0)    # [B, T0, H]
+        embeds = jnp.zeros((batch, w, length, hidden), jnp.float32)
+        embeds = embeds.at[:, :, :t0, :].set(pe[:, None])
+        ids = jnp.zeros((batch, w, length), jnp.int32)
+        ids = ids.at[:, :, :t0].set(prompt[:, None, :])
+        # only beam 0 is live at step 0, else the W beams would all
+        # pick the same top token
+        scores = jnp.full((batch, w), neg).at[:, 0].set(0.0)
+        done = jnp.zeros((batch, w), bool)
+        embeds, ids, scores, _ = jax.lax.fori_loop(
+            0, max_new_tokens, body, (embeds, ids, scores, done))
+        return ids, scores
+
+    ids, scores = run(jnp.asarray(prompt_ids, jnp.int32))
+    return (np.asarray(ids)[:, :, : t0 + max_new_tokens],
+            np.asarray(scores))
+
+
 def generate_seq2seq(enc_model, dec_model, src_ids: np.ndarray,
                      wte: np.ndarray, max_new_tokens: int,
                      decoder_start_id: int, temperature: float = None,
