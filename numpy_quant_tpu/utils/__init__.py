@@ -14,7 +14,8 @@ from .serialization import (
 )
 from .analyzer import print_quantization_report, quantization_report
 from .generate import (beam_search, decode_calibration, generate,
-                       generate_kv, generate_seq2seq)
+                       generate_kv, generate_seq2seq,
+                       generate_speculative)
 from .calibration import mse_clipped_stats
 from .sensitivity import plan_mixed_precision, weight_sensitivity
 from .summary import summarize

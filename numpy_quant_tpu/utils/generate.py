@@ -204,6 +204,122 @@ def beam_search(model, prompt_ids: np.ndarray, wte: np.ndarray,
             np.asarray(scores))
 
 
+def generate_speculative(target_model, draft_model, prompt_ids: np.ndarray,
+                         wte_target: np.ndarray, wte_draft: np.ndarray,
+                         max_new_tokens: int, k: int = 4):
+    """Greedy speculative decoding: a cheap ``draft_model`` proposes
+    ``k`` tokens per round, the ``target_model`` verifies them in ONE
+    batched forward, and the longest matching prefix (plus the target's
+    own correction token) is accepted -- so each round costs one target
+    forward but can advance up to ``k+1`` tokens. With greedy
+    acceptance the output is IDENTICAL to target-only greedy decoding
+    (asserted in tests/test_speculative.py); the draft only changes how
+    many target forwards it takes to get there.
+
+    Both models are full-sequence causal graphs (the :func:`generate`
+    form) over the same vocabulary and batch; each embeds with its own
+    table (``wte_target``/``wte_draft``), so the draft may be a smaller
+    width/depth. Rows advance independently (per-row position masks);
+    the whole loop -- draft proposals, target verify, accept/advance --
+    is one compiled XLA program under ``lax.while_loop``.
+
+    Graph lengths must cover ``T0 + max_new_tokens + k - 1`` (a round
+    near the end still drafts ``k`` ahead). Returns
+    ``(ids [B, T0+max_new_tokens], target_forwards)`` -- the second is
+    the number of verify rounds actually run (host int), the
+    speculation speedup diagnostic: plain greedy would use
+    ``max_new_tokens`` forwards.
+    """
+    prompt_ids = np.asarray(prompt_ids)
+    batch, t0 = prompt_ids.shape
+    total = t0 + max_new_tokens
+    for m, which in ((target_model, "target"), (draft_model, "draft")):
+        hint = m.inputs[0].shape_hint
+        if hint is not None and int(hint[1]) < total + k - 1:
+            raise ValueError(
+                f"{which} graph length {int(hint[1])} < T0 + "
+                f"max_new_tokens + k - 1 = {total + k - 1}")
+    lt = int(target_model.inputs[0].shape_hint[1])
+    ld = int(draft_model.inputs[0].shape_hint[1])
+
+    wte_t = jnp.asarray(wte_target, jnp.float32)
+    wte_d = jnp.asarray(wte_draft, jnp.float32)
+    fwd_t, params_t = target_model.lowered_fn(), target_model._placed_params()
+    fwd_d, params_d = draft_model.lowered_fn(), draft_model._placed_params()
+
+    def write_col(buf, col, val):
+        """buf[b, col[b]] = val[b] with a per-row position mask
+        (col may differ per batch row; out-of-range writes no-op)."""
+        pos = jax.lax.broadcasted_iota(jnp.int32, buf.shape[:2], 1)
+        mask = pos == col[:, None]
+        if buf.ndim == 3:
+            return jnp.where(mask[:, :, None], val[:, None, :], buf)
+        return jnp.where(mask, val[:, None], buf)
+
+    def read_col(arr, col):
+        """arr[b, col[b]] (clamped)."""
+        c = jnp.clip(col, 0, arr.shape[1] - 1)
+        out = jnp.take_along_axis(
+            arr, c[:, None, None] if arr.ndim == 3 else c[:, None], axis=1)
+        return out[:, 0]
+
+    def body(carry):
+        ids, emb_t, emb_d, t, rounds = carry
+        # -- draft k greedy proposals (k cheap forwards) --------------
+        d_toks = jnp.zeros((batch, k), jnp.int32)
+        for i in range(k):
+            logits = fwd_d([emb_d], params_d)[0]
+            tok = jnp.argmax(read_col(logits, t + i - 1), -1) \
+                .astype(jnp.int32)
+            d_toks = d_toks.at[:, i].set(tok)
+            emb_d = write_col(emb_d, t + i, jnp.take(wte_d, tok, axis=0))
+            emb_t = write_col(emb_t, t + i, jnp.take(wte_t, tok, axis=0))
+        # -- ONE target forward verifies all k proposals --------------
+        logits = fwd_t([emb_t], params_t)[0]
+        y = jnp.stack([jnp.argmax(read_col(logits, t + i - 1), -1)
+                       .astype(jnp.int32) for i in range(k + 1)], axis=1)
+        # longest matching prefix: n in [0, k]
+        match = d_toks == y[:, :k]
+        # explicit int32: x64 mode would promote the reduce to int64
+        # and break the while_loop carry dtype invariance
+        n = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1),
+                    axis=1).astype(jnp.int32)
+        # accepted draft tokens are already in emb_*; write them into
+        # ids, then the correction token y[n] at position t+n
+        for i in range(k):
+            live = (jnp.int32(i) < n) & (t + i < total)
+            ids = jnp.where(live[:, None],
+                            write_col(ids, t + i, d_toks[:, i]), ids)
+        corr = jnp.take_along_axis(y, n[:, None], axis=1)[:, 0]
+        at = t + n
+        live = at < total
+        ids = jnp.where(live[:, None], write_col(ids, at, corr), ids)
+        emb_t = jnp.where(live[:, None, None],
+                          write_col(emb_t, at, jnp.take(wte_t, corr, 0)),
+                          emb_t)
+        emb_d = jnp.where(live[:, None, None],
+                          write_col(emb_d, at, jnp.take(wte_d, corr, 0)),
+                          emb_d)
+        t = jnp.minimum(t + n + 1, total).astype(jnp.int32)
+        return ids, emb_t, emb_d, t, rounds + jnp.int32(1)
+
+    @jax.jit
+    def run(prompt):
+        ids = jnp.zeros((batch, total), jnp.int32).at[:, :t0].set(prompt)
+        emb_t = jnp.zeros((batch, lt, wte_t.shape[1]), jnp.float32) \
+            .at[:, :t0, :].set(jnp.take(wte_t, prompt, axis=0))
+        emb_d = jnp.zeros((batch, ld, wte_d.shape[1]), jnp.float32) \
+            .at[:, :t0, :].set(jnp.take(wte_d, prompt, axis=0))
+        t = jnp.full((batch,), t0, jnp.int32)
+        carry = (ids, emb_t, emb_d, t, jnp.int32(0))
+        ids, _, _, _, rounds = jax.lax.while_loop(
+            lambda c: jnp.min(c[3]) < total, body, carry)
+        return ids, rounds
+
+    ids, rounds = run(jnp.asarray(prompt_ids, jnp.int32))
+    return np.asarray(ids), int(rounds)
+
+
 def generate_seq2seq(enc_model, dec_model, src_ids: np.ndarray,
                      wte: np.ndarray, max_new_tokens: int,
                      decoder_start_id: int, temperature: float = None,
