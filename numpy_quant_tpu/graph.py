@@ -93,7 +93,14 @@ def import_onnx(onnx_model: onnx_lib.ModelProto):
     Mirrors reference: numpy_quant/model.py:249-292 with one spec fix:
     a graph input that is also an initializer stays a Constant.
     """
-    graph = onnx_model.graph
+    return import_graph(onnx_model.graph)
+
+
+def import_graph(graph: onnx_lib.GraphProto):
+    """Build (nodes, values, inputs, outputs) from a GraphProto --
+    the body of :func:`import_onnx`, also used directly for the If/
+    Loop subgraph attributes (model.py executes those inline against
+    the outer value environment)."""
 
     value_dict: dict[str, Value] = {}
     initializer_names = set()

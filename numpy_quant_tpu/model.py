@@ -62,6 +62,21 @@ def _np_dtype(arr) -> np.dtype:
     return np.dtype(str(arr.dtype))
 
 
+class _ScopeChain:
+    """Name-lookup view over nested control-flow scopes (inner subgraph
+    first, then the enclosing environment) -- the capture chain for
+    nested If/Loop bodies."""
+
+    def __init__(self, inner, outer):
+        self._inner, self._outer = inner, outer
+
+    def __getitem__(self, name):
+        try:
+            return self._inner[name]
+        except KeyError:
+            return self._outer[name]
+
+
 class Model:
     def __init__(self, nodes: list[Node], values: list[Value],
                  inputs: List[Variable], outputs: List[Value]):
@@ -259,12 +274,20 @@ class Model:
                 ins = self._node_inputs(node, data, timings)
                 if timings is not None:
                     stime = time()
-                    outs = onnx_operator_implementation(node.op, ins, node.attrs)
+                    if node.op in ("If", "Loop"):
+                        outs = self._exec_subgraph_op(node, ins, data)
+                    else:
+                        outs = onnx_operator_implementation(node.op, ins,
+                                                            node.attrs)
                     outs = self._post_node(node, outs)
                     jax.block_until_ready([t.data for t in outs])
                     timings[node.op] += time() - stime
                 else:
-                    outs = onnx_operator_implementation(node.op, ins, node.attrs)
+                    if node.op in ("If", "Loop"):
+                        outs = self._exec_subgraph_op(node, ins, data)
+                    else:
+                        outs = onnx_operator_implementation(node.op, ins,
+                                                            node.attrs)
                     outs = self._post_node(node, outs)
                 for o, tensor in zip(node.outputs, outs):
                     data[o.name] = tensor
@@ -276,6 +299,121 @@ class Model:
             for variable in self.inputs:
                 variable.data = input_tensors.get(variable.name, variable.data)
         return data
+
+    # ------------------------------------------------------------------
+    # Control-flow subgraphs (ONNX If / Loop)
+    # ------------------------------------------------------------------
+    # Executed by TRACE-TIME FOLDING, the same design that makes the
+    # host ITensor shape domain jittable: the If condition and the Loop
+    # trip count / termination condition must be host-resident (shape
+    # math), so branch selection happens while tracing and the chosen
+    # branch / unrolled iterations lower into ONE static XLA program.
+    # Data-dependent control flow would need lax.cond/while over traced
+    # values and is rejected with a clear error. Subgraph bodies run
+    # through the same op registry; outer-scope values are captured by
+    # name (QTensors dequantize at the boundary -- subgraph compute is
+    # float, matching the reference's everything-but-matmul-is-float
+    # stance). The reference supports neither op (ValueError,
+    # /root/reference/numpy_quant/model.py:213); this is parity-plus.
+
+    def _run_subgraph(self, gproto, outer, input_tensors: list) -> list:
+        from .graph import Constant as GConst, import_graph
+        from .tensor import QTensor as QT
+
+        nodes, values, g_inputs, g_outputs = import_graph(gproto)
+        data: dict[str, Tensor] = {}
+        for value in values:
+            if isinstance(value, GConst):
+                data[value.name] = value.data
+        for var, t in zip(g_inputs, input_tensors):
+            data[var.name] = t
+
+        def get(name):
+            if name in data:
+                return data[name]
+            t = outer[name]  # outer-scope capture by name (ONNX spec)
+            if isinstance(t, QT):
+                t = t.dequantize()
+            data[name] = t
+            return t
+
+        for node in nodes:
+            ins = [None if v is None else get(v.name) for v in node.inputs]
+            if node.op in ("If", "Loop"):  # nested control flow
+                outs = self._exec_subgraph_op(node, ins,
+                                              _ScopeChain(data, outer))
+            else:
+                outs = onnx_operator_implementation(node.op, ins,
+                                                    node.attrs)
+            for o, t in zip(node.outputs, outs):
+                data[o.name] = t
+        return [get(v.name) for v in g_outputs]
+
+    def _exec_subgraph_op(self, node: Node, ins: list, env) -> list:
+        from .tensor import ITensor as IT
+
+        if node.op == "If":
+            cond = ins[0]
+            if not isinstance(cond, IT):
+                raise ValueError(
+                    "If condition must be host-resident (shape-domain) "
+                    "so the branch folds at trace time; a data-dependent "
+                    "condition cannot select a branch inside one jitted "
+                    "program")
+            taken = bool(np.asarray(cond.data).reshape(()))
+            branch = node.attrs["then_branch" if taken else "else_branch"]
+            return self._run_subgraph(branch, env, [])
+
+        # Loop(M, cond, v_1..v_N) -> (v_1..v_N, scan_1..scan_K); body
+        # subgraph: (iter, cond_in, v...) -> (cond_out, v..., scan...)
+        body = node.attrs["body"]
+        m = ins[0] if len(ins) > 0 else None
+        cond = ins[1] if len(ins) > 1 else None
+        carried = list(ins[2:])
+        n_carried = len(carried)
+        n_scan = len(node.outputs) - n_carried
+        for t, what in ((m, "trip count"), (cond, "initial condition")):
+            if t is not None and not isinstance(t, IT):
+                raise ValueError(
+                    f"Loop {what} must be host-resident so the loop "
+                    "unrolls at trace time (static shapes under jit)")
+        cap = 10_000
+        max_iters = cap if m is None else int(np.asarray(m.data).reshape(()))
+        cond_val = True if cond is None \
+            else bool(np.asarray(cond.data).reshape(()))
+        scans = [[] for _ in range(n_scan)]
+        it = 0
+        while cond_val and it < max_iters:
+            outs = self._run_subgraph(
+                body, env,
+                [IT(np.array(it, np.int64)),
+                 IT(np.array(int(cond_val), np.int64))] + carried)
+            cond_out = outs[0]
+            carried = list(outs[1:1 + n_carried])
+            for buf, t in zip(scans, outs[1 + n_carried:]):
+                buf.append(t)
+            if not isinstance(cond_out, IT):
+                raise ValueError(
+                    "data-dependent Loop termination is not supported: "
+                    "the body's cond output must stay host-resident so "
+                    "the unrolled program has a static iteration count")
+            cond_val = bool(np.asarray(cond_out.data).reshape(()))
+            it += 1
+        if m is None and cond_val and it >= cap:
+            raise ValueError(f"Loop exceeded {cap} host iterations")
+        if n_scan and it == 0:
+            raise ValueError("Loop with scan outputs ran zero "
+                             "iterations; the scan shape is undefined")
+        from .tensor import FTensor as FT
+        stacked = []
+        for buf in scans:
+            if all(isinstance(t, IT) for t in buf):
+                stacked.append(IT(np.stack([np.asarray(t.data)
+                                            for t in buf], 0)))
+            else:
+                stacked.append(FT(jax.numpy.stack(
+                    [jax.numpy.asarray(t.data) for t in buf], 0)))
+        return carried + stacked
 
     # ------------------------------------------------------------------
     # Output conversion (overridden by QModel)
