@@ -1641,5 +1641,192 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
                      .transpose(0, 1, 4, 2, 5, 3)
             y = y.reshape(n, c // (bs * bs), h * bs, w * bs)
         return [ITensor(y) if isinstance(x, ITensor) else FTensor(y)]
+    elif op in ("Sum", "Mean"):
+        # variadic elementwise (spec: float-only), numpy broadcasting
+        y = inputs[0].data
+        for t in inputs[1:]:
+            y = y + t.data
+        if op == "Mean":
+            y = y / np.float32(len(inputs))
+        return [FTensor(y)]
+    elif op == "GlobalMaxPool":
+        x = inputs[0]
+        spatial = tuple(range(2, int(x.shape.size)))
+        return [FTensor(jnp.max(x.data, axis=spatial, keepdims=True))]
+    elif op == "Hardmax":
+        import jax
+
+        x = inputs[0].data
+        axis = int(attrs.get("axis", -1))
+        am = jnp.argmax(x, axis=axis, keepdims=True)
+        idx = jax.lax.broadcasted_iota(jnp.int32, x.shape,
+                                       axis % x.ndim)
+        return [FTensor(jnp.where(idx == am, jnp.float32(1.0),
+                                  jnp.float32(0.0)))]
+    elif op == "Shrink":
+        x = inputs[0].data
+        bias = np.float32(attrs.get("bias", 0.0))
+        lambd = np.float32(attrs.get("lambd", 0.5))
+        y = jnp.where(x < -lambd, x + bias,
+                      jnp.where(x > lambd, x - bias, jnp.float32(0.0)))
+        return [FTensor(y)]
+    elif op == "ThresholdedRelu":
+        x = inputs[0].data
+        alpha = np.float32(attrs.get("alpha", 1.0))
+        return [FTensor(jnp.where(x > alpha, x, jnp.float32(0.0)))]
+    elif op == "Celu":
+        x = inputs[0].data
+        alpha = np.float32(attrs.get("alpha", 1.0))
+        y = jnp.maximum(x, 0.0) \
+            + jnp.minimum(0.0, alpha * (jnp.exp(x / alpha) - 1.0))
+        return [FTensor(y)]
+    elif op == "EyeLike":
+        x = inputs[0]
+        n, m = (int(d) for d in x.shape.data)
+        k = int(attrs.get("k", 0))
+        # shapes are static, so the identity folds to a host constant
+        eye = np.eye(n, m, k=k)
+        to = attrs.get("dtype")
+        as_int = (int(to) in (6, 7)) if to is not None \
+            else isinstance(x, (ITensor, DITensor))
+        if as_int:
+            return [ITensor(eye.astype(np.int64))]
+        return [FTensor(eye.astype(np.float32))]
+    elif op == "CastLike":
+        x, like = inputs[0], inputs[1]
+        if isinstance(like, FTensor):
+            if isinstance(x, FTensor):
+                return [x.copy()]
+            if isinstance(x, DITensor):
+                return [FTensor(x.data.astype(jnp.float32))]
+            return [FTensor(np.asarray(x.data, dtype=np.float32))]
+        if isinstance(like, (ITensor, DITensor)):
+            if isinstance(x, (ITensor, DITensor)):
+                return [x.copy()]
+            raise ValueError("CastLike of traced float data to int is "
+                             "not supported under jit (shape domain "
+                             "only)")
+        raise ValueError(f"CastLike target {type(like).__name__} not "
+                         "supported")
+    elif op == "NonZero":
+        # output width = number of nonzeros -> dynamic shape; only the
+        # host shape domain can carry it under jit
+        x = inputs[0]
+        if not isinstance(x, ITensor):
+            raise ValueError(
+                "NonZero needs host-resident (shape-domain) data: its "
+                "output shape is data-dependent, which cannot trace "
+                "under jit")
+        return [ITensor(np.stack(np.nonzero(np.asarray(x.data)), 0)
+                        .astype(np.int64))]
+    elif op == "Compress":
+        # condition must fold on the host (the output length is
+        # data-dependent); the DATA may be traced -- selection becomes
+        # a static gather
+        x, cond = inputs[0], inputs[1]
+        if not isinstance(cond, ITensor):
+            raise ValueError(
+                "Compress condition must be host-resident: the output "
+                "shape is data-dependent under jit otherwise")
+        keep = np.flatnonzero(np.asarray(cond.data) != 0)
+        axis = attrs.get("axis")
+        if isinstance(x, ITensor):
+            d = np.asarray(x.data)
+            y = d.reshape(-1)[keep] if axis is None \
+                else np.take(d, keep, axis=int(axis))
+            return [ITensor(y.astype(np.int64))]
+        d = x.data
+        y = jnp.take(d.reshape(-1), keep) if axis is None \
+            else jnp.take(d, keep, axis=int(axis))
+        return [FTensor(y)]
+    elif op == "Unique":
+        # all four outputs have data-dependent shapes -> host only
+        x = inputs[0]
+        if not isinstance(x, ITensor):
+            raise ValueError(
+                "Unique needs host-resident data: every output shape "
+                "is data-dependent, which cannot trace under jit")
+        axis = attrs.get("axis")
+        d = np.asarray(x.data)
+        flat = d if axis is not None else d.reshape(-1)
+        y, first, inverse, counts = np.unique(
+            flat, axis=None if axis is None else int(axis),
+            return_index=True, return_inverse=True, return_counts=True)
+        if not int(attrs.get("sorted", 1)):
+            # first-occurrence order: permute the sorted outputs
+            order = np.argsort(first, kind="stable")
+            y = y[order] if axis is None \
+                else np.take(y, order, axis=int(axis))
+            remap = np.empty_like(order)
+            remap[order] = np.arange(order.size)
+            first, counts = first[order], counts[order]
+            inverse = remap[inverse]
+        return [ITensor(np.asarray(y, np.int64)),
+                ITensor(first.astype(np.int64)),
+                ITensor(inverse.reshape(-1).astype(np.int64)),
+                ITensor(counts.astype(np.int64))]
+    elif op == "BitShift":
+        a, b = inputs[0], inputs[1]
+        direction = attrs.get("direction", "LEFT")
+        if isinstance(direction, bytes):
+            direction = direction.decode()
+        left = direction == "LEFT"
+        if isinstance(a, ITensor) and isinstance(b, ITensor):
+            y = np.left_shift(a.data, b.data) if left \
+                else np.right_shift(a.data, b.data)
+            return [ITensor(np.asarray(y, np.int64))]
+        fn = jnp.left_shift if left else jnp.right_shift
+        return [DITensor(fn(jnp.asarray(a.data), jnp.asarray(b.data)))]
+    elif op in ("BitwiseAnd", "BitwiseOr", "BitwiseXor"):
+        a, b = inputs[0], inputs[1]
+        if isinstance(a, ITensor) and isinstance(b, ITensor):
+            y = {"BitwiseAnd": np.bitwise_and, "BitwiseOr": np.bitwise_or,
+                 "BitwiseXor": np.bitwise_xor}[op](a.data, b.data)
+            return [ITensor(np.asarray(y, np.int64))]
+        fn = {"BitwiseAnd": jnp.bitwise_and, "BitwiseOr": jnp.bitwise_or,
+              "BitwiseXor": jnp.bitwise_xor}[op]
+        return [DITensor(fn(jnp.asarray(a.data), jnp.asarray(b.data)))]
+    elif op == "BitwiseNot":
+        x = inputs[0]
+        if isinstance(x, ITensor):
+            return [ITensor(np.asarray(np.invert(x.data), np.int64))]
+        return [DITensor(jnp.invert(jnp.asarray(x.data)))]
+    elif op == "LpNormalization":
+        x = inputs[0].data
+        axis = int(attrs.get("axis", -1))
+        p = int(attrs.get("p", 2))
+        if p == 1:
+            norm = jnp.sum(jnp.abs(x), axis=axis, keepdims=True)
+        elif p == 2:
+            norm = jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=True))
+        else:
+            raise ValueError(f"LpNormalization p={p} not in (1, 2)")
+        return [FTensor(x / norm)]
+    elif op == "ReverseSequence":
+        x, lens = inputs[0], inputs[1]
+        batch_axis = int(attrs.get("batch_axis", 1))
+        time_axis = int(attrs.get("time_axis", 0))
+        if not isinstance(lens, ITensor):
+            raise ValueError("ReverseSequence sequence_lens must be "
+                             "host-resident (it drives a static gather)")
+        ln = np.asarray(lens.data, np.int64)  # [batch]
+        t_len = int(x.shape.data[time_axis])
+        t = np.arange(t_len)[None, :]
+        # per-row time index: reversed inside the first len_b steps
+        idx = np.where(t < ln[:, None], ln[:, None] - 1 - t, t)  # [B, T]
+        d = x.data
+        shape = [1] * len(np.asarray(x.shape.data))
+        shape[batch_axis] = idx.shape[0]
+        shape[time_axis] = t_len
+        if isinstance(x, ITensor):
+            full = np.broadcast_to(
+                idx.reshape(shape) if batch_axis < time_axis
+                else idx.T.reshape(shape), np.asarray(d).shape)
+            return [ITensor(np.take_along_axis(np.asarray(d), full,
+                                               axis=time_axis))]
+        full = jnp.broadcast_to(
+            jnp.asarray(idx.reshape(shape) if batch_axis < time_axis
+                        else idx.T.reshape(shape)), d.shape)
+        return [FTensor(jnp.take_along_axis(d, full, axis=time_axis))]
     else:
         raise ValueError(f"ONNX operator {op} not supported.")
