@@ -83,14 +83,56 @@ def timed(fn, repeats=3):
     return best
 
 
+def build_search_models():
+    """Extra graph forms for the beam / speculative variants: a
+    batch*W full graph for beam-2, and (target, 2-layer draft) graphs
+    long enough for k=4 speculation."""
+    import numpy_quant_tpu as nq
+    from numpy_quant_tpu.models.gpt import gpt_causal_lm
+    from transformers import GPT2Config
+
+    k = 4
+    spec_len = SEQ + k - 1
+    if TINY:
+        tgt_cfg = GPT2Config(vocab_size=96, n_positions=spec_len,
+                             n_embd=32, n_layer=2, n_head=2,
+                             activation_function="gelu")
+        drf_cfg = GPT2Config(vocab_size=96, n_positions=spec_len,
+                             n_embd=32, n_layer=1, n_head=2,
+                             activation_function="gelu")
+        beam_cfg = GPT2Config(vocab_size=96, n_positions=SEQ, n_embd=32,
+                              n_layer=2, n_head=2,
+                              activation_function="gelu")
+    else:
+        tgt_cfg = GPT2Config(n_positions=spec_len, n_embd=768,
+                             n_layer=12, n_head=12,
+                             activation_function="gelu")
+        drf_cfg = GPT2Config(n_positions=spec_len, n_embd=768,
+                             n_layer=2, n_head=12,
+                             activation_function="gelu")
+        beam_cfg = GPT2Config(n_positions=SEQ, n_embd=768, n_layer=12,
+                              n_head=12, activation_function="gelu")
+    beam_p = gpt_causal_lm(config=beam_cfg, batch_size=BATCH * 2,
+                           seq_len=SEQ, seed=0)
+    tgt_p = gpt_causal_lm(config=tgt_cfg, batch_size=BATCH,
+                          seq_len=spec_len, seed=0)
+    drf_p = gpt_causal_lm(config=drf_cfg, batch_size=BATCH,
+                          seq_len=spec_len, seed=3)
+    return (nq.Model.from_onnx(beam_p), beam_p,
+            nq.Model.from_onnx(tgt_p), tgt_p,
+            nq.Model.from_onnx(drf_p), drf_p, k)
+
+
 def main(json_path=None):
-    from numpy_quant_tpu.utils import generate, generate_kv
+    from numpy_quant_tpu.utils import (beam_search, generate, generate_kv,
+                                       generate_speculative)
 
     full, full_p, step, step_p = build()
     rng = np.random.default_rng(7)
     prompt = rng.integers(0, full_p._wte.shape[0],
                           size=(BATCH, PROMPT)).astype(np.int32)
     qfull, qstep = quantize_models(full, step, full_p, step_p, prompt)
+    beam, beam_p, tgt, tgt_p, drf, drf_p, k = build_search_models()
 
     runs = [
         ("full", "float", lambda: generate(
@@ -104,6 +146,10 @@ def main(json_path=None):
         ("kv-int8cache", "int8", lambda: generate_kv(
             qstep, prompt, step_p._wte, step_p._wpe, NEW,
             kv_cache_dtype="int8")),
+        ("beam2", "float", lambda: beam_search(
+            beam, prompt, beam_p._wte, NEW, num_beams=2)),
+        ("speculative-k4", "float", lambda: generate_speculative(
+            tgt, drf, prompt, tgt_p._wte, drf_p._wte, NEW, k=k)),
     ]
     results = []
     for form, quant, fn in runs:
