@@ -1,0 +1,100 @@
+"""Mixtral-style sparse-MoE decoder (models/moe.py): dense-dispatch
+routing verified against the live transformers module (whose forward
+uses sparse index_add dispatch -- the two must agree exactly because
+unselected experts multiply by 0.0), plus generation and int8 PTQ.
+"""
+import numpy as np
+import pytest
+
+import numpy_quant_tpu as nq
+from numpy_quant_tpu.models.moe import mixtral_causal_lm
+from numpy_quant_tpu.utils import generate
+
+RNG = np.random.default_rng(53)
+
+
+@pytest.fixture(scope="module")
+def moe():
+    m = mixtral_causal_lm(batch_size=2, seq_len=16, seed=0)
+    return m, nq.Model.from_onnx(m)
+
+
+def test_moe_logits_match_torch(moe):
+    """Graph TopK/OneHot routing == HF's sparse expert dispatch."""
+    import torch
+
+    proto, model = moe
+    embeds = RNG.normal(size=(2, 16, 32)).astype(np.float32)
+    got = np.asarray(model([embeds])[0])
+    with torch.no_grad():
+        want = proto._torch_module(
+            inputs_embeds=torch.from_numpy(embeds)).logits.numpy()
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_moe_routing_is_sparse(moe):
+    """The fixture must actually route: top_k < num_experts, and
+    perturbing one expert's weights changes SOME but not all token
+    positions (tokens routed elsewhere are untouched)."""
+    import torch
+
+    proto, model = moe
+    cfg = proto._torch_module.config
+    assert cfg.num_experts_per_tok < cfg.num_local_experts
+
+    embeds = RNG.normal(size=(2, 16, 32)).astype(np.float32)
+    base = np.asarray(model([embeds])[0])
+    # zero expert 0 of layer 0 in a fresh graph built from a copied
+    # module state
+    torch.manual_seed(0)
+    m2 = mixtral_causal_lm(batch_size=2, seq_len=16, seed=0)
+    mod2 = m2._torch_module
+    with torch.no_grad():
+        mod2.model.layers[0].block_sparse_moe.experts[0].w2.weight.zero_()
+    pert = np.asarray(
+        nq.Model.from_onnx(mixtral_causal_lm(
+            batch_size=2, seq_len=16, module=mod2))([embeds])[0])
+    changed = ~np.isclose(pert, base, atol=1e-6).all(axis=-1)  # [B, N]
+    assert changed.any()        # someone used expert 0
+    assert not changed.all()    # someone did not
+
+
+def test_moe_causality(moe):
+    proto, model = moe
+    embeds = RNG.normal(size=(2, 16, 32)).astype(np.float32)
+    base = np.asarray(model([embeds])[0])
+    pert = embeds.copy()
+    pert[:, 9:, :] += 1.0
+    out = np.asarray(model([pert])[0])
+    np.testing.assert_array_equal(out[:, :9], base[:, :9])
+
+
+def test_moe_generate_greedy_matches_torch(moe):
+    import torch
+
+    proto, model = moe
+    prompt = RNG.integers(0, 96, size=(2, 5)).astype(np.int32)
+    ids = prompt.copy()
+    for _ in range(8):
+        with torch.no_grad():
+            logits = proto._torch_module(
+                input_ids=torch.from_numpy(ids.astype(np.int64))).logits
+        nxt = logits[:, -1, :].argmax(-1).numpy().astype(prompt.dtype)
+        ids = np.concatenate([ids, nxt[:, None]], axis=1)
+    got = generate(model, prompt, proto._wte, max_new_tokens=8)
+    np.testing.assert_array_equal(got, ids)
+
+
+def test_moe_quantized(moe):
+    """int8 PTQ: every expert MatMul quantizes; routing (Softmax/TopK/
+    OneHot) stays float like all non-matmul ops. Decode agreement with
+    the float model stays high."""
+    proto, model = moe
+    prompt = RNG.integers(0, 96, size=(2, 5)).astype(np.int32)
+    f_seq = generate(model, prompt, proto._wte, max_new_tokens=8)
+
+    calib = np.take(proto._wte, RNG.integers(0, 96, size=(2, 16)), axis=0)
+    q = model.quantize([calib.astype(np.float32)], bit_width=8)
+    q_seq = generate(q, prompt, proto._wte, max_new_tokens=8)
+    assert q_seq.shape == f_seq.shape
+    assert (q_seq == f_seq).mean() >= 0.6
