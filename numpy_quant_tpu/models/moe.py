@@ -20,7 +20,8 @@ from __future__ import annotations
 import numpy as np
 
 from ..onnx.builder import GraphBuilder
-from .llama import _llama_attention, _rms_norm, _rope_tables
+from .llama import (_llama_attention, _llama_decode_attention, _rms_norm,
+                    _rope_tables)
 from .vit import _ViTEmitter, _np
 
 
@@ -140,4 +141,69 @@ def mixtral_causal_lm(config=None, batch_size: int = 2, seq_len: int = 16,
     model = g.model()
     model._torch_module = module
     model._wte = _np(module.model.embed_tokens.weight)
+    return model
+
+
+def mixtral_decode_step(config=None, batch_size: int = 2,
+                        max_len: int = 16, seed: int = 0, module=None):
+    """The KV-cache decode form of :func:`mixtral_causal_lm` (one token
+    per call, O(L)/token): the llama RoPE/GQA decode attention
+    (models/llama.py input contract -- x_step, attn_mask,
+    cos_step/sin_step, per-layer past_k/past_v) with the routed expert
+    mixture as the MLP. Same ``seed``/``config`` builds the SAME torch
+    module as mixtral_causal_lm, so both forms share weights; drive it
+    with utils.generate_kv(..., rope=model._rope_tables, wpe=None)."""
+    import torch
+    from transformers.models.mixtral.modeling_mixtral import (
+        MixtralForCausalLM)
+
+    if module is None:
+        torch.manual_seed(seed)
+        if config is None:
+            config = default_config(max_len)
+        module = MixtralForCausalLM(config).eval()
+    config = module.config
+    n_kv = config.num_key_value_heads
+    head_dim = module.model.layers[0].self_attn.head_dim
+
+    g = GraphBuilder("mixtral_decode_step")
+    e = _ViTEmitter(g)
+    h = g.input("x_step", [batch_size, 1, config.hidden_size])
+    g.input("attn_mask", [1, 1, 1, max_len + 1])
+    g.input("cos_step", [1, 1, 1, head_dim])
+    g.input("sin_step", [1, 1, 1, head_dim])
+    for i in range(config.num_hidden_layers):
+        g.input(f"past_k.{i}", [batch_size, n_kv, max_len, head_dim])
+        g.input(f"past_v.{i}", [batch_size, n_kv, max_len, head_dim])
+
+    presents = []
+    for i, layer in enumerate(module.model.layers):
+        name = f"layers.{i}"
+        ln1 = _rms_norm(e, h, layer.input_layernorm, f"{name}.input_norm")
+        att, kh, vh = _llama_decode_attention(e, ln1, layer.self_attn, i,
+                                              max_len, f"{name}.self_attn")
+        presents.append((kh, vh))
+        x1 = g.node("Add", [att, h], out=f"{name}/residual1")
+        ln2 = _rms_norm(e, x1, layer.post_attention_layernorm,
+                        f"{name}.post_norm")
+        moe = _moe_block(e, ln2, layer.block_sparse_moe, f"{name}.moe")
+        h = g.node("Add", [moe, x1], out=f"{name}/residual2")
+
+    h = _rms_norm(e, h, module.model.norm, "norm")
+    head = g.init("lm_head.weight_t", _np(module.lm_head.weight).T)
+    g.node("MatMul", [h, head], out="logits", name="lm_head")
+
+    g.output("logits", [batch_size, 1, config.vocab_size])
+    for i, (kh, vh) in enumerate(presents):
+        g.node("Identity", [kh], out=f"present_k.{i}",
+               name=f"present_k_id.{i}")
+        g.node("Identity", [vh], out=f"present_v.{i}",
+               name=f"present_v_id.{i}")
+        g.output(f"present_k.{i}", [batch_size, n_kv, 1, head_dim])
+        g.output(f"present_v.{i}", [batch_size, n_kv, 1, head_dim])
+
+    model = g.model()
+    model._torch_module = module
+    model._wte = _np(module.model.embed_tokens.weight)
+    model._rope_tables = _rope_tables(module, max_len)
     return model

@@ -98,3 +98,19 @@ def test_moe_quantized(moe):
     q_seq = generate(q, prompt, proto._wte, max_new_tokens=8)
     assert q_seq.shape == f_seq.shape
     assert (q_seq == f_seq).mean() >= 0.6
+
+
+def test_moe_decode_step_matches_full_form(moe):
+    """The MoE KV-cache step graph decodes the same greedy tokens as
+    the full graph (shared weights via the same seed)."""
+    from numpy_quant_tpu.models.moe import mixtral_decode_step
+    from numpy_quant_tpu.utils import generate_kv
+
+    proto, model = moe
+    step_proto = mixtral_decode_step(batch_size=2, max_len=16, seed=0)
+    step = nq.Model.from_onnx(step_proto)
+    prompt = RNG.integers(0, 96, size=(2, 5)).astype(np.int32)
+    want = generate(model, prompt, proto._wte, max_new_tokens=8)
+    got = generate_kv(step, prompt, step_proto._wte, None,
+                      max_new_tokens=8, rope=step_proto._rope_tables)
+    np.testing.assert_array_equal(got, want)
