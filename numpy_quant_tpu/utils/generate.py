@@ -73,33 +73,37 @@ def generate(model, prompt_ids: np.ndarray, wte: np.ndarray,
             f"graph's fixed length {length}")
     length = length if length is not None else t0 + max_new_tokens
 
-    wte_j = jnp.asarray(wte, jnp.float32)
     fwd = model.lowered_fn()
-    params = model._placed_params()
     if key is None:
         key = jax.random.PRNGKey(0)
 
     sampling = (temperature is not None or top_k is not None
                 or top_p is not None)
 
-    def body(i, carry):
-        embeds, ids, key = carry
-        t = t0 - 1 + i  # position whose logits predict token t+1
-        logits = fwd([embeds], params)[0]
-        row = jax.lax.dynamic_slice_in_dim(logits, t, 1, axis=1)[:, 0, :]
-        if sampling:
-            key, sub = jax.random.split(key)
-        else:
-            sub = key
-        nxt = _next_token(row, temperature, top_k, top_p, sub)
-        embeds = jax.lax.dynamic_update_slice_in_dim(
-            embeds, jnp.take(wte_j, nxt, axis=0)[:, None, :], t + 1, axis=1)
-        ids = jax.lax.dynamic_update_slice_in_dim(
-            ids, nxt[:, None], t + 1, axis=1)
-        return embeds, ids, key
-
+    # params and the embedding table enter as jit ARGUMENTS, not
+    # closure constants: closed-over arrays embed into the HLO as
+    # literals, which bloats the program body by the whole model size
+    # (and overflows remote-compile request limits at real scale)
     @jax.jit
-    def run(prompt):
+    def run(prompt, params, wte_j):
+        def body(i, carry):
+            embeds, ids, key = carry
+            t = t0 - 1 + i  # position whose logits predict token t+1
+            logits = fwd([embeds], params)[0]
+            row = jax.lax.dynamic_slice_in_dim(logits, t, 1,
+                                               axis=1)[:, 0, :]
+            if sampling:
+                key, sub = jax.random.split(key)
+            else:
+                sub = key
+            nxt = _next_token(row, temperature, top_k, top_p, sub)
+            embeds = jax.lax.dynamic_update_slice_in_dim(
+                embeds, jnp.take(wte_j, nxt, axis=0)[:, None, :], t + 1,
+                axis=1)
+            ids = jax.lax.dynamic_update_slice_in_dim(
+                ids, nxt[:, None], t + 1, axis=1)
+            return embeds, ids, key
+
         embeds = jnp.zeros((batch, length, wte_j.shape[1]), jnp.float32)
         embeds = embeds.at[:, :t0, :].set(jnp.take(wte_j, prompt, axis=0))
         ids = jnp.zeros((batch, length), jnp.int32)
@@ -108,7 +112,8 @@ def generate(model, prompt_ids: np.ndarray, wte: np.ndarray,
             0, max_new_tokens, body, (embeds, ids, key))
         return ids
 
-    out = run(jnp.asarray(prompt_ids, jnp.int32))
+    out = run(jnp.asarray(prompt_ids, jnp.int32), model._placed_params(),
+              jnp.asarray(wte, jnp.float32))
     return np.asarray(out)[:, : t0 + max_new_tokens]
 
 
@@ -148,14 +153,11 @@ def beam_search(model, prompt_ids: np.ndarray, wte: np.ndarray,
             f"prompt {t0} + {max_new_tokens} new tokens exceeds the "
             f"graph's fixed length {length}")
 
-    wte_j = jnp.asarray(wte, jnp.float32)
-    vocab = wte_j.shape[0]
-    hidden = wte_j.shape[1]
+    vocab, hidden = np.asarray(wte).shape
     fwd = model.lowered_fn()
-    params = model._placed_params()
     neg = jnp.float32(-1e30)
 
-    def body(i, carry):
+    def body(i, carry, params, wte_j):
         embeds, ids, scores, done = carry
         t = t0 - 1 + i
         logits = fwd([embeds.reshape(batch * w, length, hidden)],
@@ -185,7 +187,7 @@ def beam_search(model, prompt_ids: np.ndarray, wte: np.ndarray,
         return embeds, ids, top_scores, done
 
     @jax.jit
-    def run(prompt):
+    def run(prompt, params, wte_j):
         pe = jnp.take(wte_j, prompt, axis=0)    # [B, T0, H]
         embeds = jnp.zeros((batch, w, length, hidden), jnp.float32)
         embeds = embeds.at[:, :, :t0, :].set(pe[:, None])
@@ -196,10 +198,14 @@ def beam_search(model, prompt_ids: np.ndarray, wte: np.ndarray,
         scores = jnp.full((batch, w), neg).at[:, 0].set(0.0)
         done = jnp.zeros((batch, w), bool)
         embeds, ids, scores, _ = jax.lax.fori_loop(
-            0, max_new_tokens, body, (embeds, ids, scores, done))
+            0, max_new_tokens,
+            lambda i, c: body(i, c, params, wte_j),
+            (embeds, ids, scores, done))
         return ids, scores
 
-    ids, scores = run(jnp.asarray(prompt_ids, jnp.int32))
+    ids, scores = run(jnp.asarray(prompt_ids, jnp.int32),
+                      model._placed_params(),
+                      jnp.asarray(wte, jnp.float32))
     return (np.asarray(ids)[:, :, : t0 + max_new_tokens],
             np.asarray(scores))
 
@@ -242,10 +248,8 @@ def generate_speculative(target_model, draft_model, prompt_ids: np.ndarray,
     lt = int(target_model.inputs[0].shape_hint[1])
     ld = int(draft_model.inputs[0].shape_hint[1])
 
-    wte_t = jnp.asarray(wte_target, jnp.float32)
-    wte_d = jnp.asarray(wte_draft, jnp.float32)
-    fwd_t, params_t = target_model.lowered_fn(), target_model._placed_params()
-    fwd_d, params_d = draft_model.lowered_fn(), draft_model._placed_params()
+    fwd_t = target_model.lowered_fn()
+    fwd_d = draft_model.lowered_fn()
 
     def write_col(buf, col, val):
         """buf[b, col[b]] = val[b] with a per-row position mask
@@ -263,7 +267,7 @@ def generate_speculative(target_model, draft_model, prompt_ids: np.ndarray,
             arr, c[:, None, None] if arr.ndim == 3 else c[:, None], axis=1)
         return out[:, 0]
 
-    def body(carry):
+    def body(carry, params_t, params_d, wte_t, wte_d):
         ids, emb_t, emb_d, t, rounds = carry
         # -- draft k greedy proposals (k cheap forwards) --------------
         d_toks = jnp.zeros((batch, k), jnp.int32)
@@ -304,7 +308,7 @@ def generate_speculative(target_model, draft_model, prompt_ids: np.ndarray,
         return ids, emb_t, emb_d, t, rounds + jnp.int32(1)
 
     @jax.jit
-    def run(prompt):
+    def run(prompt, params_t, params_d, wte_t, wte_d):
         ids = jnp.zeros((batch, total), jnp.int32).at[:, :t0].set(prompt)
         emb_t = jnp.zeros((batch, lt, wte_t.shape[1]), jnp.float32) \
             .at[:, :t0, :].set(jnp.take(wte_t, prompt, axis=0))
@@ -313,10 +317,15 @@ def generate_speculative(target_model, draft_model, prompt_ids: np.ndarray,
         t = jnp.full((batch,), t0, jnp.int32)
         carry = (ids, emb_t, emb_d, t, jnp.int32(0))
         ids, _, _, _, rounds = jax.lax.while_loop(
-            lambda c: jnp.min(c[3]) < total, body, carry)
+            lambda c: jnp.min(c[3]) < total,
+            lambda c: body(c, params_t, params_d, wte_t, wte_d), carry)
         return ids, rounds
 
-    ids, rounds = run(jnp.asarray(prompt_ids, jnp.int32))
+    ids, rounds = run(jnp.asarray(prompt_ids, jnp.int32),
+                      target_model._placed_params(),
+                      draft_model._placed_params(),
+                      jnp.asarray(wte_target, jnp.float32),
+                      jnp.asarray(wte_draft, jnp.float32))
     return np.asarray(ids), int(rounds)
 
 
@@ -350,15 +359,14 @@ def generate_seq2seq(enc_model, dec_model, src_ids: np.ndarray,
             f"start token + {max_new_tokens} new tokens exceeds the "
             f"decoder graph's fixed length {length}")
 
-    wte_j = jnp.asarray(wte, jnp.float32)
-    enc_fwd, enc_params = enc_model.lowered_fn(), enc_model._placed_params()
-    dec_fwd, dec_params = dec_model.lowered_fn(), dec_model._placed_params()
+    enc_fwd = enc_model.lowered_fn()
+    dec_fwd = dec_model.lowered_fn()
     if key is None:
         key = jax.random.PRNGKey(0)
     sampling = (temperature is not None or top_k is not None
                 or top_p is not None)
 
-    def body(i, carry):
+    def body(i, carry, dec_params, wte_j):
         embeds, ids, memory, key = carry
         logits = dec_fwd([embeds, memory], dec_params)[0]
         row = jax.lax.dynamic_slice_in_dim(logits, i, 1, axis=1)[:, 0, :]
@@ -374,17 +382,21 @@ def generate_seq2seq(enc_model, dec_model, src_ids: np.ndarray,
         return embeds, ids, memory, key
 
     @jax.jit
-    def run(src):
+    def run(src, enc_params, dec_params, wte_j):
         memory = enc_fwd([jnp.take(wte_j, src, axis=0)], enc_params)[0]
         start = jnp.full((batch,), decoder_start_id, jnp.int32)
         embeds = jnp.zeros((batch, length, wte_j.shape[1]), jnp.float32)
         embeds = embeds.at[:, 0, :].set(jnp.take(wte_j, start, axis=0))
         ids = jnp.zeros((batch, length), jnp.int32).at[:, 0].set(start)
         _, ids, _, _ = jax.lax.fori_loop(
-            0, max_new_tokens, body, (embeds, ids, memory, key))
+            0, max_new_tokens,
+            lambda i, c: body(i, c, dec_params, wte_j),
+            (embeds, ids, memory, key))
         return ids
 
-    out = run(jnp.asarray(src_ids, jnp.int32))
+    out = run(jnp.asarray(src_ids, jnp.int32),
+              enc_model._placed_params(), dec_model._placed_params(),
+              jnp.asarray(wte, jnp.float32))
     return np.asarray(out)[:, : 1 + max_new_tokens]
 
 
@@ -446,8 +458,9 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
     if rope is not None:
         cos_j = jnp.asarray(rope[0], jnp.float32)
         sin_j = jnp.asarray(rope[1], jnp.float32)
+    else:
+        cos_j = sin_j = None
     fwd = step_model.lowered_fn()
-    params = step_model._placed_params()
     if key is None:
         key = jax.random.PRNGKey(0)
     total = t0 + max_new_tokens
@@ -478,40 +491,44 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
     sampling = (temperature is not None or top_k is not None
                 or top_p is not None)
 
-    def body(t, carry):
-        ids, caches, key = carry
-        tok = jnp.take(ids, t, axis=1)
-        x = jnp.take(wte_j, tok, axis=0)
-        if wpe_j is not None:
-            x = x + jnp.take(wpe_j, t, axis=0)
-        x = x[:, None, :]
-        extra = []
-        if rope is not None:
-            extra = [jax.lax.dynamic_slice_in_dim(cos_j, t, 1, axis=2),
-                     jax.lax.dynamic_slice_in_dim(sin_j, t, 1, axis=2)]
-        flat = [c for pair in caches for c in pair]
-        outs = fwd([x, _step_mask(t, length)] + extra + flat, params)
-        row = outs[0][:, 0, :]
-        if sampling:
-            key, sub = jax.random.split(key)
-        else:
-            sub = key
-        nxt = _next_token(row, temperature, top_k, top_p, sub)
-        caches = tuple(
-            (jax.lax.dynamic_update_slice_in_dim(
-                k, q_cache(outs[1 + 2 * i], cache_qps[2 * i]), t, axis=2),
-             jax.lax.dynamic_update_slice_in_dim(
-                 v, q_cache(outs[2 + 2 * i], cache_qps[2 * i + 1]), t,
-                 axis=2))
-            for i, (k, v) in enumerate(caches))
-        cand = jax.lax.dynamic_update_slice_in_dim(ids, nxt[:, None],
-                                                   t + 1, axis=1)
-        # teacher forcing: inside the prompt the next token is given
-        ids = jnp.where(t + 1 >= t0, cand, ids)
-        return ids, caches, key
-
+    # params and the embedding/RoPE tables enter as jit ARGUMENTS, not
+    # closure constants (closed-over arrays embed into the HLO body)
     @jax.jit
-    def run(prompt):
+    def run(prompt, params, wte_j, wpe_j, cos_j, sin_j):
+        def body(t, carry):
+            ids, caches, key = carry
+            tok = jnp.take(ids, t, axis=1)
+            x = jnp.take(wte_j, tok, axis=0)
+            if wpe_j is not None:
+                x = x + jnp.take(wpe_j, t, axis=0)
+            x = x[:, None, :]
+            extra = []
+            if rope is not None:
+                extra = [
+                    jax.lax.dynamic_slice_in_dim(cos_j, t, 1, axis=2),
+                    jax.lax.dynamic_slice_in_dim(sin_j, t, 1, axis=2)]
+            flat = [c for pair in caches for c in pair]
+            outs = fwd([x, _step_mask(t, length)] + extra + flat, params)
+            row = outs[0][:, 0, :]
+            if sampling:
+                key, sub = jax.random.split(key)
+            else:
+                sub = key
+            nxt = _next_token(row, temperature, top_k, top_p, sub)
+            caches = tuple(
+                (jax.lax.dynamic_update_slice_in_dim(
+                    k, q_cache(outs[1 + 2 * i], cache_qps[2 * i]), t,
+                    axis=2),
+                 jax.lax.dynamic_update_slice_in_dim(
+                     v, q_cache(outs[2 + 2 * i], cache_qps[2 * i + 1]),
+                     t, axis=2))
+                for i, (k, v) in enumerate(caches))
+            cand = jax.lax.dynamic_update_slice_in_dim(ids, nxt[:, None],
+                                                       t + 1, axis=1)
+            # teacher forcing: inside the prompt the next token is given
+            ids = jnp.where(t + 1 >= t0, cand, ids)
+            return ids, caches, key
+
         ids = jnp.zeros((batch, total), jnp.int32).at[:, :t0].set(prompt)
         # int8 carries initialize to quantize(0.0) (= the zero point),
         # exactly what the executor's on-entry quantize of a float zero
@@ -525,7 +542,9 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
                                       (ids, caches, key))
         return ids
 
-    return np.asarray(run(jnp.asarray(prompt_ids, jnp.int32)))
+    return np.asarray(run(jnp.asarray(prompt_ids, jnp.int32),
+                          step_model._placed_params(), wte_j, wpe_j,
+                          cos_j, sin_j))
 
 
 def decode_calibration(step_model, prompt_ids: np.ndarray,
