@@ -222,6 +222,33 @@ def main(json_path=None):
 
     record("causal_attention", causal_check)
 
+    # ---- causal mask on the PLAIN (non-head-split) kernel, at a
+    # blockwise N: the q-row tiles must mask by ABSOLUTE row position
+    # (models/llama.py RoPE/GQA graphs fuse through this path)
+    def causal_plain_check():
+        from numpy_quant_tpu.kernels.attention import fused_attention
+
+        BH, N_, D = 2, 1536, 64
+        M = float(np.float32(-3.2e8))
+        q = jnp.asarray(rng.integers(-128, 128, (BH, N_, D), np.int64),
+                        jnp.int8)
+        kt = jnp.asarray(rng.integers(-128, 128, (BH, D, N_), np.int64),
+                         jnp.int8)
+        v = jnp.asarray(rng.integers(-128, 128, (BH, N_, D), np.int64),
+                        jnp.int8)
+        y = np.asarray(fused_attention(
+            q, kt, v, scaling=0.125, sq=sq, zq=zq, sk=sk, zk=zk, sv=sv,
+            zv=zv, sp=sp, zp_p=zp_p, bit_width=8, causal_mask_val=M))
+        mask = np.triu(np.full((N_, N_), np.float32(M), np.float32), k=1)
+        for b in range(BH):
+            ref = ref_head(np.asarray(q[b], np.int64),
+                           np.asarray(kt[b], np.int64).T,
+                           np.asarray(v[b], np.int64), 0.125,
+                           requant=False, mask=mask)
+            np.testing.assert_allclose(y[b], ref, atol=2e-2)
+
+    record("causal_plain_attention", causal_plain_check)
+
     print("ALL_OK", flush=True)
     if json_path:
         artifact = {
