@@ -53,8 +53,13 @@ def build():
                            seed=0)
     step_p = gpt_decode_step(config=cfg(), batch_size=BATCH, max_len=SEQ,
                              seed=0)
+    # weight-only (W8, float compute): the memory-bound decode config
+    wstep = nq.Model.from_onnx(
+        gpt_decode_step(config=cfg(), batch_size=BATCH, max_len=SEQ,
+                        seed=0))
+    wstep.quantize_weights(bit_width=8)
     return nq.Model.from_onnx(full_p), full_p, \
-        nq.Model.from_onnx(step_p), step_p
+        nq.Model.from_onnx(step_p), step_p, wstep
 
 
 def quantize_models(full, step, full_p, step_p, prompt):
@@ -127,7 +132,7 @@ def main(json_path=None):
     from numpy_quant_tpu.utils import (beam_search, generate, generate_kv,
                                        generate_speculative)
 
-    full, full_p, step, step_p = build()
+    full, full_p, step, step_p, wstep = build()
     rng = np.random.default_rng(7)
     prompt = rng.integers(0, full_p._wte.shape[0],
                           size=(BATCH, PROMPT)).astype(np.int32)
@@ -146,6 +151,8 @@ def main(json_path=None):
         ("kv-int8cache", "int8", lambda: generate_kv(
             qstep, prompt, step_p._wte, step_p._wpe, NEW,
             kv_cache_dtype="int8")),
+        ("kv", "w8-weight-only", lambda: generate_kv(
+            wstep, prompt, step_p._wte, step_p._wpe, NEW)),
         ("beam2", "float", lambda: beam_search(
             beam, prompt, beam_p._wte, NEW, num_beams=2)),
         ("speculative-k4", "float", lambda: generate_speculative(

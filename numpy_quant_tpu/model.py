@@ -1000,6 +1000,65 @@ class Model:
         from .dynamic import quantize_dynamic
         return quantize_dynamic(self, bit_width=bit_width, **kw)
 
+    def quantize_weights(self, bit_width: int = 8,
+                         per_channel: bool = True,
+                         pack: bool = None) -> int:
+        """Weight-only quantization (W8A16/W4A16-style): replace 2-D
+        float MatMul weights with symmetric integer containers while
+        COMPUTE STAYS FLOAT -- the executor dequantizes in-program and
+        XLA fuses the convert+scale into the dot's operand load, so
+        weight HBM traffic drops to ``bit_width`` bits with no change
+        to the math beyond weight rounding. No calibration data needed
+        (scales come from the weights themselves). This is the
+        memory-bound serving mode: single-token decode is weight-
+        -bandwidth-bound, where full integer execution loses to its
+        activation-quantize overhead (BENCH_HISTORY round-3 decode
+        table) but weight-only wins the HBM traffic without it.
+
+        ``per_channel``: symmetric abs-max scale per output channel
+        (default) vs per tensor. ``pack``: additionally bit-pack the
+        payload (kernels/pack.py; default when ``bit_width < 8``).
+        Mutates this float model in place and returns the number of
+        converted weights. The reference has no weight-only mode;
+        parity-plus."""
+        if getattr(self, "quant_params", None) is not None:
+            raise ValueError(
+                "quantize_weights is a FLOAT-executor mode; this model "
+                "is already integer-quantized (use pack_weights there)")
+        from .quantization import per_channel_scales, qrange
+        from .tensor import pack_qtensor, quantize_tensor
+
+        if pack is None:
+            pack = bit_width < 8
+        converted = 0
+        for value in self.values:
+            if not isinstance(value, Constant) \
+                    or not isinstance(value.data, FTensor):
+                continue
+            arr = np.asarray(value.data.data)
+            if arr.ndim != 2:
+                continue
+            if not value.outputs or not all(
+                    n.op == "MatMul" and len(n.inputs) > 1
+                    and n.inputs[1] is value for n in value.outputs):
+                continue
+            if per_channel:
+                scale = per_channel_scales(arr, bit_width, 1)
+            else:
+                min_q, max_q = qrange(bit_width)
+                absmax = max(float(np.abs(arr).max()), 1e-12)
+                scale = np.float32(2.0 * absmax / (max_q - min_q))
+            qt = quantize_tensor(value.data, bit_width, scale, None)
+            qt = QTensor(np.asarray(qt.data), bit_width, scale, None)
+            if pack and bit_width <= 8:
+                qt = pack_qtensor(qt)
+            value.data = qt
+            converted += 1
+        self._jit_cache.clear()
+        self._sharded_param_cache = None
+        self._dp_cache = None
+        return converted
+
     def qat_quantize(self, inputs: list[np.ndarray], **kw) -> "QModel":
         """Quantization-aware training: fine-tune the weights end-to-end
         under fake quantization (straight-through gradients through the

@@ -491,6 +491,17 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         return [y]
     elif op == "MatMul":
         a, b = inputs[0], inputs[1]
+        if isinstance(a, FTensor) and isinstance(b, (QTensor,
+                                                     PackedQTensor)):
+            # weight-only quantization (Model.quantize_weights): int
+            # weights, FLOAT compute. The dequantize runs in-program;
+            # XLA fuses the int->float convert + per-channel scale into
+            # the dot's operand load, so weight HBM traffic stays at
+            # bit_width bits while the MXU runs the float dot -- the
+            # memory-bound serving regime (single-token decode) where
+            # full integer execution loses to its quantize overhead.
+            w = b.unpack() if isinstance(b, PackedQTensor) else b
+            return [a.matmul(w.dequantize())]
         if isinstance(b, PackedQTensor):
             from .. import config as _config
             if _config.packed_execution == "kernel" and isinstance(a, QTensor):
