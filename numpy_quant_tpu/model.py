@@ -1002,7 +1002,8 @@ class Model:
 
     def quantize_weights(self, bit_width: int = 8,
                          per_channel: bool = True,
-                         pack: bool = None) -> int:
+                         pack: bool = None,
+                         group_size: int = None) -> int:
         """Weight-only quantization (W8A16/W4A16-style): replace 2-D
         float MatMul weights with symmetric integer containers while
         COMPUTE STAYS FLOAT -- the executor dequantizes in-program and
@@ -1016,11 +1017,17 @@ class Model:
         table) but weight-only wins the HBM traffic without it.
 
         ``per_channel``: symmetric abs-max scale per output channel
-        (default) vs per tensor. ``pack``: additionally bit-pack the
-        payload (kernels/pack.py; default when ``bit_width < 8``).
-        Mutates this float model in place and returns the number of
-        converted weights. The reference has no weight-only mode;
-        parity-plus."""
+        (default) vs per tensor. ``group_size``: finer GROUPED scales
+        -- one per (``group_size`` input rows x output channel), the
+        GPTQ/AWQ-style grouping that recovers most of int4's accuracy
+        loss; applies to weights whose K divides evenly (others fall
+        back to per-channel). Grouped scales are stored compactly as a
+        [K/g, N] array and expanded inside the dot's operand fusion;
+        such weights are only consumable as MatMul rhs (enforced by
+        selection). ``pack``: additionally bit-pack the payload
+        (kernels/pack.py; default when ``bit_width < 8``). Mutates this
+        float model in place and returns the number of converted
+        weights. The reference has no weight-only mode; parity-plus."""
         if getattr(self, "quant_params", None) is not None:
             raise ValueError(
                 "quantize_weights is a FLOAT-executor mode; this model "
@@ -1042,14 +1049,26 @@ class Model:
                     n.op == "MatMul" and len(n.inputs) > 1
                     and n.inputs[1] is value for n in value.outputs):
                 continue
-            if per_channel:
+            min_q, max_q = qrange(bit_width)
+            store_scale = None
+            if group_size and arr.shape[0] % group_size == 0:
+                g = int(group_size)
+                grp = arr.reshape(arr.shape[0] // g, g, arr.shape[1])
+                absmax = np.maximum(np.abs(grp).max(axis=1),
+                                    np.float32(1e-12))      # [G, N]
+                store_scale = (np.float32(2.0) * absmax
+                               / np.float32(max_q - min_q)) \
+                    .astype(np.float32)
+                scale = np.repeat(store_scale, g, axis=0)    # [K, N]
+            elif per_channel:
                 scale = per_channel_scales(arr, bit_width, 1)
             else:
-                min_q, max_q = qrange(bit_width)
                 absmax = max(float(np.abs(arr).max()), 1e-12)
                 scale = np.float32(2.0 * absmax / (max_q - min_q))
             qt = quantize_tensor(value.data, bit_width, scale, None)
-            qt = QTensor(np.asarray(qt.data), bit_width, scale, None)
+            qt = QTensor(np.asarray(qt.data), bit_width,
+                         scale if store_scale is None else store_scale,
+                         None)
             if pack and bit_width <= 8:
                 qt = pack_qtensor(qt)
             value.data = qt

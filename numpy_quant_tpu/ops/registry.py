@@ -501,6 +501,18 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
             # memory-bound serving regime (single-token decode) where
             # full integer execution loses to its quantize overhead.
             w = b.unpack() if isinstance(b, PackedQTensor) else b
+            s = w.scale
+            if getattr(s, "ndim", 0) == 2 and s.shape[0] > 1:
+                # grouped scales (quantize_weights group_size=): stored
+                # compactly [K/g, N], expanded here inside the operand
+                # fusion -- HBM holds int payload + the small scale grid
+                kdim, ncol = w.data.shape
+                gsz = kdim // int(s.shape[0])
+                deq = (jnp.asarray(w.data).astype(jnp.float32)
+                       .reshape(int(s.shape[0]), gsz, ncol)
+                       * jnp.asarray(s, jnp.float32)[:, None, :]) \
+                    .reshape(kdim, ncol)
+                return [a.matmul(FTensor(deq))]
             return [a.matmul(w.dequantize())]
         if isinstance(b, PackedQTensor):
             from .. import config as _config
