@@ -1037,21 +1037,39 @@ class Model:
 
         if pack is None:
             pack = bit_width < 8
+
+        def _channel_axis(value):
+            """Output-channel axis if this constant is consumed only as
+            MatMul/Gemm weight (input 1), else None."""
+            axes = set()
+            for nd in value.outputs:
+                if len(nd.inputs) < 2 or nd.inputs[1] is not value:
+                    return None
+                if nd.op == "MatMul":
+                    axes.add(1)
+                elif nd.op == "Gemm":
+                    axes.add(0 if nd.attrs.get("transB") else 1)
+                else:
+                    return None
+            return axes.pop() if len(axes) == 1 else None
+
         converted = 0
         for value in self.values:
             if not isinstance(value, Constant) \
                     or not isinstance(value.data, FTensor):
                 continue
             arr = np.asarray(value.data.data)
-            if arr.ndim != 2:
+            if arr.ndim != 2 or not value.outputs:
                 continue
-            if not value.outputs or not all(
-                    n.op == "MatMul" and len(n.inputs) > 1
-                    and n.inputs[1] is value for n in value.outputs):
+            ch_axis = _channel_axis(value)
+            if ch_axis is None:
                 continue
+            # grouped scales assume the MatMul [K, N] orientation
+            groupable = group_size and ch_axis == 1 \
+                and all(nd.op == "MatMul" for nd in value.outputs)
             min_q, max_q = qrange(bit_width)
             store_scale = None
-            if group_size and arr.shape[0] % group_size == 0:
+            if groupable and arr.shape[0] % group_size == 0:
                 g = int(group_size)
                 grp = arr.reshape(arr.shape[0] // g, g, arr.shape[1])
                 absmax = np.maximum(np.abs(grp).max(axis=1),
@@ -1061,7 +1079,7 @@ class Model:
                     .astype(np.float32)
                 scale = np.repeat(store_scale, g, axis=0)    # [K, N]
             elif per_channel:
-                scale = per_channel_scales(arr, bit_width, 1)
+                scale = per_channel_scales(arr, bit_width, ch_axis)
             else:
                 absmax = max(float(np.abs(arr).max()), 1e-12)
                 scale = np.float32(2.0 * absmax / (max_q - min_q))

@@ -426,6 +426,14 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         return [x.take(idx, axis=axis)]
     elif op == "Gemm":
         x, w = inputs[0], inputs[1]
+        if isinstance(x, FTensor) and isinstance(w, (QTensor,
+                                                     PackedQTensor)):
+            # weight-only mode (Model.quantize_weights): dequantize
+            # BEFORE the transB handling so the stored per-channel
+            # scale keeps its orientation; XLA fuses convert+scale
+            # into the dot operand load (see the MatMul branch)
+            w = (w.unpack() if isinstance(w, PackedQTensor) else w) \
+                .dequantize()
         b = inputs[2] if len(inputs) > 2 else None
         alpha = float(attrs.get("alpha", 1.0))
         beta = float(attrs.get("beta", 1.0))

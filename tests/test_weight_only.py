@@ -124,3 +124,23 @@ def test_w4_grouped_packs():
     ref.quantize_weights(bit_width=4, pack=False, group_size=8)
     np.testing.assert_allclose(out, np.asarray(ref([embeds])[0]),
                                atol=1e-5)
+
+
+def test_weight_only_gemm_mlp():
+    """Gemm weights (the committed reference mlp.onnx uses Gemm with
+    transB) convert too, with the channel axis following transB."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "numpy_quant_tpu", "models",
+        "mlp.onnx")
+    onnx_model = nq.onnx.load(path)
+    nq.onnx.make_dim_param_fixed(onnx_model.graph, "batch_size", 8)
+    model = nq.Model.from_onnx(onnx_model)
+    x = RNG.normal(size=(8, 2)).astype(np.float32)
+    base = np.asarray(model([x])[0])
+    n = model.quantize_weights(bit_width=8, pack=False)
+    assert n == 2  # both layer weights are Gemm rhs
+    out = np.asarray(model([x])[0])
+    assert np.abs(out - base).mean() < 0.05
+    assert np.isfinite(out).all()
