@@ -9,6 +9,8 @@ from .serialization import (
     load_qmodel,
     save_calibration_stats,
     save_qmodel,
+    save_weight_only,
+    load_weight_only,
     save_qmodel_qdq,
     save_qmodel_qoperator,
 )

@@ -58,50 +58,9 @@ def save_qmodel(qmodel: QModel, path, source_onnx: O.ModelProto) -> None:
     graph structure is reused; only constant payloads and metadata
     change).
     """
-    model = O.load_from_string(source_onnx.SerializeToString())  # deep copy
-    qconst = {v.name: v for v in qmodel.values if isinstance(v, Constant)}
-
-    from ..tensor import PackedQTensor
-
-    new_inits = []
-    tensor_meta = {}
-    for init in model.graph.initializer:
-        value = qconst.get(init.name)
-        if value is None:
-            new_inits.append(init)
-            continue
-        if isinstance(value.data, PackedQTensor):
-            # packed payload stored verbatim (exactly bit_width bits per
-            # value on disk too, except native int8); colsum is
-            # recomputed at load time
-            pq = value.data
-            payload = np.asarray(pq.planes)
-            payload = payload.astype(np.int8) if payload.dtype == np.int8 \
-                else payload.astype(np.uint8)
-            new_inits.append(O.from_array(payload, init.name))
-            tensor_meta[init.name] = {
-                "packed": True,
-                "layout": pq.layout,
-                "bit_width": pq.bit_width,
-                "k": pq.k,
-                "n": pq.n,
-                "scale": _scale_to_json(pq.scale),
-                "zero_point": None,
-            }
-            continue
-        if not isinstance(value.data, QTensor):
-            new_inits.append(init)
-            continue
-        qt = value.data
-        arr = np.asarray(qt.data)
-        store = arr.astype(np.int8) if qt.bit_width <= 8 else arr.astype(np.int32)
-        new_inits.append(O.from_array(store, init.name))
-        tensor_meta[init.name] = {
-            "bit_width": qt.bit_width,
-            "scale": _scale_to_json(qt.scale),
-            "zero_point": None if qt.zero_point is None else int(qt.zero_point),
-        }
-    model.graph.initializer = new_inits
+    # packed payloads store verbatim (exactly bit_width bits per value
+    # on disk too, except native int8); colsum recomputes at load time
+    model, tensor_meta = _weight_only_initializers(qmodel, source_onnx)
 
     meta = {
         "bit_width": qmodel.bit_width,
@@ -117,6 +76,73 @@ def save_qmodel(qmodel: QModel, path, source_onnx: O.ModelProto) -> None:
     model.metadata_props = [e for e in model.metadata_props
                             if e.key != "numpy_quant_tpu.qmodel"] + [entry]
     O.save(model, path)
+
+
+def _weight_only_initializers(model, source_onnx):
+    """Shared initializer conversion for save_qmodel/save_weight_only:
+    returns (deep-copied ModelProto with int payloads, tensor_meta)."""
+    out = O.load_from_string(source_onnx.SerializeToString())
+    qconst = {v.name: v for v in model.values if isinstance(v, Constant)}
+    from ..tensor import PackedQTensor
+
+    new_inits, tensor_meta = [], {}
+    for init in out.graph.initializer:
+        value = qconst.get(init.name)
+        data = None if value is None else value.data
+        if isinstance(data, PackedQTensor):
+            payload = np.asarray(data.planes)
+            payload = payload.astype(np.int8) \
+                if payload.dtype == np.int8 else payload.astype(np.uint8)
+            new_inits.append(O.from_array(payload, init.name))
+            tensor_meta[init.name] = {
+                "packed": True, "layout": data.layout,
+                "bit_width": data.bit_width, "k": data.k, "n": data.n,
+                "scale": _scale_to_json(data.scale), "zero_point": None}
+        elif isinstance(data, QTensor):
+            arr = np.asarray(data.data)
+            store = arr.astype(np.int8) if data.bit_width <= 8 \
+                else arr.astype(np.int32)
+            new_inits.append(O.from_array(store, init.name))
+            tensor_meta[init.name] = {
+                "bit_width": data.bit_width,
+                "scale": _scale_to_json(data.scale),
+                "zero_point": None if data.zero_point is None
+                else int(data.zero_point)}
+        else:
+            new_inits.append(init)
+    out.graph.initializer = new_inits
+    return out, tensor_meta
+
+
+def save_weight_only(model, path, source_onnx: O.ModelProto) -> None:
+    """Persist a weight-only model (a float ``Model`` whose MatMul/Gemm
+    weights were converted by ``Model.quantize_weights``): integer
+    payloads (packed included) land as initializers, scales -- scalar,
+    per-channel, or grouped [K/g, N] grids -- ride in metadata. The
+    graph structure is reused from ``source_onnx``. Round-trips via
+    :func:`load_weight_only` (bit-exact: same ints, same scales)."""
+    out, tensor_meta = _weight_only_initializers(model, source_onnx)
+    meta = {"quantized_initializers": tensor_meta}
+    entry = O.proto.StringStringEntryProto()
+    entry.key = "numpy_quant_tpu.weight_only"
+    entry.value = json.dumps(meta)
+    out.metadata_props = [e for e in out.metadata_props
+                          if e.key != "numpy_quant_tpu.weight_only"] \
+        + [entry]
+    O.save(out, path)
+
+
+def load_weight_only(path):
+    """Load a float weight-only model saved by save_weight_only."""
+    from ..model import Model
+
+    model_proto = O.load(path)
+    meta_entry = next(e for e in model_proto.metadata_props
+                      if e.key == "numpy_quant_tpu.weight_only")
+    meta = json.loads(meta_entry.value)
+    nodes, values, inputs, outputs = import_onnx_quantized(
+        model_proto, meta["quantized_initializers"])
+    return Model(nodes, values, inputs, outputs)
 
 
 def load_qmodel(path) -> QModel:

@@ -144,3 +144,26 @@ def test_weight_only_gemm_mlp():
     out = np.asarray(model([x])[0])
     assert np.abs(out - base).mean() < 0.05
     assert np.isfinite(out).all()
+
+
+def test_weight_only_save_load_roundtrip(tmp_path):
+    """save_weight_only/load_weight_only: bit-exact outputs after the
+    round trip, grouped + packed payloads included."""
+    from numpy_quant_tpu.utils import load_weight_only, save_weight_only
+
+    proto = gpt_causal_lm(batch_size=2, seq_len=12, seed=0)
+    model = nq.Model.from_onnx(proto)
+    model.quantize_weights(bit_width=4, group_size=8)  # packed+grouped
+    embeds = RNG.normal(size=(2, 12, 32)).astype(np.float32)
+    base = np.asarray(model([embeds])[0])
+
+    path = tmp_path / "wo.onnx"
+    save_weight_only(model, str(path), proto)
+    loaded = load_weight_only(str(path))
+    out = np.asarray(loaded([embeds])[0])
+    np.testing.assert_array_equal(out, base)
+    # the payloads really persisted packed/grouped
+    packed = [v.data for v in loaded.values
+              if hasattr(v, "data") and isinstance(v.data, PackedQTensor)]
+    assert packed and any(np.asarray(p.scale).shape[0] > 1
+                          for p in packed)
