@@ -395,3 +395,28 @@ def test_tp_llama_quantized_generation():
     assert placed[dp].sharding.spec == P("model", None)
     head = next(n for n in placed if n == "lm_head.weight_t")
     assert placed[head].sharding.spec == P(None, "model")
+
+
+@requires_8_devices
+def test_weight_only_dp_tp():
+    """A weight-only (int8 weights, float compute) LLaMA shards like
+    any float model: DP x TP outputs and generation match the
+    single-device weight-only run."""
+    from numpy_quant_tpu.models.llama import llama_causal_lm
+    from numpy_quant_tpu.utils import generate
+
+    proto = llama_causal_lm(batch_size=4, seq_len=12, seed=2)
+    model = nq.Model.from_onnx(proto)
+    model.quantize_weights(bit_width=8)
+    embeds = RNG.normal(size=(4, 12, 32)).astype(np.float32)
+    expected = np.asarray(model([embeds])[0])
+    prompt = RNG.integers(0, 96, size=(4, 4)).astype(np.int32)
+    seq = generate(model, prompt, proto._wte, max_new_tokens=5)
+
+    mesh = par.make_dp_tp_mesh(8, tp=2)
+    par.shard_model(model, mesh, data_axis="data",
+                    rules=par.llama_tp_rules)
+    np.testing.assert_allclose(np.asarray(model([embeds])[0]), expected,
+                               atol=1e-5)
+    np.testing.assert_array_equal(
+        generate(model, prompt, proto._wte, max_new_tokens=5), seq)
