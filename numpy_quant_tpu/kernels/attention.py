@@ -131,11 +131,11 @@ def _attention_kernel(q_ref, kt_ref, v_ref, o_ref, *, n_real, d_real,
         o_ref[...] = y
 
 
-def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
+def _attention_hs_kernel(q_ref, k_ref, v_ref, *rest, n_real, num_heads,
                          d, scaling, sq, zq, sk, zk, sv, zv, sp, zp_p,
                          bit_width, out_requant, hijack, fast,
                          score_max=None, nq_real=None, causal_val=None,
-                         causal_axis=None):
+                         causal_axis=None, has_bias=False):
     """Head-splitting kernel body: G batch rows per grid step, heads
     unrolled, NT score dots on 64-lane head slices -- no XLA-side head
     reshuffles or d-padding at all.
@@ -144,6 +144,14 @@ def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
     q-ones-row index under ``hijack``); it defaults to ``n_real`` (the
     real KEY count) but differs on the narrow-q path, where dead-token
     elimination feeds a single gathered query row against full K/V.
+
+    ``has_bias`` prepends a bias operand to ``rest``: a per-head
+    additive score tensor [num_heads, q_rows, k_rows] f32 (T5 relative
+    position bias, ALiBi slopes, sliding-window/document masks -- any
+    constant the graph Adds to the scaled scores before Softmax). It is
+    added at exactly the graph Add's position in the float op order, so
+    the exact path stays bit-identical to the unfused executor. On the
+    fast path the wrapper pre-scales it by log2(e) (exp2 domain).
 
     ``fast=False`` replicates the unfused float op sequence bit-for-bit.
     ``fast=True`` (used only under the fp-tolerance bfloat16 serving
@@ -161,6 +169,8 @@ def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
         (scale, zp) provably cannot exceed them (probs are in [0, 1]).
     Same values up to f32 rounding; roughly a third fewer VPU passes.
     """
+    bias_ref = rest[0] if has_bias else None
+    o_ref = rest[-1]
     if nq_real is None:
         nq_real = n_real
     n_sub = q_ref.shape[-2]   # query rows (round_up(nq+1, 8), NOT 128)
@@ -236,6 +246,10 @@ def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
                 percol = jnp.where(col1 < n_real, base, -jnp.inf)
                 percol = jnp.broadcast_to(percol, (g, 1, n_lane))
             s = raw.astype(jnp.float32) * c2 + percol
+            if bias_ref is not None:
+                # per-head additive score bias (pre-scaled by log2(e)
+                # in the wrapper -- this path works in the exp2 domain)
+                s = s + bias_ref[h][None]
             if causal_val is not None:
                 # fp-tolerance path works in the exp2 domain: scale the
                 # additive mask by log2(e) to match
@@ -284,6 +298,10 @@ def _attention_hs_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, num_heads,
                 scores = scores + np.int32(zq) * np.int32(zk) * np.int32(d)
             s = scores.astype(jnp.float32) * np.float32(sq * sk)
             s = s * np.float32(scaling)
+            if bias_ref is not None:
+                # the graph's Add(scaled scores, bias const), same f32
+                # op position -> bit-identical to the unfused executor
+                s = s + bias_ref[h][None]
             if causal_val is not None:
                 s = causal_add(s, np.float32(causal_val))
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
@@ -350,7 +368,8 @@ _BLOCKWISE_N = 1024
                      "zv", "sp", "zp_p", "bit_width", "out_requant",
                      "fast", "score_max", "block_q", "causal_mask_val",
                      "interpret"))
-def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
+def fused_attention_hs(xq, xk, xv, score_bias=None, *, num_heads: int,
+                       scaling: float,
                        sq: float, zq: int, sk: float, zk: int, sv: float,
                        zv: int, sp: float, zp_p: int, bit_width: int = 8,
                        out_requant: tuple | None = None, fast: bool = False,
@@ -372,6 +391,13 @@ def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
     so blockwise results are bit-identical to the monolithic kernel
     (asserted in tests/test_kernels.py).
 
+    ``score_bias`` is an optional per-head additive score tensor
+    [num_heads, nq, n] f32 (a traced operand, NOT static): the graph's
+    Add(scaled scores, constant) before Softmax -- T5 relative position
+    bias, ALiBi slopes, sliding-window or document masks. Added at the
+    graph Add's exact float op position, so the exact path stays
+    bit-identical to the unfused executor.
+
     NARROW Q: xq may carry FEWER tokens than xk/xv (down to one row --
     the dead-token-eliminated last ViT layer, where only the CLS row's
     attention output is consumed). Each output row depends on its own
@@ -381,15 +407,22 @@ def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
     n = xk.shape[1]              # real KEY/VALUE token count
     assert xv.shape[1] == n, (xv.shape, xk.shape)
     assert nq <= n, (nq, n)
-    # causal masking indexes q rows by absolute position -- narrow
-    # (gathered) q would mask the wrong rows
+    # causal masking / score bias index q rows by absolute position --
+    # narrow (gathered) q would mask/bias the wrong rows
     assert causal_mask_val is None or nq == n, (nq, n)
+    assert score_bias is None or nq == n, (nq, n)
     d = hd // num_heads
     assert d * num_heads == hd, (hd, num_heads)
     n_lane = _round_up(n, 128)   # key rows = score lane dim
-    if block_q is not None or n_lane >= _BLOCKWISE_N:
+    # a whole [H, N, N] bias block would crowd VMEM next to the score
+    # temps -- stream q-row tiles (bias rows tile along) past ~2 MB
+    bias_big = score_bias is not None \
+        and score_bias.shape[0] * _round_up(nq, 8) * n_lane * 4 \
+        > 2 * 1024 * 1024
+    if block_q is not None or n_lane >= _BLOCKWISE_N or bias_big:
         return _fused_attention_hs_blockq(
-            xq, xk, xv, num_heads=num_heads, scaling=scaling, sq=sq, zq=zq,
+            xq, xk, xv, score_bias,
+            num_heads=num_heads, scaling=scaling, sq=sq, zq=zq,
             sk=sk, zk=zk, sv=sv, zv=zv, sp=sp, zp_p=zp_p,
             bit_width=bit_width, out_requant=out_requant, fast=fast,
             score_max=score_max, block_q=block_q or 256,
@@ -446,7 +479,22 @@ def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
         hijack=hijack, fast=fast,
         score_max=None if score_max is None else np.float32(score_max),
         causal_val=None if causal_mask_val is None
-        else np.float32(causal_mask_val), causal_axis=None)
+        else np.float32(causal_mask_val), causal_axis=None,
+        has_bias=score_bias is not None)
+
+    operands = [xq, xk, xv]
+    extra_specs = []
+    if score_bias is not None:
+        sb = jnp.asarray(score_bias, jnp.float32)
+        sb = jnp.pad(sb, ((0, 0), (0, n_sub - sb.shape[1]),
+                          (0, n_kv - sb.shape[2])))
+        if fast:
+            # the fast path works in the exp2 domain
+            sb = sb * np.float32(np.log2(np.e))
+        operands.append(sb)
+        extra_specs.append(pl.BlockSpec((num_heads, n_sub, n_kv),
+                                        lambda i: (0, 0, 0),
+                                        memory_space=pltpu.VMEM))
 
     # G batch rows per grid step amortizes the per-step fixed cost
     # (mask/iota builds, op dispatch) over G images; per-head VPU score
@@ -472,7 +520,7 @@ def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g, n_kv, hd), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + extra_specs,
         out_specs=pl.BlockSpec((g, n_sub, hd), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
@@ -482,13 +530,14 @@ def fused_attention_hs(xq, xk, xv, *, num_heads: int, scaling: float,
             bytes_accessed=b * (2 * n_kv * hd + n_sub * hd * (1 + 4)),
             transcendentals=b * num_heads * n_sub * n_lane),
         interpret=interpret,
-    )(xq, xk, xv)
+    )(*operands)
     if n_sub != nq:
         out = out[:, :nq, :]
     return out
 
 
-def _fused_attention_hs_blockq(xq, xk, xv, *, num_heads, scaling, sq, zq,
+def _fused_attention_hs_blockq(xq, xk, xv, score_bias=None, *, num_heads,
+                               scaling, sq, zq,
                                sk, zk, sv, zv, sp, zp_p, bit_width,
                                out_requant, fast, score_max, block_q,
                                causal_mask_val=None, interpret=False):
@@ -535,11 +584,30 @@ def _fused_attention_hs_blockq(xq, xk, xv, *, num_heads, scaling, sq, zq,
         else np.float32(causal_mask_val),
         # q rows stream in bq tiles: the tile's absolute row offset is
         # grid axis 1 (program_id * tile rows) inside the kernel
-        causal_axis=None if causal_mask_val is None else 1)
+        causal_axis=None if causal_mask_val is None else 1,
+        has_bias=score_bias is not None)
+
+    operands = [xq, xk, xv]
+    extra_specs = []
+    bias_bytes = 0
+    if score_bias is not None:
+        # bias q rows tile along grid axis 1 with the q tiles (the
+        # BlockSpec slice IS the absolute-row offset)
+        sb = jnp.asarray(score_bias, jnp.float32)
+        sb = jnp.pad(sb, ((0, 0), (0, n_subq - sb.shape[1]),
+                          (0, n_kv - sb.shape[2])))
+        if fast:
+            sb = sb * np.float32(np.log2(np.e))
+        operands.append(sb)
+        extra_specs.append(pl.BlockSpec((num_heads, bq, n_kv),
+                                        lambda i, j: (0, j, 0),
+                                        memory_space=pltpu.VMEM))
+        bias_bytes = num_heads * bq * n_kv * 4
 
     # VMEM per grid step: K+V whole (g*n_lane*hd int8 each), the q/out
-    # tiles, and ~3 f32 [bq, n_lane] score temps per unrolled head
-    vmem_cap = 10 * 1024 * 1024
+    # tiles, ~3 f32 [bq, n_lane] score temps per unrolled head, plus
+    # the per-step bias tile when present
+    vmem_cap = 10 * 1024 * 1024 - bias_bytes
     per_g = 2 * n_lane * hd + bq * hd * 5 + bq * n_lane * 12
     g = _largest_divisor(b, max(1, min(_ATTN_G, vmem_cap // max(per_g, 1))))
     out_dtype = jnp.float32 if out_requant is None else jnp.int8
@@ -554,7 +622,7 @@ def _fused_attention_hs_blockq(xq, xk, xv, *, num_heads, scaling, sq, zq,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g, n_kv, hd), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + extra_specs,
         out_specs=pl.BlockSpec((g, bq, hd), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
@@ -565,7 +633,7 @@ def _fused_attention_hs_blockq(xq, xk, xv, *, num_heads, scaling, sq, zq,
             + b * n_subq * hd * 5,
             transcendentals=b * num_heads * n_subq * n_lane),
         interpret=interpret,
-    )(xq, xk, xv)
+    )(*operands)
     if n_subq != nq:
         out = out[:, :nq, :]
     return out

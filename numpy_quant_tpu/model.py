@@ -1168,14 +1168,27 @@ class QModel(Model):
                     if timings is not None:
                         jax.block_until_ready(t.data)
                         timings["TinyqQuant"] += time() - stime
-                elif (idx < 2 and isinstance(t, QTensor)
-                      and t.bit_width != self.bit_width):
+                elif (isinstance(t, QTensor)
+                      and t.bit_width != self.bit_width
+                      and (idx < 2
+                           or (idx == 2 and node.op in
+                               ("FusedAttention", "FusedAttentionHS")))):
                     # Directly-chained integer matmuls (e.g. GNN message
                     # passing): requantize a 4x-width accumulator OPERAND
                     # (never the 4x-width bias at input 2) to the model
                     # bit width with this value's calibrated params.
                     # (The reference asserts out here, tensor.py:206 --
-                    # superset behavior.)
+                    # superset behavior.) Fused attention's V rides at
+                    # input 2 (bias-free projections feed it a raw
+                    # accumulator, e.g. models/t5.py); its optional
+                    # score-bias constant at input 3 stays 4x-width --
+                    # the kernel dequantizes it like the unfused Add.
+                    # Value-identical to the unfused chain: the shape
+                    # ops between the projection and the score/context
+                    # MatMul preserve the per-value global min/max, so
+                    # this value's calibrated params equal the
+                    # transposed value's the unfused entry quantize
+                    # uses.
                     qp = self.quant_params[v.name]
                     t = t.requantize(self.bit_width, qp.scale, qp.zero_point)
                 ins.append(t)
@@ -1305,12 +1318,18 @@ class QModel(Model):
                 continue
             # optional additive causal mask (decoder graphs): the
             # Softmax input may be Add(scaled scores, triangular const);
-            # the kernel applies the same additive value in VMEM
+            # the kernel applies the same additive value in VMEM.
+            # A non-causal constant Add matches as a general per-head
+            # score BIAS instead (T5 relative position bias, ALiBi,
+            # sliding-window masks) -- fused as a kernel operand.
             mask_node, mask_val = self._match_causal_mask(
                 producer, consumers, sm.inputs[0])
-            scale_val = sm.inputs[0] if mask_node is None else \
-                mask_node.inputs[1 if isinstance(mask_node.inputs[0],
-                                                 Constant) else 0]
+            bias_node, bias_const = (None, None) if mask_node is not None \
+                else self._match_score_bias(producer, sm.inputs[0])
+            add_node = mask_node if mask_node is not None else bias_node
+            scale_val = sm.inputs[0] if add_node is None else \
+                add_node.inputs[1 if isinstance(add_node.inputs[0],
+                                                Constant) else 0]
             mul = producer.get(scale_val.name)
             if mul is not None and mul.op == "MatMul":
                 # exporter pre-scaled q (or k): scores feed softmax
@@ -1362,8 +1381,8 @@ class QModel(Model):
             chain_vals = [mm1.outputs[0]]
             if mul is not None:
                 chain_vals.append(mul.outputs[0])
-            if mask_node is not None:
-                chain_vals.append(mask_node.outputs[0])
+            if add_node is not None:
+                chain_vals.append(add_node.outputs[0])
             if any(len(consumers(v)) != 1 for v in chain_vals):
                 fail(sm, "scores/probabilities have consumers outside "
                      "the attention chain")
@@ -1394,19 +1413,42 @@ class QModel(Model):
             hs = self._match_attention_hs(mm1, mm2, producer, consumers)
             if hs is not None:
                 xq, xk, xv, out_value, num_heads, dead = hs
+                f_inputs = [xq, xk, xv]
+                if bias_node is not None:
+                    bshape = bias_const.data.data.shape
+                    if len(bshape) >= 3 \
+                            and bshape[-3] not in (1, num_heads):
+                        fail(sm, f"score-bias constant head dim "
+                             f"{bshape[-3]} is not 1 or num_heads "
+                             f"{num_heads}")
+                        continue
+                    # the bias CONSTANT rides as a 4th input: the
+                    # executor dequantizes it exactly as the unfused
+                    # Add would, then the kernel adds it per head in
+                    # VMEM (kernels/attention.py score_bias)
+                    f_inputs.append(bias_const)
                 fnode = Node(f"{mm2.name}/fused_attention_hs",
                              "FusedAttentionHS",
                              dict(attrs, num_heads=num_heads),
-                             [xq, xk, xv], [out_value])
+                             f_inputs, [out_value])
                 idx = self.nodes.index(mm2)
                 self.nodes[idx] = fnode
                 for dn in dead:
                     if dn in self.nodes:
                         self.nodes.remove(dn)
-                for dn in (mm1, mul, mask_node, sm):
+                for dn in (mm1, mul, add_node, sm):
                     if dn is not None:
                         self.nodes.remove(dn)
                 fused += 1
+                continue
+
+            if bias_node is not None:
+                # the plain kernel's [BH, N, D] layout has no head index
+                # to slice a per-head bias by -- only the shape-checked
+                # head-split pattern fuses biased attention
+                fail(sm, "score-bias constant present but the head-split"
+                     " pattern did not match (bias fuses via"
+                     " FusedAttentionHS only)")
                 continue
 
             if mul is None:
@@ -1481,6 +1523,33 @@ class QModel(Model):
                 or not upper[0] < -1e4:
             return None, None
         return node, float(upper[0])
+
+    def _match_score_bias(self, producer, value):
+        """Match ``Add(x, C)`` feeding a Softmax where C is a general
+        additive score-bias constant: T5 relative position bias, ALiBi
+        slopes, sliding-window/document masks, or a combined
+        bias+causal-mask constant (T5 decoder) -- anything the causal
+        matcher above did not claim. The constant must broadcast over
+        the batch dim (every dim before the last three is 1); its last
+        three dims broadcast to the scores' [H, Nq, Nk]. Returns
+        (add_node, bias_constant_value) or (None, None). The VALUE is
+        returned, not a folded array, so execution dequantizes it
+        exactly as the unfused Add would (bit-identical fusion)."""
+        from .tensor import FTensor
+
+        node = producer.get(value.name)
+        if node is None or node.op != "Add":
+            return None, None
+        consts = [v for v in node.inputs if isinstance(v, Constant)]
+        if len(consts) != 1 or consts[0].data is None:
+            return None, None
+        d = consts[0].data
+        if not isinstance(d, (QTensor, FTensor)):
+            return None, None
+        shape = tuple(d.data.shape)
+        if len(shape) < 2 or any(s != 1 for s in shape[:-3]):
+            return None, None
+        return node, consts[0]
 
     def _match_attention_hs(self, mm1, mm2, producer, consumers):
         """Match the standard multi-head split/merge around a fused
@@ -1980,10 +2049,10 @@ class QModel(Model):
                     # kernels/attention.py) -- on ViT this narrows the
                     # LAST layer's score/context work and its whole
                     # q-projection chain from 197 rows to 1
-                    if "causal_mask_val" in p.attrs:
-                        # causal masking indexes q rows by absolute
-                        # position; a gathered q row would be masked as
-                        # row 0
+                    if "causal_mask_val" in p.attrs or len(p.inputs) > 3:
+                        # causal masking / the per-head score bias (4th
+                        # input) index q rows by absolute position; a
+                        # gathered q row would be masked/biased as row 0
                         continue
                     slice_idx = [0]
                 elif p.op in BINARY:

@@ -768,6 +768,25 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         out_requant = attrs.get("out_requant")  # set by int8_dataflow
         from .. import config as _config
         num_heads = int(attrs["num_heads"])
+        # optional 4th input (fuse_attention's score-bias match): the
+        # graph's Add(scaled scores, constant) before Softmax -- T5
+        # relative position bias, ALiBi, sliding-window masks.
+        # Dequantized here exactly as the unfused executor would, then
+        # broadcast from its [1.., H|1, nq|1, n] graph shape to the
+        # kernel's per-head [H, nq, n] layout.
+        score_bias = None
+        if len(inputs) > 3 and inputs[3] is not None:
+            bt = inputs[3]
+            if isinstance(bt, QTensor):
+                bt = bt.dequantize()
+            barr = jnp.asarray(bt.data, jnp.float32)
+            while barr.ndim > 3:
+                assert barr.shape[0] == 1, barr.shape
+                barr = barr[0]
+            if barr.ndim == 2:
+                barr = barr[None]
+            score_bias = jnp.broadcast_to(
+                barr, (num_heads, xq.data.shape[-2], xk.data.shape[-2]))
         # narrow q (dead-token elimination): a scalar token Gather
         # hoisted through the q input leaves a rank-2 [B, H*D] tensor --
         # run the kernel with ONE query row against full K/V and drop
@@ -780,9 +799,9 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         score_max = attrs.get("score_max")
         causal_mask_val = attrs.get("causal_mask_val")  # decoder graphs
 
-        def call(q_, k_, v_, heads=num_heads):
+        def call(q_, k_, v_, bias_=None, heads=num_heads):
             return fused_attention_hs(
-                q_, k_, v_,
+                q_, k_, v_, bias_,
                 num_heads=heads,
                 causal_mask_val=None if causal_mask_val is None
                 else float(causal_mask_val),
@@ -802,13 +821,23 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
 
         if _EXEC_MESH is not None and _EXEC_MESH[0] is not None:
             # GSPMD: Pallas kernels need shard_map -- batch over the
-            # data axis, heads over the model axis (heads independent)
+            # data axis, heads over the model axis (heads independent);
+            # the per-head bias shards along its head axis (axis 0) so
+            # each model shard sees exactly its heads' bias rows
             import functools as _ft
+            from jax.sharding import PartitionSpec as _P
             spec, tp = _attention_shard_spec(operands[0].shape[0],
                                              num_heads, 3)
+            specs = (spec,) * 3
+            ops = operands
+            if score_bias is not None:
+                ops = operands + (score_bias,)
+                specs = specs + (_P(spec[2], None, None),)
             out = _shard_map_kernel(
-                _ft.partial(call, heads=num_heads // tp), operands,
-                (spec,) * 3, spec)
+                _ft.partial(call, heads=num_heads // tp), ops,
+                specs, spec)
+        elif score_bias is not None:
+            out = call(*operands, score_bias)
         else:
             out = call(*operands)
         if narrow_q:

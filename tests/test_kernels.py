@@ -699,8 +699,10 @@ def test_fuse_attention_split_qkv_pattern():
 
 
 def _hs_attention_oracle(xq, xk, xv, H, scaling, sq, zq, sk, zk, sv, zv,
-                         sp, zp_p, out_requant=None):
-    """Unfused per-head reference math (q_matmul/softmax/quantize)."""
+                         sp, zp_p, out_requant=None, bias=None):
+    """Unfused per-head reference math (q_matmul/softmax/quantize).
+    ``bias`` is an optional per-head additive score constant [H, N, N]
+    (the graph's Add before Softmax -- T5 relative position bias)."""
     from numpy_quant_tpu.quantization import (
         dequantize as dq_, q_matmul, quantize as q_)
 
@@ -719,6 +721,8 @@ def _hs_attention_oracle(xq, xk, xv, H, scaling, sq, zq, sk, zk, sv, zv,
                                       np.float32(sk), np.int64(zk),
                                       bit_width=8)
             s = np.asarray(dq_(acc, scale, zp)) * np.float32(scaling)
+            if bias is not None:
+                s = s + bias[h]
             e = np.exp(s - s.max(-1, keepdims=True))
             probs = (e / e.sum(-1, keepdims=True)).astype(np.float32)
             pq = np.asarray(q_(probs, 8, np.float32(sp), np.int64(zp_p)))
@@ -815,6 +819,59 @@ def test_fused_attention_hs_causal():
                                            block_q=8, **kw))
     np.testing.assert_array_equal(fast, fast_b)
     np.testing.assert_allclose(fast, out, atol=2e-2)
+
+
+def test_fused_attention_hs_score_bias():
+    """score_bias: a per-head additive score tensor (T5 relative
+    position bias / ALiBi / sliding-window masks) applies inside the
+    kernel bit-identically to the unfused math, on the monolithic AND
+    the q-row-blocked grid (whose bias rows tile with the q tiles)."""
+    from numpy_quant_tpu.kernels.attention import fused_attention_hs
+
+    B, N, H, D = 2, 20, 3, 8
+    kw = dict(num_heads=H, scaling=0.35, sq=0.02, zq=3, sk=0.03, zk=-2,
+              sv=0.05, zv=4, sp=1 / 255., zp_p=-128, bit_width=8,
+              interpret=jax.default_backend() == "cpu")
+    rng = np.random.default_rng(9)
+    xq = rng.integers(-100, 100, size=(B, N, H * D)).astype(np.int8)
+    xk = rng.integers(-100, 100, size=(B, N, H * D)).astype(np.int8)
+    xv = rng.integers(-100, 100, size=(B, N, H * D)).astype(np.int8)
+    bias = (rng.normal(size=(H, N, N)) * 2.0).astype(np.float32)
+
+    expect = _hs_attention_oracle(xq, xk, xv, H, kw["scaling"], kw["sq"],
+                                  kw["zq"], kw["sk"], kw["zk"], kw["sv"],
+                                  kw["zv"], kw["sp"], kw["zp_p"],
+                                  bias=bias)
+    out = np.asarray(fused_attention_hs(xq, xk, xv, jnp.asarray(bias),
+                                        **kw))
+    np.testing.assert_array_equal(out, expect)
+    blocked = np.asarray(fused_attention_hs(xq, xk, xv, jnp.asarray(bias),
+                                            block_q=8, **kw))
+    np.testing.assert_array_equal(blocked, expect)
+
+    # fast path (with and without the static exp2 shift): same values
+    # within fp tolerance; blockwise == monolithic exactly
+    fast = np.asarray(fused_attention_hs(xq, xk, xv, jnp.asarray(bias),
+                                         fast=True, **kw))
+    np.testing.assert_allclose(fast, expect, atol=2e-2)
+    fast_b = np.asarray(fused_attention_hs(xq, xk, xv, jnp.asarray(bias),
+                                           fast=True, block_q=8, **kw))
+    np.testing.assert_array_equal(fast, fast_b)
+    fast_s = np.asarray(fused_attention_hs(xq, xk, xv, jnp.asarray(bias),
+                                           fast=True, score_max=3.0, **kw))
+    np.testing.assert_allclose(fast_s, expect, atol=2e-2)
+
+    # an ALiBi-shaped bias (row-broadcast [H, 1, N] slopes)
+    slopes = (0.5 ** (np.arange(1, H + 1)))[:, None, None]
+    alibi = (slopes * -np.abs(np.arange(N, dtype=np.float32))[None, None])
+    alibi = np.broadcast_to(alibi, (H, N, N)).astype(np.float32)
+    expect_a = _hs_attention_oracle(xq, xk, xv, H, kw["scaling"], kw["sq"],
+                                    kw["zq"], kw["sk"], kw["zk"], kw["sv"],
+                                    kw["zv"], kw["sp"], kw["zp_p"],
+                                    bias=alibi)
+    out_a = np.asarray(fused_attention_hs(xq, xk, xv, jnp.asarray(alibi),
+                                          **kw))
+    np.testing.assert_array_equal(out_a, expect_a)
 
 
 def test_blockwise_attention_hs_long_sequence():
