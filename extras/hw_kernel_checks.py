@@ -222,6 +222,71 @@ def main(json_path=None):
 
     record("causal_attention", causal_check)
 
+    # ---- per-head score bias (T5 relative position bias / ALiBi): the
+    # bias operand rides into VMEM; bit-identical to the unfused math
+    # on hardware, monolithic == blockwise (bias rows tile with q)
+    def score_bias_check():
+        B, N_, H, D = 4, 37, 2, 64
+        hd = H * D
+        xq = jnp.asarray(rng.integers(-128, 128, (B, N_, hd), np.int64),
+                         jnp.int8)
+        xk = jnp.asarray(rng.integers(-128, 128, (B, N_, hd), np.int64),
+                         jnp.int8)
+        xv = jnp.asarray(rng.integers(-128, 128, (B, N_, hd), np.int64),
+                         jnp.int8)
+        bias = (rng.normal(size=(H, N_, N_)) * 2.0).astype(np.float32)
+        kw = dict(num_heads=H, scaling=0.125, sq=sq, zq=zq, sk=sk, zk=zk,
+                  sv=sv, zv=zv, sp=sp, zp_p=zp_p, bit_width=8)
+        y = np.asarray(fused_attention_hs(xq, xk, xv, jnp.asarray(bias),
+                                          **kw))
+        blocked = np.asarray(fused_attention_hs(
+            xq, xk, xv, jnp.asarray(bias), block_q=16, **kw))
+        np.testing.assert_array_equal(y, blocked)
+        for b in range(B):
+            for h in range(H):
+                sl = slice(h * D, (h + 1) * D)
+                ref = ref_head(np.asarray(xq[b, :, sl], np.int64),
+                               np.asarray(xk[b, :, sl], np.int64),
+                               np.asarray(xv[b, :, sl], np.int64), 0.125,
+                               requant=False, mask=bias[h])
+                np.testing.assert_array_equal(y[b, :, sl], ref)
+
+    record("score_bias_attention", score_bias_check)
+
+    # ---- sliding-window (banded causal) mask on hardware: the window
+    # band must index rows/cols by absolute position on both grids
+    def sliding_window_check():
+        B, N_, H, D = 4, 37, 2, 64
+        W = 9
+        hd = H * D
+        M = float(np.float32(-3.2e8))
+        xq = jnp.asarray(rng.integers(-128, 128, (B, N_, hd), np.int64),
+                         jnp.int8)
+        xk = jnp.asarray(rng.integers(-128, 128, (B, N_, hd), np.int64),
+                         jnp.int8)
+        xv = jnp.asarray(rng.integers(-128, 128, (B, N_, hd), np.int64),
+                         jnp.int8)
+        kw = dict(num_heads=H, scaling=0.125, sq=sq, zq=zq, sk=sk, zk=zk,
+                  sv=sv, zv=zv, sp=sp, zp_p=zp_p, bit_width=8,
+                  causal_mask_val=M, causal_window=W)
+        y = np.asarray(fused_attention_hs(xq, xk, xv, **kw))
+        blocked = np.asarray(fused_attention_hs(xq, xk, xv, block_q=16,
+                                                **kw))
+        np.testing.assert_array_equal(y, blocked)
+        i, j = np.indices((N_, N_))
+        band = np.where((j <= i) & (j > i - W), np.float32(0),
+                        np.float32(M))
+        for b in range(B):
+            for h in range(H):
+                sl = slice(h * D, (h + 1) * D)
+                ref = ref_head(np.asarray(xq[b, :, sl], np.int64),
+                               np.asarray(xk[b, :, sl], np.int64),
+                               np.asarray(xv[b, :, sl], np.int64), 0.125,
+                               requant=False, mask=band)
+                np.testing.assert_array_equal(y[b, :, sl], ref)
+
+    record("sliding_window_attention", sliding_window_check)
+
     # ---- causal mask on the PLAIN (non-head-split) kernel, at a
     # blockwise N: the q-row tiles must mask by ABSOLUTE row position
     # (models/llama.py RoPE/GQA graphs fuse through this path)

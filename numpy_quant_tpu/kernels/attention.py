@@ -56,7 +56,8 @@ def _largest_divisor(n: int, cap: int) -> int:
 
 def _attention_kernel(q_ref, kt_ref, v_ref, o_ref, *, n_real, d_real,
                       scaling, sq, zq, sk, zk, sv, zv, sp, zp_p, bit_width,
-                      out_requant, causal_val=None, causal_axis=None):
+                      out_requant, causal_val=None, causal_axis=None,
+                      causal_window=None):
     n_lane = kt_ref.shape[-1]
     q = q_ref[...]    # [G, n_pad, d_pad] int8
     kt = kt_ref[...]  # [G, d_pad, n_lane] int8
@@ -86,12 +87,19 @@ def _attention_kernel(q_ref, kt_ref, v_ref, o_ref, *, n_real, d_real,
     if causal_val is not None:
         # decoder causal mask: the same f32 add the unfused graph's
         # Add(mask) performs, applied in VMEM (q-row tile offset from
-        # the grid under the blockwise q split, as in the HS kernel)
+        # the grid under the blockwise q split, as in the HS kernel).
+        # ``causal_window`` bands the visible region (Mistral-style
+        # sliding-window attention): only the last `window` positions
+        # at or before the query row stay unmasked.
         off = 0 if causal_axis is None \
             else pl.program_id(causal_axis) * q.shape[1]
         rowc = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + off
         colc = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        s = s + jnp.where(colc <= rowc, np.float32(0.0),
+        visible = colc <= rowc
+        if causal_window is not None:
+            visible = jnp.logical_and(
+                visible, colc > rowc - np.int32(causal_window))
+        s = s + jnp.where(visible, np.float32(0.0),
                           np.float32(causal_val))
 
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
@@ -135,7 +143,8 @@ def _attention_hs_kernel(q_ref, k_ref, v_ref, *rest, n_real, num_heads,
                          d, scaling, sq, zq, sk, zk, sv, zv, sp, zp_p,
                          bit_width, out_requant, hijack, fast,
                          score_max=None, nq_real=None, causal_val=None,
-                         causal_axis=None, has_bias=False):
+                         causal_axis=None, causal_window=None,
+                         has_bias=False):
     """Head-splitting kernel body: G batch rows per grid step, heads
     unrolled, NT score dots on 64-lane head slices -- no XLA-side head
     reshuffles or d-padding at all.
@@ -181,12 +190,18 @@ def _attention_hs_kernel(q_ref, k_ref, v_ref, *rest, n_real, num_heads,
         mask constant, dequantized) above the diagonal -- the same f32
         add the unfused graph's Add(mask) performs, applied in VMEM
         instead of materializing [B,H,N,N] in HBM. Under the blockwise
-        grid the q-row tile's absolute offset comes from the grid."""
+        grid the q-row tile's absolute offset comes from the grid.
+        ``causal_window`` bands the visible region (Mistral-style
+        sliding-window attention)."""
         off = 0 if causal_axis is None \
             else pl.program_id(causal_axis) * n_sub
         rowc = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + off
         colc = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        return s + jnp.where(colc <= rowc, np.float32(0.0), mask_val)
+        visible = colc <= rowc
+        if causal_window is not None:
+            visible = jnp.logical_and(
+                visible, colc > rowc - np.int32(causal_window))
+        return s + jnp.where(visible, np.float32(0.0), mask_val)
     qa = q_ref[...]   # [G, n_sub, H*D] int8 (row nq_real = ones when zq)
     ka = k_ref[...]   # [G, n_lane, H*D] int8 (row n_real = ones when zk)
     va = v_ref[...]   # [G, n_lane, H*D] int8 (pad rows = zv)
@@ -367,7 +382,7 @@ _BLOCKWISE_N = 1024
     static_argnames=("num_heads", "scaling", "sq", "zq", "sk", "zk", "sv",
                      "zv", "sp", "zp_p", "bit_width", "out_requant",
                      "fast", "score_max", "block_q", "causal_mask_val",
-                     "interpret"))
+                     "causal_window", "interpret"))
 def fused_attention_hs(xq, xk, xv, score_bias=None, *, num_heads: int,
                        scaling: float,
                        sq: float, zq: int, sk: float, zk: int, sv: float,
@@ -376,6 +391,7 @@ def fused_attention_hs(xq, xk, xv, score_bias=None, *, num_heads: int,
                        score_max: float | None = None,
                        block_q: int | None = None,
                        causal_mask_val: float | None = None,
+                       causal_window: int | None = None,
                        interpret: bool = False):
     """Head-splitting fused attention: xq/xk/xv are [B, N, H*D] int8 --
     the raw Q/K/V projection outputs. Head split, transposes, scores,
@@ -426,7 +442,8 @@ def fused_attention_hs(xq, xk, xv, score_bias=None, *, num_heads: int,
             sk=sk, zk=zk, sv=sv, zv=zv, sp=sp, zp_p=zp_p,
             bit_width=bit_width, out_requant=out_requant, fast=fast,
             score_max=score_max, block_q=block_q or 256,
-            causal_mask_val=causal_mask_val, interpret=interpret)
+            causal_mask_val=causal_mask_val, causal_window=causal_window,
+            interpret=interpret)
     # Both paths keep the ones-row hijack: the planted rows make the
     # correction sums fall out of the SAME MXU dots. Computing the
     # k-col-sums in-kernel instead (fast path, hijack off, q rows 200
@@ -480,6 +497,7 @@ def fused_attention_hs(xq, xk, xv, score_bias=None, *, num_heads: int,
         score_max=None if score_max is None else np.float32(score_max),
         causal_val=None if causal_mask_val is None
         else np.float32(causal_mask_val), causal_axis=None,
+        causal_window=None if causal_window is None else int(causal_window),
         has_bias=score_bias is not None)
 
     operands = [xq, xk, xv]
@@ -540,7 +558,8 @@ def _fused_attention_hs_blockq(xq, xk, xv, score_bias=None, *, num_heads,
                                scaling, sq, zq,
                                sk, zk, sv, zv, sp, zp_p, bit_width,
                                out_requant, fast, score_max, block_q,
-                               causal_mask_val=None, interpret=False):
+                               causal_mask_val=None, causal_window=None,
+                               interpret=False):
     """Blockwise (flash-style) grid for long sequences: q rows stream
     in block_q tiles, K/V stay whole in VMEM per batch row. The kernel
     BODY is the same ``_attention_hs_kernel`` with hijack=False -- its
@@ -585,6 +604,7 @@ def _fused_attention_hs_blockq(xq, xk, xv, score_bias=None, *, num_heads,
         # q rows stream in bq tiles: the tile's absolute row offset is
         # grid axis 1 (program_id * tile rows) inside the kernel
         causal_axis=None if causal_mask_val is None else 1,
+        causal_window=None if causal_window is None else int(causal_window),
         has_bias=score_bias is not None)
 
     operands = [xq, xk, xv]
@@ -643,12 +663,13 @@ def _fused_attention_hs_blockq(xq, xk, xv, score_bias=None, *, num_heads,
     jax.jit,
     static_argnames=("scaling", "sq", "zq", "sk", "zk", "sv", "zv",
                      "sp", "zp_p", "bit_width", "out_requant",
-                     "causal_mask_val", "interpret"))
+                     "causal_mask_val", "causal_window", "interpret"))
 def fused_attention(q, kt, v, *, scaling: float, sq: float, zq: int,
                     sk: float, zk: int, sv: float, zv: int, sp: float,
                     zp_p: int, bit_width: int = 8,
                     out_requant: tuple | None = None,
                     causal_mask_val: float | None = None,
+                    causal_window: int | None = None,
                     interpret: bool = False):
     """q: [BH, N, D] int8; kt: [BH, D, N] int8; v: [BH, N, D] int8.
     Returns float32 [BH, N, D] (dequantized attention context), or int8
@@ -696,7 +717,8 @@ def fused_attention(q, kt, v, *, scaling: float, sq: float, zq: int,
          None if out_requant[1] is None else np.float32(out_requant[1])),
         causal_val=None if causal_mask_val is None
         else np.float32(causal_mask_val),
-        causal_axis=None if causal_mask_val is None else 1)
+        causal_axis=None if causal_mask_val is None else 1,
+        causal_window=None if causal_window is None else int(causal_window))
 
     out_dtype = jnp.float32 if out_requant is None else jnp.int8
     out = pl.pallas_call(

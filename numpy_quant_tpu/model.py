@@ -1393,7 +1393,10 @@ class QModel(Model):
                      "probs_zero_point": 0 if probs_qp.zero_point is None
                      else int(probs_qp.zero_point)}
             if mask_node is not None:
-                attrs["causal_mask_val"] = mask_val
+                attrs["causal_mask_val"] = mask_val[0]
+                if mask_val[1] is not None:
+                    # banded (sliding-window) causal mask
+                    attrs["causal_window"] = mask_val[1]
             # calibrated max of the softmax INPUT: the fast serving
             # kernel uses it as a STATIC exp2 shift instead of the
             # per-row max-subtract reduce pass (softmax is shift-
@@ -1490,12 +1493,15 @@ class QModel(Model):
 
     def _match_causal_mask(self, producer, consumers, value):
         """Match ``Add(x, C)`` feeding a Softmax where C dequantizes to
-        a causal additive mask: 0 on/below the diagonal, ONE large
-        negative value above it (the decoder-exporter idiom,
-        models/gpt.py). Returns (add_node, mask_value) -- mask_value is
-        the EXECUTOR-exact dequantized constant, so the fused kernel's
-        in-VMEM add is bit-identical to the unfused graph's -- or
-        (None, None)."""
+        a causal additive mask: 0 on a (possibly BANDED) region at or
+        below the diagonal, ONE large negative value everywhere else --
+        the decoder-exporter idiom (models/gpt.py), including
+        Mistral-style sliding windows (models/llama.py
+        mistral_causal_lm). Returns (add_node, (mask_value, window)) --
+        mask_value is the EXECUTOR-exact dequantized constant and
+        window the band width (None = full causal), so the fused
+        kernel's in-VMEM add is bit-identical to the unfused graph's --
+        or (None, None)."""
         from .tensor import FTensor
 
         node = producer.get(value.name)
@@ -1515,14 +1521,21 @@ class QModel(Model):
                 or any(s != 1 for s in arr.shape[:-2]):
             return None, None
         m = arr.reshape(arr.shape[-2], arr.shape[-1])
-        lower = np.tril(np.ones(m.shape, bool))
-        if not (m[lower] == 0).all():
+        n = m.shape[0]
+        # band width from the last row's visible run (full causal = n)
+        window = int((m[n - 1] == 0).sum())
+        if window == 0:
             return None, None
-        upper = m[~lower]
-        if upper.size == 0 or not (upper == upper[0]).all() \
-                or not upper[0] < -1e4:
+        i, j = np.indices(m.shape)
+        visible = (j <= i) & (j > i - window)
+        if not (m[visible] == 0).all():
             return None, None
-        return node, float(upper[0])
+        masked = m[~visible]
+        if masked.size == 0:
+            return None, None  # window == n == 1: nothing to fuse on
+        if not (masked == masked[0]).all() or not masked[0] < -1e4:
+            return None, None
+        return node, (float(masked[0]), None if window >= n else window)
 
     def _match_score_bias(self, producer, value):
         """Match ``Add(x, C)`` feeding a Softmax where C is a general

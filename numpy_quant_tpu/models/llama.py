@@ -107,10 +107,13 @@ def _rope_tables(module, seq_len: int):
 
 
 def _llama_attention(e: _ViTEmitter, x: str, attn, seq_len: int,
-                     cos: str, sin: str, name: str) -> str:
+                     cos: str, sin: str, name: str,
+                     window: int | None = None) -> str:
     """LlamaAttention (eager): separate q/k/v projections, RoPE on q/k,
     grouped-query repeat of k/v, causal additive mask, softmax,
-    context, o_proj."""
+    context, o_proj. ``window`` bands the causal mask (Mistral-style
+    sliding-window attention: only the last ``window`` positions at or
+    before each query stay visible)."""
     g = e.g
     cfg = attn.config
     n_heads = cfg.num_attention_heads
@@ -145,7 +148,10 @@ def _llama_attention(e: _ViTEmitter, x: str, attn, seq_len: int,
                    "scaling")
     scaled = g.node("Mul", [scores, scal], out=f"{name}/scaled")
 
-    mask = np.triu(np.full((seq_len, seq_len), np.float32(-1e9)), k=1)
+    i, j = np.indices((seq_len, seq_len))
+    visible = (j <= i) if window is None \
+        else (j <= i) & (j > i - int(window))
+    mask = np.where(visible, np.float32(0), np.float32(-1e9))
     mc = g.init(f"{name}.causal_mask", mask[None, None].astype(np.float32))
     masked = g.node("Add", [scaled, mc], out=f"{name}/masked")
 
@@ -172,13 +178,14 @@ def _swiglu_mlp(e: _ViTEmitter, x: str, mlp, name: str) -> str:
 
 
 def _llama_block(e: _ViTEmitter, x: str, layer, seq_len: int,
-                 cos: str, sin: str, name: str) -> str:
+                 cos: str, sin: str, name: str,
+                 window: int | None = None) -> str:
     """LlamaDecoderLayer: pre-RMSNorm attention + residual,
     pre-RMSNorm SwiGLU MLP + residual."""
     g = e.g
     ln1 = _rms_norm(e, x, layer.input_layernorm, f"{name}.input_norm")
     att = _llama_attention(e, ln1, layer.self_attn, seq_len, cos, sin,
-                           f"{name}.self_attn")
+                           f"{name}.self_attn", window=window)
     x1 = g.node("Add", [att, x], out=f"{name}/residual1")
     ln2 = _rms_norm(e, x1, layer.post_attention_layernorm,
                     f"{name}.post_norm")
@@ -221,8 +228,13 @@ def llama_causal_lm(config=None, batch_size: int = 2, seq_len: int = 16,
     cos = g.init("rope.cos", cos_np)
     sin = g.init("rope.sin", sin_np)
 
+    # Mistral-style configs band the causal mask to the last
+    # `sliding_window` positions; the fused-attention matcher folds the
+    # banded constant into the kernel (causal_window)
+    window = getattr(config, "sliding_window", None)
     for i, layer in enumerate(module.model.layers):
-        h = _llama_block(e, h, layer, seq_len, cos, sin, f"layers.{i}")
+        h = _llama_block(e, h, layer, seq_len, cos, sin, f"layers.{i}",
+                         window=window)
     h = _rms_norm(e, h, module.model.norm, "norm")
 
     head = g.init("lm_head.weight_t", _np(module.lm_head.weight).T)
@@ -234,6 +246,37 @@ def llama_causal_lm(config=None, batch_size: int = 2, seq_len: int = 16,
     model._wte = _np(module.model.embed_tokens.weight)  # [vocab, hidden]
     model._head_dim = head_dim
     return model
+
+
+def mistral_default_config(seq_len: int = 16, sliding_window: int = 6):
+    from transformers import MistralConfig
+
+    return MistralConfig(vocab_size=96, hidden_size=32,
+                         intermediate_size=48, num_hidden_layers=2,
+                         num_attention_heads=4, num_key_value_heads=2,
+                         sliding_window=sliding_window,
+                         max_position_embeddings=seq_len,
+                         attn_implementation="eager")
+
+
+def mistral_causal_lm(config=None, batch_size: int = 2, seq_len: int = 16,
+                      seed: int = 0):
+    """Mistral-style causal LM: the LLaMA block structure (RMSNorm +
+    RoPE + SwiGLU + GQA) with SLIDING-WINDOW attention -- the banded
+    causal mask constant that the fused-attention matcher folds into
+    the kernels' ``causal_window``. Lowered from a live
+    MistralForCausalLM module (same emitter: the module is
+    llama-shaped), verified against its torch forward in tests."""
+    import torch
+    from transformers.models.mistral.modeling_mistral import (
+        MistralForCausalLM)
+
+    torch.manual_seed(seed)
+    if config is None:
+        config = mistral_default_config(seq_len)
+    module = MistralForCausalLM(config).eval()
+    return llama_causal_lm(batch_size=batch_size, seq_len=seq_len,
+                           module=module)
 
 
 def _llama_decode_attention(e: _ViTEmitter, x: str, attn, layer_idx: int,

@@ -718,6 +718,10 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
 
         out_requant = attrs.get("out_requant")  # set by int8_dataflow
         causal_mask_val = attrs.get("causal_mask_val")  # decoder graphs
+        # banded (Mistral sliding-window) variant of the causal mask
+        causal_window = attrs.get("causal_window")
+        if causal_window is not None:
+            causal_window = int(causal_window)
         operands = (q.data.astype(jnp.int8).reshape(-1, n, d),
                     kt.data.astype(jnp.int8).reshape(-1, d, n),
                     v.data.astype(jnp.int8).reshape(-1, n, d))
@@ -727,6 +731,7 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
                 q_, kt_, v_,
                 causal_mask_val=None if causal_mask_val is None
                 else float(causal_mask_val),
+                causal_window=causal_window,
                 scaling=float(attrs["scaling"]),
                 sq=float(np.float32(q.scale)), zq=zp_of(q),
                 sk=float(np.float32(kt.scale)), zk=zp_of(kt),
@@ -798,6 +803,10 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
 
         score_max = attrs.get("score_max")
         causal_mask_val = attrs.get("causal_mask_val")  # decoder graphs
+        # banded (Mistral sliding-window) variant of the causal mask
+        causal_window = attrs.get("causal_window")
+        if causal_window is not None:
+            causal_window = int(causal_window)
 
         def call(q_, k_, v_, bias_=None, heads=num_heads):
             return fused_attention_hs(
@@ -805,6 +814,7 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
                 num_heads=heads,
                 causal_mask_val=None if causal_mask_val is None
                 else float(causal_mask_val),
+                causal_window=causal_window,
                 # fp-tolerance serving mode (bfloat16 float segments):
                 # fewer-VPU-passes softmax; f32 keeps the bit-exact path
                 fast=_config.float_dtype == jnp.bfloat16,

@@ -874,6 +874,54 @@ def test_fused_attention_hs_score_bias():
     np.testing.assert_array_equal(out_a, expect_a)
 
 
+def test_fused_attention_hs_sliding_window():
+    """causal_window (Mistral-style banded causal mask): bit-identical
+    to the unfused banded-mask math on the monolithic and q-row-blocked
+    grids, exact and fast paths, and on the PLAIN kernel."""
+    from numpy_quant_tpu.kernels.attention import (fused_attention,
+                                                   fused_attention_hs)
+
+    B, N, H, D = 2, 20, 2, 8
+    W = 5
+    M = float(np.float32(-3.2e8))
+    kw = dict(num_heads=H, scaling=0.35, sq=0.02, zq=3, sk=0.03, zk=-2,
+              sv=0.05, zv=4, sp=1 / 255., zp_p=-128, bit_width=8,
+              causal_mask_val=M, causal_window=W,
+              interpret=jax.default_backend() == "cpu")
+    rng = np.random.default_rng(13)
+    xq = rng.integers(-100, 100, size=(B, N, H * D)).astype(np.int8)
+    xk = rng.integers(-100, 100, size=(B, N, H * D)).astype(np.int8)
+    xv = rng.integers(-100, 100, size=(B, N, H * D)).astype(np.int8)
+
+    i, j = np.indices((N, N))
+    band = np.where((j <= i) & (j > i - W), np.float32(0),
+                    np.float32(M))
+    expect = _hs_attention_oracle(
+        xq, xk, xv, H, kw["scaling"], kw["sq"], kw["zq"], kw["sk"],
+        kw["zk"], kw["sv"], kw["zv"], kw["sp"], kw["zp_p"],
+        bias=np.broadcast_to(band, (H, N, N)))
+    out = np.asarray(fused_attention_hs(xq, xk, xv, **kw))
+    np.testing.assert_array_equal(out, expect)
+    blocked = np.asarray(fused_attention_hs(xq, xk, xv, block_q=8, **kw))
+    np.testing.assert_array_equal(blocked, expect)
+    fast = np.asarray(fused_attention_hs(xq, xk, xv, fast=True, **kw))
+    np.testing.assert_allclose(fast, expect, atol=2e-2)
+
+    # plain kernel (the llama/mistral fusion path): per-head layout
+    q4 = np.ascontiguousarray(
+        xq.reshape(B, N, H, D).transpose(0, 2, 1, 3)).reshape(-1, N, D)
+    k4 = np.ascontiguousarray(
+        xk.reshape(B, N, H, D).transpose(0, 2, 3, 1)).reshape(-1, D, N)
+    v4 = np.ascontiguousarray(
+        xv.reshape(B, N, H, D).transpose(0, 2, 1, 3)).reshape(-1, N, D)
+    kwp = dict(kw)
+    kwp.pop("num_heads")
+    outp = np.asarray(fused_attention(q4, k4, v4, **kwp))
+    expect_p = expect.reshape(B, N, H, D).transpose(0, 2, 1, 3) \
+        .reshape(-1, N, D)
+    np.testing.assert_array_equal(outp, expect_p)
+
+
 def test_blockwise_attention_hs_long_sequence():
     """N=4096: the monolithic layout would need [rows, 4096] x 4096 f32
     score temps (>190 MB VMEM) and cannot run; the auto-selected

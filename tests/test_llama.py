@@ -156,3 +156,44 @@ def test_causal_attention_fuses_bit_identical(llama):
     np.testing.assert_array_equal(np.asarray(q([embeds])[0]), base)
     np.testing.assert_array_equal(
         generate(q, prompt, proto._wte, max_new_tokens=6), seq)
+
+
+def test_mistral_sliding_window_matches_torch():
+    """Mistral-style banded causal mask: the llama emitter with a
+    sliding window, verified against the live MistralForCausalLM."""
+    import torch
+
+    from numpy_quant_tpu.models.llama import mistral_causal_lm
+
+    proto = mistral_causal_lm(batch_size=2, seq_len=16, seed=0)
+    model = nq.Model.from_onnx(proto)
+    assert proto._torch_module.config.sliding_window == 6
+    embeds = RNG.normal(size=(2, 16, 32)).astype(np.float32)
+    got = model([embeds])[0]
+    with torch.no_grad():
+        want = proto._torch_module(
+            inputs_embeds=torch.from_numpy(embeds)).logits.numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_mistral_window_fuses_bit_identical():
+    """The banded mask constant folds into the fused kernels'
+    causal_window; fused == unfused bit-for-bit."""
+    from numpy_quant_tpu.models.llama import mistral_causal_lm
+
+    proto = mistral_causal_lm(batch_size=2, seq_len=16, seed=0)
+    model = nq.Model.from_onnx(proto)
+    embeds = RNG.normal(size=(2, 16, 32)).astype(np.float32)
+    q = model.quantize([embeds], bit_width=8)
+    base = np.asarray(q([embeds])[0])
+
+    rep = q.optimize()
+    assert rep["fuse_attention"] == 2, rep
+    assert rep["fusion_failures"] == []
+    fnodes = [n for n in q.nodes
+              if n.op in ("FusedAttention", "FusedAttentionHS")]
+    assert len(fnodes) == 2
+    assert all(n.attrs.get("causal_window") == 6 for n in fnodes), \
+        [n.attrs for n in fnodes]
+
+    np.testing.assert_array_equal(np.asarray(q([embeds])[0]), base)
