@@ -37,6 +37,26 @@ def conv2d_nchw(x, w, b, pads, strides, dilations=(1, 1), group=1):
     return y
 
 
+def conv1d_ncl(x, w, b, pads, strides, dilations=(1,), group=1):
+    """x: [B, C, L]; w: [O, C/group, K]; b: [O] or None.
+    pads: ONNX order (P0, P1); strides: (S,). One-spatial-dim variant
+    of :func:`conv2d_nchw` (ONNX Conv is rank-generic; audio frontends
+    like Whisper's mel conv stack use it at rank 3)."""
+    p0, p1 = (int(p) for p in pads)
+    y = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(int(strides[0]),),
+        padding=((p0, p1),),
+        rhs_dilation=(int(dilations[0]),),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=int(group),
+        precision=config.float_matmul_precision,
+    )
+    if b is not None:
+        y = y + b.reshape(1, -1, 1)
+    return y
+
+
 def extract_sliding_windows_nhwc(x, ksize, pads, strides):
     """im2col patches: x [B, H, W, C] -> [B, OH, OW, KH*KW*C].
 

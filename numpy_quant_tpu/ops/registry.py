@@ -401,9 +401,23 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         x, w = inputs[0], inputs[1]
         b = inputs[2] if len(inputs) > 2 else None
         group = int(attrs.get("group", 1))
-        pads = tuple(attrs.get("pads", (0, 0, 0, 0)))
-        strides = tuple(attrs.get("strides", (1, 1)))
-        dils = tuple(attrs.get("dilations", (1, 1)))
+        n_spatial = x.data.ndim - 2  # ONNX Conv is rank-generic
+        pads = tuple(attrs.get("pads", (0,) * (2 * n_spatial)))
+        strides = tuple(attrs.get("strides", (1,) * n_spatial))
+        dils = tuple(attrs.get("dilations", (1,) * n_spatial))
+        if n_spatial == 1:
+            # 1-D conv (audio frontends, e.g. models/whisper.py) always
+            # runs in float -- the reference's quantized-graph Conv
+            # semantics (SURVEY.md §3.4); the integer im2col path
+            # (quantize_conv) covers 2-D convs only, so under
+            # quantize_conv the executor-quantized operands dequantize
+            # back here.
+            from .conv import conv1d_ncl
+            x, w, b = (t.dequantize() if isinstance(t, QTensor) else t
+                       for t in (x, w, b))
+            return [FTensor(conv1d_ncl(
+                x.data, w.data, None if b is None else b.data,
+                pads, strides, dils, group))]
         if isinstance(x, QTensor):
             from ..tensor import qconv2d
             return [qconv2d(x, w, b, pads, strides, dils, group)]

@@ -349,6 +349,11 @@ def generate_seq2seq(enc_model, dec_model, src_ids: np.ndarray,
     graph's fixed target length; its causal self-attention guarantees
     the padded tail never influences live positions (cross-attention
     reads the full memory, which is position-independent).
+
+    ``src_ids`` may instead be a FLOAT array: it then feeds the encoder
+    directly (audio features / raw embeds -- models/whisper.py's
+    ``input_features``) and ``wte`` is used only for the decoder's
+    token-embedding gather.
     """
     src_ids = np.asarray(src_ids)
     batch = src_ids.shape[0]
@@ -383,7 +388,9 @@ def generate_seq2seq(enc_model, dec_model, src_ids: np.ndarray,
 
     @jax.jit
     def run(src, enc_params, dec_params, wte_j):
-        memory = enc_fwd([jnp.take(wte_j, src, axis=0)], enc_params)[0]
+        enc_in = src if jnp.issubdtype(src.dtype, jnp.floating) \
+            else jnp.take(wte_j, src, axis=0)
+        memory = enc_fwd([enc_in], enc_params)[0]
         start = jnp.full((batch,), decoder_start_id, jnp.int32)
         embeds = jnp.zeros((batch, length, wte_j.shape[1]), jnp.float32)
         embeds = embeds.at[:, 0, :].set(jnp.take(wte_j, start, axis=0))
@@ -394,7 +401,9 @@ def generate_seq2seq(enc_model, dec_model, src_ids: np.ndarray,
             (embeds, ids, memory, key))
         return ids
 
-    out = run(jnp.asarray(src_ids, jnp.int32),
+    src = jnp.asarray(src_ids) if np.issubdtype(src_ids.dtype, np.floating) \
+        else jnp.asarray(src_ids, jnp.int32)
+    out = run(src,
               enc_model._placed_params(), dec_model._placed_params(),
               jnp.asarray(wte, jnp.float32))
     return np.asarray(out)[:, : 1 + max_new_tokens]
