@@ -430,7 +430,8 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
                 wpe: np.ndarray, max_new_tokens: int,
                 temperature: float = None, top_k: int = None,
                 top_p: float = None, key=None,
-                kv_cache_dtype: str = None, rope=None) -> np.ndarray:
+                kv_cache_dtype: str = None, rope=None,
+                memory: np.ndarray = None) -> np.ndarray:
     """Autoregressive decode through the KV-cache step graph
     (models/gpt.py gpt_decode_step): one token per step at O(L) cost,
     the whole loop -- prefill (teacher-forced) and generation -- ONE
@@ -450,10 +451,18 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
     (models/llama.py llama_decode_step): the position-t rows are fed as
     the graph's ``cos_step``/``sin_step`` inputs and ``wpe`` may be
     None (rotary models have no additive position embedding).
+
+    ``memory=`` ([B, S, d], an encoder output) switches to the seq2seq
+    step layout (models/whisper.py whisper_decode_step): the graph's
+    ``encoder_memory`` input rides after the mask. It is loop-invariant
+    inside the decode while-loop, so XLA hoists the cross-attention K/V
+    projections out of the body -- they compute once per call, not per
+    token.
     """
     prompt_ids = np.asarray(prompt_ids)
     batch, t0 = prompt_ids.shape
-    cache_start = 2 if rope is None else 4
+    cache_start = (2 if rope is None else 4) \
+        + (0 if memory is None else 1)
     n_layer, b, nh, length, hd = _kv_layout(step_model, cache_start)
     if b != batch:
         raise ValueError(f"graph batch {b} != prompt batch {batch}")
@@ -469,6 +478,7 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
         sin_j = jnp.asarray(rope[1], jnp.float32)
     else:
         cos_j = sin_j = None
+    mem_j = None if memory is None else jnp.asarray(memory, jnp.float32)
     fwd = step_model.lowered_fn()
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -503,7 +513,7 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
     # params and the embedding/RoPE tables enter as jit ARGUMENTS, not
     # closure constants (closed-over arrays embed into the HLO body)
     @jax.jit
-    def run(prompt, params, wte_j, wpe_j, cos_j, sin_j):
+    def run(prompt, params, wte_j, wpe_j, cos_j, sin_j, mem_j):
         def body(t, carry):
             ids, caches, key = carry
             tok = jnp.take(ids, t, axis=1)
@@ -516,6 +526,8 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
                 extra = [
                     jax.lax.dynamic_slice_in_dim(cos_j, t, 1, axis=2),
                     jax.lax.dynamic_slice_in_dim(sin_j, t, 1, axis=2)]
+            if mem_j is not None:
+                extra = extra + [mem_j]
             flat = [c for pair in caches for c in pair]
             outs = fwd([x, _step_mask(t, length)] + extra + flat, params)
             row = outs[0][:, 0, :]
@@ -553,21 +565,21 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
 
     return np.asarray(run(jnp.asarray(prompt_ids, jnp.int32),
                           step_model._placed_params(), wte_j, wpe_j,
-                          cos_j, sin_j))
+                          cos_j, sin_j, mem_j))
 
 
 def decode_calibration(step_model, prompt_ids: np.ndarray,
                        wte: np.ndarray, wpe: np.ndarray,
-                       rope=None) -> list:
+                       rope=None, memory: np.ndarray = None) -> list:
     """Replay ``prompt_ids`` (teacher-forced) through the float decode
     step and return one input-list per step -- per-step calibration
     batches for quantizing the step graph. Compose with
     ``Model.calibration_stats`` + ``utils.merge_calibration_stats``,
-    then ``quantize(stats=...)``. ``rope``/``wpe`` as in
+    then ``quantize(stats=...)``. ``rope``/``wpe``/``memory`` as in
     :func:`generate_kv`."""
     prompt_ids = np.asarray(prompt_ids)
     batch, t0 = prompt_ids.shape
-    cache_start = 2 if rope is None else 4
+    cache_start = (2 if rope is None else 4) + (0 if memory is None else 1)
     n_layer, b, nh, length, hd = _kv_layout(step_model, cache_start)
     caches = [np.zeros((batch, nh, length, hd), np.float32)
               for _ in range(2 * n_layer)]
@@ -582,6 +594,8 @@ def decode_calibration(step_model, prompt_ids: np.ndarray,
         if rope is not None:
             extra = [np.asarray(rope[0][:, :, t : t + 1, :], np.float32),
                      np.asarray(rope[1][:, :, t : t + 1, :], np.float32)]
+        if memory is not None:
+            extra = extra + [np.asarray(memory, np.float32)]
         inputs = [x, mask] + extra + [c.copy() for c in caches]
         out.append(inputs)
         res = step_model(inputs)

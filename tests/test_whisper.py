@@ -130,3 +130,73 @@ def test_whisper_quantized_accuracy(whisper):
     q.optimize()
     got = np.asarray(q([feats, dtgt])[0])
     assert np.abs(got - f).mean() <= 0.1
+
+
+def test_whisper_kv_decode_matches_full_form():
+    """The seq2seq KV-cache step graph (cross-attention over the
+    loop-invariant encoder memory, self-attention against the cache)
+    decodes the same greedy tokens as the full-form loop and torch."""
+    import torch
+
+    from numpy_quant_tpu.models.whisper import whisper_decode_step
+    from numpy_quant_tpu.utils import generate_kv
+
+    enc_proto = whisper_encoder(batch_size=2, seed=0)
+    enc = nq.Model.from_onnx(enc_proto)
+    step_proto = whisper_decode_step(batch_size=2, max_len=8, seed=0)
+    step = nq.Model.from_onnx(step_proto)
+    module = enc_proto._torch_module
+    start = module.config.decoder_start_token_id
+    feats = _feats()
+
+    ids = np.full((2, 1), start, np.int64)
+    with torch.no_grad():
+        for _ in range(6):
+            logits = module(input_features=torch.from_numpy(feats),
+                            decoder_input_ids=torch.from_numpy(ids)).logits
+            nxt = logits[:, -1, :].argmax(-1).numpy()
+            ids = np.concatenate([ids, nxt[:, None]], axis=1)
+
+    memory = np.asarray(enc([feats])[0])
+    prompt = np.full((2, 1), start, np.int32)
+    got = generate_kv(step, prompt, step_proto._wte, step_proto._wpe,
+                      max_new_tokens=6, memory=memory)
+    np.testing.assert_array_equal(got, ids)
+
+
+def test_whisper_kv_decode_quantized():
+    """int8 PTQ of the step graph via memory-aware decode_calibration;
+    the int8 KV cache stays bit-identical to the float-carry run."""
+    from numpy_quant_tpu.models.whisper import whisper_decode_step
+    from numpy_quant_tpu.utils import (decode_calibration, generate_kv,
+                                       merge_calibration_stats)
+
+    enc_proto = whisper_encoder(batch_size=2, seed=0)
+    enc = nq.Model.from_onnx(enc_proto)
+    step_proto = whisper_decode_step(batch_size=2, max_len=8, seed=0)
+    step = nq.Model.from_onnx(step_proto)
+    start = enc_proto._torch_module.config.decoder_start_token_id
+    feats = _feats()
+    memory = np.asarray(enc([feats])[0])
+    prompt = np.concatenate(
+        [np.full((2, 1), start, np.int32),
+         RNG.integers(0, 96, size=(2, 2)).astype(np.int32)], axis=1)
+
+    f_seq = generate_kv(step, prompt, step_proto._wte, step_proto._wpe,
+                        max_new_tokens=4, memory=memory)
+
+    batches = decode_calibration(step, prompt, step_proto._wte,
+                                 step_proto._wpe, memory=memory)
+    stats = merge_calibration_stats(
+        *[step.calibration_stats(b) for b in batches])
+    qstep = step.quantize(stats=stats, bit_width=8)
+    q_seq = generate_kv(qstep, prompt, step_proto._wte, step_proto._wpe,
+                        max_new_tokens=4, memory=memory)
+    assert q_seq.shape == f_seq.shape
+    np.testing.assert_array_equal(q_seq[:, :3], prompt)
+    assert (q_seq == f_seq).mean() >= 0.6
+
+    q8 = generate_kv(qstep, prompt, step_proto._wte, step_proto._wpe,
+                     max_new_tokens=4, memory=memory,
+                     kv_cache_dtype="int8")
+    np.testing.assert_array_equal(q8, q_seq)
