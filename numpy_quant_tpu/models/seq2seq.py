@@ -224,6 +224,169 @@ def bart_encoder(config=None, batch_size: int = 2, src_len: int = 12,
     return _attach(g.model(), module)
 
 
+def _b_decode_self_attention(e: _ViTEmitter, x: str, attn, layer_idx: int,
+                             max_len: int, name: str):
+    """One-token BART self-attention against a fixed-length cache
+    (models/whisper.py _w_decode_self_attention structure, but with
+    HF BartAttention's biased k_proj and the pre-scaled q that
+    transformers actually computes). Returns (context, k_step, v_step)."""
+    g = e.g
+    num_heads, head_size = attn.num_heads, attn.head_dim
+
+    q = e.linear3d(x, attn.q_proj, f"{name}.q_proj")
+    scal = g.const(np.array(np.float32(attn.scaling), dtype=np.float32),
+                   "bscaling")
+    q = g.node("Mul", [q, scal], out=f"{name}/q_scaled")
+    k = e.linear3d(x, attn.k_proj, f"{name}.k_proj")
+    v = e.linear3d(x, attn.v_proj, f"{name}.v_proj")
+
+    def split_heads(t: str, which: str) -> str:
+        shape = g.const(np.array([0, 1, num_heads, head_size],
+                                 dtype=np.int64), "bdheadshape")
+        r = g.node("Reshape", [t, shape], out=f"{name}/{which}_Reshape")
+        return g.node("Transpose", [r], out=f"{name}/{which}_Transpose",
+                      perm=[0, 2, 1, 3])
+
+    qh = split_heads(q, "q")
+    kh = split_heads(k, "k")
+    vh = split_heads(v, "v")
+
+    kt_cache = g.node("Transpose", [f"past_k.{layer_idx}"],
+                      out=f"{name}/cache_k_T", perm=[0, 1, 3, 2])
+    s_past = g.node("MatMul", [qh, kt_cache], out=f"{name}/scores_past")
+    kt_step = g.node("Transpose", [kh], out=f"{name}/k_T",
+                     perm=[0, 1, 3, 2])
+    s_self = g.node("MatMul", [qh, kt_step], out=f"{name}/scores_self")
+    s = g.node("Concat", [s_past, s_self], out=f"{name}/scores", axis=-1)
+    masked = g.node("Add", [s, "attn_mask"], out=f"{name}/masked")
+    probs = g.node("Softmax", [masked], out=f"{name}/probs", axis=-1)
+
+    z = g.const(np.array([0], dtype=np.int64), "zero")
+    ll = g.const(np.array([max_len], dtype=np.int64), "maxlen")
+    lp1 = g.const(np.array([max_len + 1], dtype=np.int64), "maxlenp1")
+    ax = g.const(np.array([-1], dtype=np.int64), "lastaxis")
+    p_past = g.node("Slice", [probs, z, ll, ax], out=f"{name}/p_past")
+    p_self = g.node("Slice", [probs, ll, lp1, ax], out=f"{name}/p_self")
+    ctx = g.node("MatMul", [p_past, f"past_v.{layer_idx}"],
+                 out=f"{name}/ctx_past")
+    self_ctx = g.node("Mul", [p_self, vh], out=f"{name}/ctx_self")
+    ctx = g.node("Add", [ctx, self_ctx], out=f"{name}/context")
+
+    ctx = g.node("Transpose", [ctx], out=f"{name}/context_T",
+                 perm=[0, 2, 1, 3])
+    merge = g.const(np.array([0, 1, num_heads * head_size],
+                             dtype=np.int64), "bdmergeshape")
+    merged = g.node("Reshape", [ctx, merge], out=f"{name}/merged")
+    return (e.linear3d(merged, attn.out_proj, f"{name}.out_proj"),
+            kh, vh)
+
+
+def _b_decode_cross_attention(e: _ViTEmitter, x: str, attn, memory: str,
+                              src_len: int, name: str) -> str:
+    """One-token cross-attention over the full encoder memory (loop
+    invariant -- XLA hoists the K/V projections out of the decode while
+    body, models/whisper.py _w_decode_cross_attention)."""
+    g = e.g
+    num_heads, head_size = attn.num_heads, attn.head_dim
+
+    q = e.linear3d(x, attn.q_proj, f"{name}.q_proj")
+    scal = g.const(np.array(np.float32(attn.scaling), dtype=np.float32),
+                   "bscaling")
+    q = g.node("Mul", [q, scal], out=f"{name}/q_scaled")
+    k = e.linear3d(memory, attn.k_proj, f"{name}.k_proj")
+    v = e.linear3d(memory, attn.v_proj, f"{name}.v_proj")
+
+    def split_heads(t: str, seq: int, which: str) -> str:
+        shape = g.const(np.array([0, seq, num_heads, head_size],
+                                 dtype=np.int64), f"bxheadshape{seq}")
+        r = g.node("Reshape", [t, shape], out=f"{name}/{which}_Reshape")
+        return g.node("Transpose", [r], out=f"{name}/{which}_Transpose",
+                      perm=[0, 2, 1, 3])
+
+    qh = split_heads(q, 1, "q")
+    kh = split_heads(k, src_len, "k")
+    vh = split_heads(v, src_len, "v")
+    kt = g.node("Transpose", [kh], out=f"{name}/k_T", perm=[0, 1, 3, 2])
+    scores = g.node("MatMul", [qh, kt], out=f"{name}/scores")
+    probs = g.node("Softmax", [scores], out=f"{name}/probs", axis=-1)
+    ctx = g.node("MatMul", [probs, vh], out=f"{name}/context")
+    ctx = g.node("Transpose", [ctx], out=f"{name}/context_T",
+                 perm=[0, 2, 1, 3])
+    merge = g.const(np.array([0, 1, num_heads * head_size],
+                             dtype=np.int64), "bdmergeshape")
+    merged = g.node("Reshape", [ctx, merge], out=f"{name}/merged")
+    return e.linear3d(merged, attn.out_proj, f"{name}.out_proj")
+
+
+def bart_decode_step(config=None, batch_size: int = 2, max_len: int = 8,
+                     src_len: int = 12, seed: int = 0, module=None):
+    """The KV-cache decode form of the BART decoder (one token per
+    call, O(L)/token -- post-LN counterpart of models/whisper.py
+    whisper_decode_step). Inputs, in order: ``x_step`` [B, 1, d]
+    (token embed + learned position, added by
+    utils.generate.generate_kv with ``wpe=proto._dec_pos`` -- the +2
+    BART offset is pre-stripped by _attach), ``attn_mask``
+    [1, 1, 1, L+1] additive, ``encoder_memory`` [B, S, d]
+    (one-shot bart_encoder output, fed via ``generate_kv(...,
+    memory=...)``), then ``past_k.i``/``past_v.i`` [B, H, L, D] per
+    layer. Outputs: ``logits`` [B, 1, V], then per layer
+    ``present_k.i``/``present_v.i`` [B, H, 1, D].
+
+    The graph opens with layernorm_embedding (BART applies it to
+    embeds+positions), so generate_kv's raw embed-add feeds it
+    directly. Same ``seed``/``config`` builds the SAME torch module as
+    the other BART forms, so all graphs share weights."""
+    if module is None:
+        module = bart_tiny_module(config, seed)
+    config = module.config
+    n_heads = config.decoder_attention_heads
+    head_dim = config.d_model // n_heads
+
+    g = GraphBuilder("bart_decode_step")
+    e = _ViTEmitter(g)
+    h = g.input("x_step", [batch_size, 1, config.d_model])
+    g.input("attn_mask", [1, 1, 1, max_len + 1])
+    dec = module.model.decoder
+    memory = g.input("encoder_memory",
+                     [batch_size, src_len, config.d_model])
+    for i in range(config.decoder_layers):
+        g.input(f"past_k.{i}", [batch_size, n_heads, max_len, head_dim])
+        g.input(f"past_v.{i}", [batch_size, n_heads, max_len, head_dim])
+
+    h = e.layernorm(h, dec.layernorm_embedding, "decoder.ln_embed")
+    presents = []
+    for i, layer in enumerate(dec.layers):
+        name = f"decoder.{i}"
+        att, kh, vh = _b_decode_self_attention(e, h, layer.self_attn, i,
+                                               max_len, f"{name}.self_attn")
+        presents.append((kh, vh))
+        h = g.node("Add", [att, h], out=f"{name}/residual1")
+        h = e.layernorm(h, layer.self_attn_layer_norm,
+                        f"{name}.self_attn_ln")
+        xa = _b_decode_cross_attention(e, h, layer.encoder_attn, memory,
+                                       src_len, f"{name}.encoder_attn")
+        h = g.node("Add", [xa, h], out=f"{name}/residual2")
+        h = e.layernorm(h, layer.encoder_attn_layer_norm,
+                        f"{name}.encoder_attn_ln")
+        f = _ffn(e, h, layer, f"{name}")
+        h = g.node("Add", [f, h], out=f"{name}/residual3")
+        h = e.layernorm(h, layer.final_layer_norm, f"{name}.final_ln")
+
+    head = g.init("lm_head.weight_t", _np(module.lm_head.weight).T)
+    g.node("MatMul", [h, head], out="logits", name="lm_head")
+
+    g.output("logits", [batch_size, 1, config.vocab_size])
+    for i, (kh, vh) in enumerate(presents):
+        g.node("Identity", [kh], out=f"present_k.{i}",
+               name=f"present_k_id.{i}")
+        g.node("Identity", [vh], out=f"present_v.{i}",
+               name=f"present_v_id.{i}")
+        g.output(f"present_k.{i}", [batch_size, n_heads, 1, head_dim])
+        g.output(f"present_v.{i}", [batch_size, n_heads, 1, head_dim])
+
+    return _attach(g.model(), module)
+
+
 def bart_decoder(config=None, batch_size: int = 2, src_len: int = 12,
                  tgt_len: int = 8, seed: int = 0, module=None):
     """Decoder-only graph: ``decoder_embeds`` [B,T,H] +

@@ -172,3 +172,71 @@ def test_generate_seq2seq_quantized(bart):
     want = generate_seq2seq(enc, dec, src, wte, max_new_tokens=6,
                             decoder_start_id=start)
     np.testing.assert_array_equal(got, want)
+
+
+def test_bart_kv_decode_matches_full_form():
+    """The BART KV-cache step graph (post-LN, layernorm_embedding in
+    the step graph, cross-attention over the loop-invariant encoder
+    memory) decodes the same greedy tokens as torch's full re-forward
+    loop."""
+    from numpy_quant_tpu.models.seq2seq import bart_decode_step
+    from numpy_quant_tpu.utils import generate_kv
+
+    module = bart_tiny_module(seed=0)
+    enc_proto = bart_encoder(batch_size=B, src_len=S, module=module)
+    enc = nq.Model.from_onnx(enc_proto)
+    step_proto = bart_decode_step(batch_size=B, max_len=T, src_len=S,
+                                  module=module)
+    step = nq.Model.from_onnx(step_proto)
+    src = RNG.integers(4, V, size=(B, S)).astype(np.int32)
+    start = int(module.config.decoder_start_token_id)
+    want = _torch_greedy_seq2seq(module, src, start, 6)
+
+    memory = np.asarray(enc([enc_proto._wte[src]])[0])
+    prompt = np.full((B, 1), start, np.int32)
+    got = generate_kv(step, prompt, step_proto._wte, step_proto._dec_pos,
+                      max_new_tokens=6, memory=memory)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_bart_kv_decode_quantized():
+    """int8 PTQ of the BART step graph via memory-aware
+    decode_calibration; the int8 KV cache stays bit-identical to the
+    float-carry run of the same quantized model."""
+    from numpy_quant_tpu.models.seq2seq import bart_decode_step
+    from numpy_quant_tpu.utils import (decode_calibration, generate_kv,
+                                       merge_calibration_stats)
+
+    module = bart_tiny_module(seed=0)
+    enc_proto = bart_encoder(batch_size=B, src_len=S, module=module)
+    enc = nq.Model.from_onnx(enc_proto)
+    step_proto = bart_decode_step(batch_size=B, max_len=T, src_len=S,
+                                  module=module)
+    step = nq.Model.from_onnx(step_proto)
+    start = int(module.config.decoder_start_token_id)
+    src = RNG.integers(4, V, size=(B, S)).astype(np.int32)
+    memory = np.asarray(enc([enc_proto._wte[src]])[0])
+    prompt = np.concatenate(
+        [np.full((B, 1), start, np.int32),
+         RNG.integers(4, V, size=(B, 2)).astype(np.int32)], axis=1)
+
+    f_seq = generate_kv(step, prompt, step_proto._wte,
+                        step_proto._dec_pos, max_new_tokens=4,
+                        memory=memory)
+
+    batches = decode_calibration(step, prompt, step_proto._wte,
+                                 step_proto._dec_pos, memory=memory)
+    stats = merge_calibration_stats(
+        *[step.calibration_stats(b) for b in batches])
+    qstep = step.quantize(stats=stats, bit_width=8)
+    q_seq = generate_kv(qstep, prompt, step_proto._wte,
+                        step_proto._dec_pos, max_new_tokens=4,
+                        memory=memory)
+    assert q_seq.shape == f_seq.shape
+    np.testing.assert_array_equal(q_seq[:, :3], prompt)
+    assert (q_seq == f_seq).mean() >= 0.6
+
+    q8 = generate_kv(qstep, prompt, step_proto._wte,
+                     step_proto._dec_pos, max_new_tokens=4,
+                     memory=memory, kv_cache_dtype="int8")
+    np.testing.assert_array_equal(q8, q_seq)
