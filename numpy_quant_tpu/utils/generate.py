@@ -431,6 +431,7 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
                 temperature: float = None, top_k: int = None,
                 top_p: float = None, key=None,
                 kv_cache_dtype: str = None, rope=None,
+                score_bias: np.ndarray = None,
                 memory: np.ndarray = None) -> np.ndarray:
     """Autoregressive decode through the KV-cache step graph
     (models/gpt.py gpt_decode_step): one token per step at O(L) cost,
@@ -452,6 +453,13 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
     the graph's ``cos_step``/``sin_step`` inputs and ``wpe`` may be
     None (rotary models have no additive position embedding).
 
+    ``score_bias=`` ([L, H, L+1], e.g. a T5 step model's
+    ``_decode_bias``) feeds the graph a per-step additive score row:
+    at step t the table's row t enters as the ``score_bias`` input
+    [1, H, 1, L+1] every self-attention Adds after the mask -- T5's
+    relative position bias evaluated at query position t over the
+    cache slots plus the self column (models/t5.py t5_decode_step).
+
     ``memory=`` ([B, S, d], an encoder output) switches to the seq2seq
     step layout (models/whisper.py whisper_decode_step): the graph's
     ``encoder_memory`` input rides after the mask. It is loop-invariant
@@ -462,6 +470,7 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
     prompt_ids = np.asarray(prompt_ids)
     batch, t0 = prompt_ids.shape
     cache_start = (2 if rope is None else 4) \
+        + (0 if score_bias is None else 1) \
         + (0 if memory is None else 1)
     n_layer, b, nh, length, hd = _kv_layout(step_model, cache_start)
     if b != batch:
@@ -478,6 +487,8 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
         sin_j = jnp.asarray(rope[1], jnp.float32)
     else:
         cos_j = sin_j = None
+    bias_j = (None if score_bias is None
+              else jnp.asarray(score_bias, jnp.float32))
     mem_j = None if memory is None else jnp.asarray(memory, jnp.float32)
     fwd = step_model.lowered_fn()
     if key is None:
@@ -513,7 +524,7 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
     # params and the embedding/RoPE tables enter as jit ARGUMENTS, not
     # closure constants (closed-over arrays embed into the HLO body)
     @jax.jit
-    def run(prompt, params, wte_j, wpe_j, cos_j, sin_j, mem_j):
+    def run(prompt, params, wte_j, wpe_j, cos_j, sin_j, bias_j, mem_j):
         def body(t, carry):
             ids, caches, key = carry
             tok = jnp.take(ids, t, axis=1)
@@ -526,6 +537,10 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
                 extra = [
                     jax.lax.dynamic_slice_in_dim(cos_j, t, 1, axis=2),
                     jax.lax.dynamic_slice_in_dim(sin_j, t, 1, axis=2)]
+            if bias_j is not None:
+                # [1, H, L+1] row t -> the graph's [1, H, 1, L+1] input
+                row = jax.lax.dynamic_slice_in_dim(bias_j, t, 1, axis=0)
+                extra = extra + [row[:, :, None, :]]
             if mem_j is not None:
                 extra = extra + [mem_j]
             flat = [c for pair in caches for c in pair]
@@ -565,21 +580,24 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
 
     return np.asarray(run(jnp.asarray(prompt_ids, jnp.int32),
                           step_model._placed_params(), wte_j, wpe_j,
-                          cos_j, sin_j, mem_j))
+                          cos_j, sin_j, bias_j, mem_j))
 
 
 def decode_calibration(step_model, prompt_ids: np.ndarray,
                        wte: np.ndarray, wpe: np.ndarray,
-                       rope=None, memory: np.ndarray = None) -> list:
+                       rope=None, score_bias: np.ndarray = None,
+                       memory: np.ndarray = None) -> list:
     """Replay ``prompt_ids`` (teacher-forced) through the float decode
     step and return one input-list per step -- per-step calibration
     batches for quantizing the step graph. Compose with
     ``Model.calibration_stats`` + ``utils.merge_calibration_stats``,
-    then ``quantize(stats=...)``. ``rope``/``wpe``/``memory`` as in
-    :func:`generate_kv`."""
+    then ``quantize(stats=...)``. ``rope``/``wpe``/``score_bias``/
+    ``memory`` as in :func:`generate_kv`."""
     prompt_ids = np.asarray(prompt_ids)
     batch, t0 = prompt_ids.shape
-    cache_start = (2 if rope is None else 4) + (0 if memory is None else 1)
+    cache_start = (2 if rope is None else 4) \
+        + (0 if score_bias is None else 1) \
+        + (0 if memory is None else 1)
     n_layer, b, nh, length, hd = _kv_layout(step_model, cache_start)
     caches = [np.zeros((batch, nh, length, hd), np.float32)
               for _ in range(2 * n_layer)]
@@ -594,6 +612,9 @@ def decode_calibration(step_model, prompt_ids: np.ndarray,
         if rope is not None:
             extra = [np.asarray(rope[0][:, :, t : t + 1, :], np.float32),
                      np.asarray(rope[1][:, :, t : t + 1, :], np.float32)]
+        if score_bias is not None:
+            extra = extra + [
+                np.asarray(score_bias[t], np.float32)[None, :, None, :]]
         if memory is not None:
             extra = extra + [np.asarray(memory, np.float32)]
         inputs = [x, mask] + extra + [c.copy() for c in caches]

@@ -124,3 +124,95 @@ def test_t5_quantized_accuracy(t5enc):
     q.optimize()
     got = np.asarray(q([embeds])[0])
     assert np.abs(got - f).mean() <= 0.1
+
+
+def _t5_torch_greedy(module, src_emb, start_id, n_new):
+    """Token-by-token full re-forward greedy loop (the oracle)."""
+    import torch
+
+    ids = np.full((src_emb.shape[0], 1), start_id, dtype=np.int64)
+    for _ in range(n_new):
+        with torch.no_grad():
+            logits = module(
+                inputs_embeds=torch.from_numpy(src_emb),
+                decoder_input_ids=torch.from_numpy(ids)).logits
+        nxt = logits[:, -1, :].argmax(-1).numpy()
+        ids = np.concatenate([ids, nxt[:, None]], axis=1)
+    return ids.astype(np.int32)
+
+
+def test_t5_kv_decode_matches_torch():
+    """The T5 KV-cache step graph decodes the same greedy tokens as
+    torch's full re-forward loop. The query-position-dependent relative
+    bias enters per step through generate_kv's score_bias= table row
+    (the self column is relative distance 0)."""
+    import torch
+
+    from numpy_quant_tpu.models.t5 import t5_decode_step
+    from numpy_quant_tpu.utils import generate_kv
+
+    step_proto = t5_decode_step(batch_size=2, max_len=8, src_len=12,
+                                seed=0)
+    step = nq.Model.from_onnx(step_proto)
+    module = step_proto._torch_module
+    wte = step_proto._wte
+    src = RNG.integers(4, 96, size=(2, 12)).astype(np.int64)
+    src_emb = wte[src].astype(np.float32)
+    start = int(module.config.pad_token_id)  # T5 decoder_start = pad
+    want = _t5_torch_greedy(module, src_emb, start, 6)
+
+    with torch.no_grad():
+        memory = module.encoder(
+            inputs_embeds=torch.from_numpy(src_emb)
+        ).last_hidden_state.numpy()
+    prompt = np.full((2, 1), start, np.int32)
+    got = generate_kv(step, prompt, wte, None, max_new_tokens=6,
+                      score_bias=step_proto._decode_bias, memory=memory)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_t5_kv_decode_quantized():
+    """int8 PTQ of the T5 step graph via score-bias-aware
+    decode_calibration; the int8 KV cache stays bit-identical to the
+    float-carry run."""
+    import torch
+
+    from numpy_quant_tpu.models.t5 import t5_decode_step
+    from numpy_quant_tpu.utils import (decode_calibration, generate_kv,
+                                       merge_calibration_stats)
+
+    step_proto = t5_decode_step(batch_size=2, max_len=8, src_len=12,
+                                seed=0)
+    step = nq.Model.from_onnx(step_proto)
+    module = step_proto._torch_module
+    wte = step_proto._wte
+    bias = step_proto._decode_bias
+    start = int(module.config.pad_token_id)  # T5 decoder_start = pad
+    src = RNG.integers(4, 96, size=(2, 12)).astype(np.int64)
+    src_emb = wte[src].astype(np.float32)
+    with torch.no_grad():
+        memory = module.encoder(
+            inputs_embeds=torch.from_numpy(src_emb)
+        ).last_hidden_state.numpy()
+    prompt = np.concatenate(
+        [np.full((2, 1), start, np.int32),
+         RNG.integers(4, 96, size=(2, 2)).astype(np.int32)], axis=1)
+
+    f_seq = generate_kv(step, prompt, wte, None, max_new_tokens=4,
+                        score_bias=bias, memory=memory)
+
+    batches = decode_calibration(step, prompt, wte, None,
+                                 score_bias=bias, memory=memory)
+    stats = merge_calibration_stats(
+        *[step.calibration_stats(b) for b in batches])
+    qstep = step.quantize(stats=stats, bit_width=8)
+    q_seq = generate_kv(qstep, prompt, wte, None, max_new_tokens=4,
+                        score_bias=bias, memory=memory)
+    assert q_seq.shape == f_seq.shape
+    np.testing.assert_array_equal(q_seq[:, :3], prompt)
+    assert (q_seq == f_seq).mean() >= 0.6
+
+    q8 = generate_kv(qstep, prompt, wte, None, max_new_tokens=4,
+                     score_bias=bias, memory=memory,
+                     kv_cache_dtype="int8")
+    np.testing.assert_array_equal(q8, q_seq)
