@@ -565,6 +565,23 @@ class Model:
         from .smoothquant import smooth_outliers
         return smooth_outliers(self, inputs, alpha=alpha)
 
+    def awq_scale_weights(self, inputs, bit_width: int = 4,
+                          group_size: int = None, n_grid: int = 20,
+                          **kw) -> dict:
+        """AWQ-style activation-aware weight scaling (Lin et al.,
+        arXiv:2306.00978): the same exact LN-to-weights
+        reparameterization as ``smooth_outliers``, but the per-group
+        exponent is GRID-SEARCHED to minimize the actual weight-only
+        reconstruction error ``||(x/s) @ fakequant(W*s) - x @ W||^2``
+        on calibration activations (alpha = 0 is in the grid, so no
+        group gets worse). Run on the FLOAT model BEFORE
+        ``quantize_weights`` with the same ``bit_width``/``group_size``.
+        Returns {ln_node_name: best_alpha}. See numpy_quant_tpu/awq.py."""
+        from .awq import awq_scale_weights
+        return awq_scale_weights(self, inputs, bit_width=bit_width,
+                                 group_size=group_size, n_grid=n_grid,
+                                 **kw)
+
     def equalize(self, iterations: int = 2) -> int:
         """Cross-layer equalization (Nagel et al., arXiv:1906.04721):
         DATA-FREE exact rescaling that balances per-channel weight

@@ -28,17 +28,16 @@ from .graph import Constant
 from .tensor import FTensor
 
 
-def smooth_outliers(model, inputs, alpha: float = 0.5) -> int:
-    """Migrate activation outliers into weights for every
-    LayerNormalization whose output feeds only constant-weight
-    MatMul/Gemm nodes. ``inputs`` is a calibration batch (per-channel
-    activation maxima come from an eager record pass). Mutates the
-    float model in place; quantize afterwards. Returns the number of
-    smoothed LN groups."""
-    from .utils.parity import record_all_values
-
-    acts = record_all_values(model, inputs)
-    smoothed = 0
+def ln_matmul_groups(model) -> list:
+    """Discover every exactly-reparameterizable group: a
+    LayerNormalization (last-axis, constant gamma/beta, output not a
+    graph output) whose output feeds ONLY constant-weight MatMul/Gemm
+    nodes. Returns [(ln_node, gamma, beta, out_value, ws)] where ``ws``
+    is [(weight_constant, axis)] and ``axis`` says which weight axis
+    runs over the LN's channels (0 = rows of [K, N], 1 = columns of a
+    transB [N, K]). Shared by :func:`smooth_outliers` and
+    awq.awq_scale_weights."""
+    groups = []
     for node in model.nodes:
         if node.op != "LayerNormalization" or len(node.inputs) < 2:
             continue
@@ -75,8 +74,36 @@ def smooth_outliers(model, inputs, alpha: float = 0.5) -> int:
             else:
                 ok = False  # some consumer cannot absorb 1/s: skip LN
                 break
-        if not ok or not ws:
-            continue
+        if ok and ws:
+            groups.append((node, gamma, beta, out, ws))
+    return groups
+
+
+def apply_channel_scale(gamma, beta, ws, s: np.ndarray) -> None:
+    """The exact reparameterization both passes share: the LN emits
+    x / s (gamma' = gamma / s, beta' = beta / s) and every consumer
+    weight absorbs s on its LN-channel axis."""
+    gamma.data = FTensor(
+        np.asarray(gamma.data.data, np.float32) / s)
+    if beta is not None:
+        beta.data = FTensor(np.asarray(beta.data.data, np.float32) / s)
+    for w, axis in ws:
+        W = np.asarray(w.data.data, np.float32)
+        w.data = FTensor(W * (s[:, None] if axis == 0 else s[None, :]))
+
+
+def smooth_outliers(model, inputs, alpha: float = 0.5) -> int:
+    """Migrate activation outliers into weights for every
+    LayerNormalization whose output feeds only constant-weight
+    MatMul/Gemm nodes. ``inputs`` is a calibration batch (per-channel
+    activation maxima come from an eager record pass). Mutates the
+    float model in place; quantize afterwards. Returns the number of
+    smoothed LN groups."""
+    from .utils.parity import record_all_values
+
+    acts = record_all_values(model, inputs)
+    smoothed = 0
+    for _node, gamma, beta, out, ws in ln_matmul_groups(model):
         x = acts.get(out.name)
         g = np.asarray(gamma.data.data, np.float32)
         k = g.shape[-1]
@@ -91,12 +118,7 @@ def smooth_outliers(model, inputs, alpha: float = 0.5) -> int:
         s = np.where((amax_x <= 0) | (amax_w <= 0), 1.0, s)
         s = np.clip(s, 1e-5, None).astype(np.float32)
 
-        gamma.data = FTensor(g / s)
-        if beta is not None:
-            beta.data = FTensor(np.asarray(beta.data.data, np.float32) / s)
-        for w, axis in ws:
-            W = np.asarray(w.data.data, np.float32)
-            w.data = FTensor(W * (s[:, None] if axis == 0 else s[None, :]))
+        apply_channel_scale(gamma, beta, ws, s)
         smoothed += 1
 
     if smoothed:
