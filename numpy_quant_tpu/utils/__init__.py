@@ -19,5 +19,6 @@ from .generate import (beam_search, decode_calibration, generate,
                        generate_kv, generate_seq2seq,
                        generate_speculative)
 from .calibration import mse_clipped_stats
+from .serving import ContinuousBatcher
 from .sensitivity import plan_mixed_precision, weight_sensitivity
 from .summary import summarize

@@ -1,0 +1,278 @@
+"""Continuous batching: slot-based online decode serving.
+
+``utils.generate.generate_kv`` runs ONE batch lockstep -- every row
+starts together and decodes the same number of steps. Production
+serving is different: requests arrive continuously with different
+prompt lengths and budgets, and a finished row's slot should go to the
+next request immediately instead of idling until the whole batch
+drains. That is continuous batching (Orca, OSDI'22; vLLM's serving
+loop), and this module implements it TPU-natively:
+
+* ONE compiled XLA step program for all B slots, reused for the whole
+  engine lifetime (static shapes: [B, L] caches, [B] per-slot
+  positions). No recompilation on admission/retirement.
+* PER-SLOT positions: each slot carries its own decode position t_b,
+  prompt length and budget. The embedding gather, additive mask,
+  RoPE rows, T5 bias rows and cache updates are all per-row
+  (``take_along_axis`` + vmapped ``dynamic_update_slice`` instead of
+  the lockstep scalar t).
+* Prefill by teacher forcing: an admitted prompt is written into the
+  slot's id buffer and replayed one token per step (the same
+  teacher-forcing rule generate_kv applies batch-wide), so prefill and
+  decode share the single step program. Slots in prefill and slots in
+  decode coexist in the same XLA call.
+* Admission/retirement are tiny host-side ``.at[slot].set`` updates of
+  the device-resident state between steps; the KV caches never need
+  clearing (a new request's mask only ever validates positions its own
+  steps have already written).
+
+Works with every decode-step layout ``generate_kv`` supports: plain
+(models/gpt.py), RoPE (models/llama.py, per-row cos/sin rows), T5
+score-bias rows, and seq2seq ``memory`` (per-slot encoder rows,
+models/whisper.py / seq2seq.py / t5.py), float or int8-quantized step
+models. Greedy decode (the deterministic serving mode); sampling stays
+on :func:`generate_kv`.
+
+The reference framework has no serving surface at all (single
+``__call__``, reference model.py:294) -- this is parity-plus, the
+online half of the serving story next to ``Model.serve_stream``'s
+pipelined offline scan.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class _Request:
+    req_id: int
+    prompt: np.ndarray          # [plen] int32
+    max_new_tokens: int
+    memory_row: np.ndarray = None
+
+
+@dataclass
+class _SlotInfo:
+    req_id: int
+    plen: int
+    max_new: int
+
+
+class ContinuousBatcher:
+    """Online serving engine over a KV-cache decode-step model.
+
+    ``step_model`` is a decode-step graph (gpt_decode_step,
+    llama_decode_step, t5_decode_step, ...) built with ``batch_size``
+    slots and cache length ``max_len``; ``wte``/``wpe``/``rope``/
+    ``score_bias``/``has_memory`` mirror :func:`generate_kv`'s layout
+    arguments. ``eos_id`` retires a slot early when generated.
+
+    Use :meth:`submit` to enqueue requests, :meth:`step` to advance
+    every active slot one token (admitting queued requests into free
+    slots first), or :meth:`run` to drain a whole workload. Results are
+    token rows INCLUDING the prompt (and the EOS, when hit), exactly
+    what generate_kv returns for the same prompt/budget.
+    """
+
+    def __init__(self, step_model, wte: np.ndarray, wpe: np.ndarray = None,
+                 rope=None, score_bias: np.ndarray = None,
+                 has_memory: bool = False, eos_id: int = None):
+        self.model = step_model
+        self.eos_id = eos_id
+        cache_start = (2 if rope is None else 4) \
+            + (0 if score_bias is None else 1) \
+            + (0 if not has_memory else 1)
+        n_layer = (len(step_model.inputs) - cache_start) // 2
+        b, nh, length, hd = step_model.inputs[cache_start].shape_hint
+        self.n_slots, self.max_len = int(b), int(length)
+        self._layout = (n_layer, int(nh), int(hd))
+        self._wte = jnp.asarray(wte, jnp.float32)
+        self._wpe = None if wpe is None else jnp.asarray(wpe, jnp.float32)
+        if rope is not None:
+            self._cos = jnp.asarray(rope[0], jnp.float32)  # [1,1,L,D]
+            self._sin = jnp.asarray(rope[1], jnp.float32)
+        else:
+            self._cos = self._sin = None
+        self._bias = (None if score_bias is None
+                      else jnp.asarray(score_bias, jnp.float32))  # [L,H,L+1]
+        if has_memory:
+            mem_hint = step_model.inputs[cache_start - 1].shape_hint
+            self._memory = jnp.zeros(tuple(int(d) for d in mem_hint),
+                                     jnp.float32)
+        else:
+            self._memory = None
+
+        # device-resident engine state
+        B, L = self.n_slots, self.max_len
+        self._ids = jnp.zeros((B, L + 1), jnp.int32)
+        self._pos = jnp.zeros((B,), jnp.int32)
+        self._plen = jnp.zeros((B,), jnp.int32)   # prompt length
+        self._tmax = jnp.zeros((B,), jnp.int32)   # plen + max_new
+        self._active = jnp.zeros((B,), jnp.bool_)
+        zeros = jnp.zeros((B, self._layout[1], L, self._layout[2]),
+                          jnp.float32)
+        self._caches = tuple((zeros, zeros) for _ in range(n_layer))
+
+        # host-side bookkeeping
+        self._queue: list[_Request] = []
+        self._slots: list[_SlotInfo | None] = [None] * B
+        self._next_id = 0
+        self._fwd = step_model.lowered_fn()
+        self._step_fn = jax.jit(self._build_step())
+
+    # ---------------------------------------------------------- step fn
+
+    def _build_step(self):
+        L = self.max_len
+        eos = self.eos_id
+        has_rope = self._cos is not None
+        has_bias = self._bias is not None
+        has_mem = self._memory is not None
+        fwd = self._fwd
+
+        def step(ids, pos, plen, tmax, active, caches, params,
+                 wte, wpe, cos, sin, bias, mem):
+            B = ids.shape[0]
+            rows = jnp.arange(B)
+            tok = jnp.take_along_axis(ids, pos[:, None], axis=1)[:, 0]
+            x = jnp.take(wte, tok, axis=0)
+            if wpe is not None:
+                x = x + jnp.take(wpe, pos, axis=0)
+            x = x[:, None, :]
+            # per-row additive mask: position j valid iff j < pos_b,
+            # plus the always-valid self column
+            valid = jnp.arange(L)[None, :] < pos[:, None]
+            mask = jnp.where(valid, jnp.float32(0), jnp.float32(-1e9))
+            mask = jnp.concatenate(
+                [mask, jnp.zeros((B, 1), jnp.float32)], axis=1)
+            mask = mask[:, None, None, :]
+            extra = []
+            if has_rope:
+                # [1,1,L,D] tables -> per-row [B,1,1,D] rows
+                extra = [jnp.take(cos[0, 0], pos, axis=0)[:, None, None, :],
+                         jnp.take(sin[0, 0], pos, axis=0)[:, None, None, :]]
+            if has_bias:
+                # [L,H,L+1] table -> per-row [B,H,1,L+1] rows
+                extra = extra + [jnp.take(bias, pos, axis=0)[:, :, None, :]]
+            if has_mem:
+                extra = extra + [mem]
+            flat = [c for pair in caches for c in pair]
+            outs = fwd([x, mask] + extra + flat, params)
+            nxt = jnp.argmax(outs[0][:, 0, :], axis=-1).astype(jnp.int32)
+
+            def put(cache, present, p):
+                return jax.lax.dynamic_update_slice_in_dim(
+                    cache, present, p, axis=1)
+            vput = jax.vmap(put)  # per-row positions
+            caches = tuple(
+                (vput(k, outs[1 + 2 * i].astype(k.dtype), pos),
+                 vput(v, outs[2 + 2 * i].astype(v.dtype), pos))
+                for i, (k, v) in enumerate(caches))
+
+            # teacher forcing: inside the prompt the next token is given
+            in_prompt = pos + 1 < plen
+            cand = ids.at[rows, pos + 1].set(nxt)
+            ids = jnp.where(active[:, None] & ~in_prompt[:, None],
+                            cand, ids)
+            new_pos = jnp.where(active, pos + 1, pos)
+            emitted = jnp.take_along_axis(ids, new_pos[:, None],
+                                          axis=1)[:, 0]
+            done = active & (new_pos + 1 >= tmax)
+            if eos is not None:
+                done = done | (active & ~in_prompt & (emitted == eos))
+            return ids, new_pos, done, caches
+
+        return step
+
+    # ------------------------------------------------------ public API
+
+    def submit(self, prompt_ids, max_new_tokens: int,
+               memory_row: np.ndarray = None) -> int:
+        """Enqueue a request; returns its id. ``prompt_ids`` is a 1-D
+        token array; ``memory_row`` ([S, d]) is that request's encoder
+        output for seq2seq step models."""
+        prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
+        if prompt.size < 1:
+            raise ValueError("empty prompt")
+        if prompt.size + max_new_tokens > self.max_len + 1:
+            raise ValueError(
+                f"prompt {prompt.size} + {max_new_tokens} new tokens "
+                f"exceeds the engine's cache length {self.max_len}")
+        if (memory_row is None) != (self._memory is None):
+            raise ValueError("memory_row must be passed iff the step "
+                             "model takes encoder memory")
+        req = _Request(self._next_id, prompt, int(max_new_tokens),
+                       memory_row)
+        self._next_id += 1
+        self._queue.append(req)
+        return req.req_id
+
+    @property
+    def n_active(self) -> int:
+        return sum(s is not None for s in self._slots)
+
+    @property
+    def n_queued(self) -> int:
+        return len(self._queue)
+
+    def _admit(self) -> None:
+        for slot in range(self.n_slots):
+            if self._slots[slot] is not None or not self._queue:
+                continue
+            req = self._queue.pop(0)
+            plen = req.prompt.size
+            row = np.zeros(self.max_len + 1, np.int32)
+            row[:plen] = req.prompt
+            self._ids = self._ids.at[slot].set(jnp.asarray(row))
+            self._pos = self._pos.at[slot].set(0)
+            self._plen = self._plen.at[slot].set(plen)
+            self._tmax = self._tmax.at[slot].set(plen + req.max_new_tokens)
+            self._active = self._active.at[slot].set(True)
+            if req.memory_row is not None:
+                self._memory = self._memory.at[slot].set(
+                    jnp.asarray(req.memory_row, jnp.float32))
+            self._slots[slot] = _SlotInfo(req.req_id, plen,
+                                          req.max_new_tokens)
+
+    def step(self) -> list[tuple[int, np.ndarray]]:
+        """Admit queued requests into free slots, advance every active
+        slot one token (ONE compiled XLA call), and return the requests
+        that finished this step as ``(req_id, tokens)`` -- tokens
+        include the prompt and the EOS when one was generated."""
+        self._admit()
+        if self.n_active == 0:
+            return []
+        ids, pos, done, caches = self._step_fn(
+            self._ids, self._pos, self._plen, self._tmax, self._active,
+            self._caches, self.model._placed_params(), self._wte,
+            self._wpe, self._cos, self._sin, self._bias, self._memory)
+        self._ids, self._pos, self._caches = ids, pos, caches
+        finished = []
+        done_h = np.asarray(done)
+        if done_h.any():
+            ids_h = np.asarray(ids)
+            pos_h = np.asarray(pos)
+            for slot in np.flatnonzero(done_h):
+                info = self._slots[slot]
+                finished.append(
+                    (info.req_id, ids_h[slot, : pos_h[slot] + 1].copy()))
+                self._slots[slot] = None
+                self._active = self._active.at[slot].set(False)
+            finished.sort(key=lambda t: t[0])
+        return finished
+
+    def run(self, requests) -> dict[int, np.ndarray]:
+        """Drain a workload: submit every (prompt_ids, max_new_tokens)
+        (or (prompt_ids, max_new_tokens, memory_row)) tuple, then step
+        until all requests finish. Returns {req_id: tokens}."""
+        out: dict[int, np.ndarray] = {}
+        for req in requests:
+            self.submit(*req)
+        while self._queue or self.n_active:
+            for req_id, tokens in self.step():
+                out[req_id] = tokens
+        return out

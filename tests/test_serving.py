@@ -1,0 +1,202 @@
+"""utils.serving.ContinuousBatcher: slot-based online decode with
+per-slot positions. Oracle: every completed request must be token-exact
+with generate_kv run alone on a batch-1 step graph sharing the same
+module -- regardless of what else shared the batch, when the request
+arrived, or whose stale cache the slot still holds.
+"""
+import numpy as np
+import pytest
+
+import numpy_quant_tpu as nq
+from numpy_quant_tpu.models.gpt import gpt_decode_step
+from numpy_quant_tpu.utils import generate_kv
+from numpy_quant_tpu.utils.serving import ContinuousBatcher
+
+RNG = np.random.default_rng(61)
+MAXLEN = 12
+
+
+@pytest.fixture(scope="module")
+def gpt_steps():
+    """(engine step graph with 3 slots, batch-1 oracle graph, proto)."""
+    proto = gpt_decode_step(batch_size=3, max_len=MAXLEN, seed=0)
+    module = proto._torch_module
+    engine = nq.Model.from_onnx(proto)
+    oracle_proto = gpt_decode_step(batch_size=1, max_len=MAXLEN,
+                                   module=module)
+    oracle = nq.Model.from_onnx(oracle_proto)
+    return engine, oracle, proto
+
+
+def _oracle_row(oracle, proto, prompt, n_new):
+    return generate_kv(oracle, prompt[None, :], proto._wte, proto._wpe,
+                       max_new_tokens=n_new)[0]
+
+
+def test_mixed_lengths_match_lockstep_oracle(gpt_steps):
+    """Five requests with different prompt lengths and budgets through
+    3 slots: every result equals its solo generate_kv run."""
+    engine, oracle, proto = gpt_steps
+    b = ContinuousBatcher(engine, proto._wte, proto._wpe)
+    reqs = [(RNG.integers(0, 96, size=(k,)).astype(np.int32), n)
+            for k, n in [(1, 6), (3, 4), (2, 8), (5, 3), (4, 5)]]
+    got = b.run([(p, n) for p, n in reqs])
+    assert len(got) == 5
+    for rid, (prompt, n_new) in enumerate(reqs):
+        want = _oracle_row(oracle, proto, prompt, n_new)
+        np.testing.assert_array_equal(got[rid], want, err_msg=f"req {rid}")
+
+
+def test_mid_flight_admission_and_slot_reuse(gpt_steps):
+    """A request admitted while others are mid-decode, into a slot that
+    already served a previous request (stale cache), still matches its
+    solo run; finished requests report as they finish, not at drain."""
+    engine, oracle, proto = gpt_steps
+    b = ContinuousBatcher(engine, proto._wte, proto._wpe)
+    p0 = RNG.integers(0, 96, size=(2,)).astype(np.int32)
+    p1 = RNG.integers(0, 96, size=(4,)).astype(np.int32)
+    r0 = b.submit(p0, 2)   # finishes fast
+    r1 = b.submit(p1, 7)   # keeps running
+    done = {}
+    for _ in range(3):
+        for rid, toks in b.step():
+            done[rid] = toks
+    assert r0 in done and r1 not in done
+    # r0's slot is free again; admit into it mid-flight
+    p2 = RNG.integers(0, 96, size=(3,)).astype(np.int32)
+    r2 = b.submit(p2, 5)
+    while b.n_active or b.n_queued:
+        for rid, toks in b.step():
+            done[rid] = toks
+    for rid, prompt, n_new in [(r0, p0, 2), (r1, p1, 7), (r2, p2, 5)]:
+        want = _oracle_row(oracle, proto, prompt, n_new)
+        np.testing.assert_array_equal(done[rid], want, err_msg=f"req {rid}")
+
+
+def test_eos_retires_slot_early(gpt_steps):
+    """With eos_id set to a token the greedy decode actually emits, the
+    request retires at the EOS instead of running out its budget."""
+    engine, oracle, proto = gpt_steps
+    prompt = RNG.integers(0, 96, size=(3,)).astype(np.int32)
+    full = _oracle_row(oracle, proto, prompt, 6)
+    eos = int(full[3])  # the FIRST generated token: retire immediately
+    b = ContinuousBatcher(engine, proto._wte, proto._wpe, eos_id=eos)
+    got = b.run([(prompt, 6)])[0]
+    np.testing.assert_array_equal(got, full[:4])
+    assert got[-1] == eos
+
+
+def test_overfull_queue_waits_for_slots(gpt_steps):
+    """More requests than slots: the queue drains as slots free, and
+    every result still matches its solo run."""
+    engine, oracle, proto = gpt_steps
+    b = ContinuousBatcher(engine, proto._wte, proto._wpe)
+    reqs = [(RNG.integers(0, 96, size=(2,)).astype(np.int32), 3)
+            for _ in range(7)]
+    got = b.run(reqs)
+    assert len(got) == 7
+    for rid, (prompt, n_new) in enumerate(reqs):
+        want = _oracle_row(oracle, proto, prompt, n_new)
+        np.testing.assert_array_equal(got[rid], want)
+
+
+def test_rope_layout_llama():
+    """Per-row RoPE rows: the LLaMA step layout through the engine
+    matches its lockstep generate_kv run."""
+    from numpy_quant_tpu.models.llama import llama_decode_step
+
+    proto = llama_decode_step(batch_size=2, max_len=10, seed=0)
+    module = proto._torch_module
+    engine = nq.Model.from_onnx(proto)
+    oracle_proto = llama_decode_step(batch_size=1, max_len=10,
+                                     module=module)
+    oracle = nq.Model.from_onnx(oracle_proto)
+
+    b = ContinuousBatcher(engine, proto._wte, None,
+                          rope=proto._rope_tables)
+    reqs = [(RNG.integers(0, 64, size=(k,)).astype(np.int32), n)
+            for k, n in [(2, 5), (4, 4), (1, 7)]]
+    got = b.run(reqs)
+    for rid, (prompt, n_new) in enumerate(reqs):
+        want = generate_kv(oracle, prompt[None, :], oracle_proto._wte,
+                           None, max_new_tokens=n_new,
+                           rope=oracle_proto._rope_tables)[0]
+        np.testing.assert_array_equal(got[rid], want, err_msg=f"req {rid}")
+
+
+def test_seq2seq_bias_memory_layout_t5():
+    """Per-row score-bias rows AND per-slot encoder memory: the T5
+    seq2seq layout through the engine matches lockstep generate_kv with
+    each request's own memory."""
+    import torch
+
+    from numpy_quant_tpu.models.t5 import t5_decode_step
+
+    proto = t5_decode_step(batch_size=2, max_len=8, src_len=6, seed=0)
+    module = proto._torch_module
+    engine = nq.Model.from_onnx(proto)
+    oracle_proto = t5_decode_step(batch_size=1, max_len=8, src_len=6,
+                                  module=module)
+    oracle = nq.Model.from_onnx(oracle_proto)
+    # fresh-module path computes no bias table; share the engine's
+    oracle_bias = proto._decode_bias
+    wte = proto._wte
+    start = int(module.config.pad_token_id)
+
+    mems = []
+    for _ in range(3):
+        src = RNG.integers(4, 96, size=(1, 6)).astype(np.int64)
+        with torch.no_grad():
+            mems.append(module.encoder(
+                inputs_embeds=torch.from_numpy(
+                    wte[src].astype(np.float32))).last_hidden_state.numpy())
+
+    b = ContinuousBatcher(engine, wte, None, score_bias=proto._decode_bias,
+                          has_memory=True)
+    prompt = np.array([start], np.int32)
+    got = b.run([(prompt, 5, mems[i][0]) for i in range(3)])
+    for rid in range(3):
+        want = generate_kv(oracle, prompt[None, :], wte, None,
+                           max_new_tokens=5, score_bias=oracle_bias,
+                           memory=mems[rid])[0]
+        np.testing.assert_array_equal(got[rid], want, err_msg=f"req {rid}")
+
+
+def test_quantized_step_model(gpt_steps):
+    """An int8-quantized step model serves through the engine; results
+    match ITS OWN lockstep generate_kv run (bit-exact integer path)."""
+    from numpy_quant_tpu.utils import (decode_calibration,
+                                       merge_calibration_stats)
+
+    engine, oracle, proto = gpt_steps
+    module = proto._torch_module
+    prompt3 = RNG.integers(0, 96, size=(3, 4)).astype(np.int32)
+    batches = decode_calibration(engine, prompt3, proto._wte, proto._wpe)
+    stats = merge_calibration_stats(
+        *[engine.calibration_stats(b) for b in batches])
+    qengine = engine.quantize(stats=stats, bit_width=8)
+
+    oracle_proto = gpt_decode_step(batch_size=1, max_len=MAXLEN,
+                                   module=module)
+    oracle1 = nq.Model.from_onnx(oracle_proto)
+    qoracle = oracle1.quantize(stats=stats, bit_width=8)
+
+    b = ContinuousBatcher(qengine, proto._wte, proto._wpe)
+    reqs = [(RNG.integers(0, 96, size=(k,)).astype(np.int32), n)
+            for k, n in [(2, 5), (4, 3), (1, 6)]]
+    got = b.run(reqs)
+    for rid, (prompt, n_new) in enumerate(reqs):
+        want = generate_kv(qoracle, prompt[None, :], proto._wte,
+                           proto._wpe, max_new_tokens=n_new)[0]
+        np.testing.assert_array_equal(got[rid], want, err_msg=f"req {rid}")
+
+
+def test_submit_validation(gpt_steps):
+    engine, _, proto = gpt_steps
+    b = ContinuousBatcher(engine, proto._wte, proto._wpe)
+    with pytest.raises(ValueError):
+        b.submit(np.zeros((0,), np.int32), 4)
+    with pytest.raises(ValueError):
+        b.submit(np.zeros((8,), np.int32), MAXLEN)  # exceeds cache
+    with pytest.raises(ValueError):
+        b.submit(np.zeros((2,), np.int32), 3, memory_row=np.zeros((4, 8)))
