@@ -8,8 +8,9 @@ MatMul weights int8/int4 while compute stays float:
 
 * zero calibration data (scales come from the weights),
 * W4 uses packed payloads + GPTQ/AWQ-style grouped scales,
-* AWQ-like activation-aware accuracy: compose `smooth_outliers`
-  (migrates activation outliers into weights) BEFORE quantize_weights,
+* activation-aware accuracy: compose `awq_scale_weights` (real AWQ,
+  grid-searched against the W4 reconstruction error) or
+  `smooth_outliers` BEFORE quantize_weights,
 * every generate loop runs unchanged.
 """
 import os

@@ -68,8 +68,10 @@ class ContinuousBatcher:
     ``step_model`` is a decode-step graph (gpt_decode_step,
     llama_decode_step, t5_decode_step, ...) built with ``batch_size``
     slots and cache length ``max_len``; ``wte``/``wpe``/``rope``/
-    ``score_bias``/``has_memory`` mirror :func:`generate_kv`'s layout
-    arguments. ``eos_id`` retires a slot early when generated.
+    ``score_bias``/``has_memory``/``kv_cache_dtype`` mirror
+    :func:`generate_kv`'s layout arguments (``kv_cache_dtype="int8"``
+    stores the slot caches int8 on quantized step models, bit-identical
+    tokens). ``eos_id`` retires a slot early when generated.
 
     Use :meth:`submit` to enqueue requests, :meth:`step` to advance
     every active slot one token (admitting queued requests into free
@@ -80,7 +82,8 @@ class ContinuousBatcher:
 
     def __init__(self, step_model, wte: np.ndarray, wpe: np.ndarray = None,
                  rope=None, score_bias: np.ndarray = None,
-                 has_memory: bool = False, eos_id: int = None):
+                 has_memory: bool = False, eos_id: int = None,
+                 kv_cache_dtype: str = None):
         self.model = step_model
         self.eos_id = eos_id
         cache_start = (2 if rope is None else 4) \
@@ -106,6 +109,24 @@ class ContinuousBatcher:
         else:
             self._memory = None
 
+        # int8 cache storage (4x less KV HBM), generate_kv's contract:
+        # presents quantize with THEIR cache input's calibrated params,
+        # idempotent -> bit-identical to the float-carry run
+        if kv_cache_dtype is None:
+            self._cache_qps = [None] * (2 * n_layer)
+            cache_dtype = jnp.float32
+        elif kv_cache_dtype == "int8":
+            qp_map = getattr(step_model, "quant_params", None)
+            if qp_map is None:
+                raise ValueError("kv_cache_dtype='int8' needs a "
+                                 "quantized step model")
+            self._cache_qps = [qp_map[v.name]
+                               for v in step_model.inputs[cache_start:]]
+            cache_dtype = jnp.int8
+        else:
+            raise ValueError(f"kv_cache_dtype {kv_cache_dtype!r} not in "
+                             "(None, 'int8')")
+
         # device-resident engine state
         B, L = self.n_slots, self.max_len
         self._ids = jnp.zeros((B, L + 1), jnp.int32)
@@ -115,7 +136,10 @@ class ContinuousBatcher:
         self._active = jnp.zeros((B,), jnp.bool_)
         zeros = jnp.zeros((B, self._layout[1], L, self._layout[2]),
                           jnp.float32)
-        self._caches = tuple((zeros, zeros) for _ in range(n_layer))
+        self._caches = tuple(
+            (self._q_cache(zeros, 2 * i).astype(cache_dtype),
+             self._q_cache(zeros, 2 * i + 1).astype(cache_dtype))
+            for i in range(n_layer))
 
         # host-side bookkeeping
         self._queue: list[_Request] = []
@@ -125,6 +149,14 @@ class ContinuousBatcher:
         self._step_fn = jax.jit(self._build_step())
 
     # ---------------------------------------------------------- step fn
+
+    def _q_cache(self, x, idx: int):
+        qp = self._cache_qps[idx]
+        if qp is None:
+            return x
+        from ..quantization import quantize as _quantize
+        return _quantize(x, self.model.bit_width, qp.scale,
+                         qp.zero_point).astype(jnp.int8)
 
     def _build_step(self):
         L = self.max_len
@@ -169,8 +201,10 @@ class ContinuousBatcher:
                     cache, present, p, axis=1)
             vput = jax.vmap(put)  # per-row positions
             caches = tuple(
-                (vput(k, outs[1 + 2 * i].astype(k.dtype), pos),
-                 vput(v, outs[2 + 2 * i].astype(v.dtype), pos))
+                (vput(k, self._q_cache(outs[1 + 2 * i], 2 * i)
+                      .astype(k.dtype), pos),
+                 vput(v, self._q_cache(outs[2 + 2 * i], 2 * i + 1)
+                      .astype(v.dtype), pos))
                 for i, (k, v) in enumerate(caches))
 
             # teacher forcing: inside the prompt the next token is given

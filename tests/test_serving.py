@@ -190,6 +190,16 @@ def test_quantized_step_model(gpt_steps):
                            proto._wpe, max_new_tokens=n_new)[0]
         np.testing.assert_array_equal(got[rid], want, err_msg=f"req {rid}")
 
+    # int8 slot caches: bit-identical to the float-carry engine run
+    b8 = ContinuousBatcher(qengine, proto._wte, proto._wpe,
+                           kv_cache_dtype="int8")
+    got8 = b8.run(reqs)
+    for rid in got:
+        np.testing.assert_array_equal(got8[rid], got[rid])
+    with pytest.raises(ValueError):
+        ContinuousBatcher(engine, proto._wte, proto._wpe,
+                          kv_cache_dtype="int8")  # float model
+
 
 def test_submit_validation(gpt_steps):
     engine, _, proto = gpt_steps
