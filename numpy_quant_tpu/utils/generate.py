@@ -24,17 +24,33 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _next_token(row, temperature, top_k, top_p, key):
+def _next_token(row, temperature, top_k, top_p, key, min_p=None,
+                presence=None, repetition_penalty=None):
     """Pick the next token from a [B, V] logit row: greedy argmax when
-    no sampling knob is set, else temperature/top-k/top-p filtered
-    categorical sampling (all traced; runs inside the decode loop)."""
-    if temperature is None and top_k is None and top_p is None:
+    no sampling knob is set, else temperature/top-k/top-p/min-p
+    filtered categorical sampling (all traced; runs inside the decode
+    loop). ``repetition_penalty`` (HF CTRL semantics: positive logits
+    divide, negative multiply) applies first, to the tokens marked in
+    the [B, V] ``presence`` mask (tokens already in the row's
+    sequence); it composes with greedy decoding too."""
+    if repetition_penalty is not None and presence is not None:
+        pen = jnp.float32(repetition_penalty)
+        penalized = jnp.where(row > 0, row / pen, row * pen)
+        row = jnp.where(presence > 0, penalized, row)
+    if temperature is None and top_k is None and top_p is None \
+            and min_p is None:
         return jnp.argmax(row, axis=-1).astype(jnp.int32)
     logits = row / jnp.float32(1.0 if temperature is None else temperature)
     neg = jnp.float32(-1e30)
     if top_k is not None:
         kth = jax.lax.top_k(logits, int(top_k))[0][..., -1:]
         logits = jnp.where(logits < kth, neg, logits)
+    if min_p is not None:
+        # keep tokens whose probability is >= min_p * the mode's
+        # (arXiv:2407.01082); the mode always survives
+        probs = jax.nn.softmax(logits, axis=-1)
+        cap = probs.max(axis=-1, keepdims=True) * jnp.float32(min_p)
+        logits = jnp.where(probs < cap, neg, logits)
     if top_p is not None:
         # nucleus: keep the smallest prefix of the sorted distribution
         # whose mass reaches top_p (the first token always survives)
@@ -52,13 +68,17 @@ def _next_token(row, temperature, top_k, top_p, key):
 def generate(model, prompt_ids: np.ndarray, wte: np.ndarray,
              max_new_tokens: int, temperature: float = None,
              top_k: int = None, top_p: float = None,
-             key=None) -> np.ndarray:
+             key=None, min_p: float = None,
+             repetition_penalty: float = None) -> np.ndarray:
     """Generate ``max_new_tokens`` continuations of ``prompt_ids``
     [B, T0] with ``model`` (any Model/QModel over an inputs_embeds
     causal graph) and the token-embedding table ``wte`` [V, H].
 
-    Greedy argmax by default; ``temperature``/``top_k``/``top_p`` (and
-    optionally a PRNG ``key``) switch to filtered categorical sampling.
+    Greedy argmax by default; ``temperature``/``top_k``/``top_p``/
+    ``min_p`` (and optionally a PRNG ``key``) switch to filtered
+    categorical sampling. ``repetition_penalty`` down-weights tokens
+    already in the row's sequence (HF CTRL semantics) and composes
+    with greedy decoding too.
     Returns [B, T0 + max_new_tokens] int ids. T0 + max_new_tokens must
     fit the graph's fixed length L; the causal mask guarantees the
     padded tail never influences live positions.
@@ -78,7 +98,7 @@ def generate(model, prompt_ids: np.ndarray, wte: np.ndarray,
         key = jax.random.PRNGKey(0)
 
     sampling = (temperature is not None or top_k is not None
-                or top_p is not None)
+                or top_p is not None or min_p is not None)
 
     # params and the embedding table enter as jit ARGUMENTS, not
     # closure constants: closed-over arrays embed into the HLO as
@@ -96,7 +116,15 @@ def generate(model, prompt_ids: np.ndarray, wte: np.ndarray,
                 key, sub = jax.random.split(key)
             else:
                 sub = key
-            nxt = _next_token(row, temperature, top_k, top_p, sub)
+            presence = None
+            if repetition_penalty is not None:
+                # [B, V] mask of tokens at the filled positions 0..t
+                valid = (jnp.arange(ids.shape[1])[None, :]
+                         <= t).astype(jnp.float32)
+                presence = jnp.zeros(row.shape, jnp.float32).at[
+                    jnp.arange(ids.shape[0])[:, None], ids].max(valid)
+            nxt = _next_token(row, temperature, top_k, top_p, sub,
+                              min_p, presence, repetition_penalty)
             embeds = jax.lax.dynamic_update_slice_in_dim(
                 embeds, jnp.take(wte_j, nxt, axis=0)[:, None, :], t + 1,
                 axis=1)
@@ -432,7 +460,8 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
                 top_p: float = None, key=None,
                 kv_cache_dtype: str = None, rope=None,
                 score_bias: np.ndarray = None,
-                memory: np.ndarray = None) -> np.ndarray:
+                memory: np.ndarray = None, min_p: float = None,
+                repetition_penalty: float = None) -> np.ndarray:
     """Autoregressive decode through the KV-cache step graph
     (models/gpt.py gpt_decode_step): one token per step at O(L) cost,
     the whole loop -- prefill (teacher-forced) and generation -- ONE
@@ -519,7 +548,7 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
                          "(None, 'int8')")
 
     sampling = (temperature is not None or top_k is not None
-                or top_p is not None)
+                or top_p is not None or min_p is not None)
 
     # params and the embedding/RoPE tables enter as jit ARGUMENTS, not
     # closure constants (closed-over arrays embed into the HLO body)
@@ -550,7 +579,14 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
                 key, sub = jax.random.split(key)
             else:
                 sub = key
-            nxt = _next_token(row, temperature, top_k, top_p, sub)
+            presence = None
+            if repetition_penalty is not None:
+                valid = (jnp.arange(ids.shape[1])[None, :]
+                         <= t).astype(jnp.float32)
+                presence = jnp.zeros(row.shape, jnp.float32).at[
+                    jnp.arange(ids.shape[0])[:, None], ids].max(valid)
+            nxt = _next_token(row, temperature, top_k, top_p, sub,
+                              min_p, presence, repetition_penalty)
             caches = tuple(
                 (jax.lax.dynamic_update_slice_in_dim(
                     k, q_cache(outs[1 + 2 * i], cache_qps[2 * i]), t,

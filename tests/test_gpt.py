@@ -211,3 +211,40 @@ def test_generate_quantized_paths(gpt):
     dyn = model.quantize_dynamic()
     d_seq = generate(dyn, prompt, proto._wte, max_new_tokens=8)
     assert (d_seq == f_seq).mean() >= 0.6
+
+
+def test_generate_min_p_and_repetition_penalty(gpt):
+    """min_p=1.0 keeps only the mode (greedy whatever the temperature);
+    a strong repetition penalty composes with greedy decode and changes
+    a repetitive continuation; both knobs work through the KV step form
+    identically."""
+    import jax
+
+    from numpy_quant_tpu.models.gpt import gpt_decode_step
+    from numpy_quant_tpu.utils import generate_kv
+
+    proto, model = gpt
+    prompt = RNG.integers(0, 96, size=(2, 4)).astype(np.int32)
+
+    greedy = generate(model, prompt, proto._wte, max_new_tokens=6)
+    m1 = generate(model, prompt, proto._wte, max_new_tokens=6,
+                  temperature=5.0, min_p=1.0, key=jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(m1, greedy)
+
+    # tiny random GPTs repeat greedily; a strong penalty must break
+    # at least one repetition without touching the prompt
+    rep = generate(model, prompt, proto._wte, max_new_tokens=6,
+                   repetition_penalty=1e9)
+    np.testing.assert_array_equal(rep[:, :4], prompt)
+    gen = rep[:, 4:]
+    for b in range(2):
+        assert len(set(gen[b].tolist())) == 6, gen[b]
+    assert not np.array_equal(rep, greedy)
+
+    # the KV step form applies the same penalty rule -> same tokens
+    step_proto = gpt_decode_step(batch_size=2, max_len=12,
+                                 module=proto._torch_module)
+    step = nq.Model.from_onnx(step_proto)
+    rep_kv = generate_kv(step, prompt, proto._wte, proto._wpe,
+                         max_new_tokens=6, repetition_penalty=1e9)
+    np.testing.assert_array_equal(rep_kv, rep)
