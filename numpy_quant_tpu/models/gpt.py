@@ -37,9 +37,11 @@ def _conv1d(e: _ViTEmitter, x: str, conv1d, name: str) -> str:
 
 
 def _causal_attention(e: _ViTEmitter, x: str, attn, seq_len: int,
-                      name: str) -> str:
+                      name: str, presents: list = None) -> str:
     """GPT2Attention: merged c_attn -> Split(q,k,v) -> head split ->
-    scaled scores + causal mask -> softmax -> context -> c_proj."""
+    scaled scores + causal mask -> softmax -> context -> c_proj.
+    When ``presents`` is given, the per-head K/V tensors are appended
+    to it (the prefill form exposes them as graph outputs)."""
     g = e.g
     num_heads = attn.num_heads
     head_size = attn.head_dim
@@ -60,6 +62,8 @@ def _causal_attention(e: _ViTEmitter, x: str, attn, seq_len: int,
                       perm=[0, 2, 1, 3])
 
     qh, kh, vh = split_heads(q, "q"), split_heads(k, "k"), split_heads(v, "v")
+    if presents is not None:
+        presents.append((kh, vh))
     kt = g.node("Transpose", [kh], out=f"{name}/k_T", perm=[0, 1, 3, 2])
     scores = g.node("MatMul", [qh, kt], out=f"{name}/scores")
     scal = g.const(np.array(np.float32(1.0 / np.sqrt(head_size)),
@@ -84,12 +88,13 @@ def _causal_attention(e: _ViTEmitter, x: str, attn, seq_len: int,
 
 
 def _gpt_block(e: _ViTEmitter, x: str, block, seq_len: int,
-               name: str) -> str:
+               name: str, presents: list = None) -> str:
     """GPT2Block: pre-LN causal attention + residual, pre-LN MLP +
     residual (gelu activation)."""
     g = e.g
     ln1 = e.layernorm(x, block.ln_1, f"{name}.ln_1")
-    att = _causal_attention(e, ln1, block.attn, seq_len, f"{name}.attn")
+    att = _causal_attention(e, ln1, block.attn, seq_len, f"{name}.attn",
+                            presents)
     x1 = g.node("Add", [att, x], out=f"{name}/residual1")
     ln2 = e.layernorm(x1, block.ln_2, f"{name}.ln_2")
     fc = _conv1d(e, ln2, block.mlp.c_fc, f"{name}.mlp.c_fc")
@@ -263,6 +268,69 @@ def gpt_decode_step(config=None, batch_size: int = 2, max_len: int = 16,
                name=f"present_v_id.{i}")
         g.output(f"present_k.{i}", [batch_size, nh, 1, hd])
         g.output(f"present_v.{i}", [batch_size, nh, 1, hd])
+
+    model = g.model()
+    model._torch_module = module
+    model._wte = _np(module.transformer.wte.weight)
+    model._wpe = _np(module.transformer.wpe.weight)
+    return model
+
+
+def gpt_prefill(config=None, prefill_len: int = 8, seed: int = 0,
+                module=None):
+    """The PREFILL form: the full-sequence causal graph over one
+    request's prompt, additionally exposing every layer's K/V heads --
+    ``inputs_embeds`` [1, P, H] -> ``logits`` [1, P, V] plus
+    ``present_k.i``/``present_v.i`` [1, heads, P, head] per layer.
+
+    utils.serving.ContinuousBatcher uses it to admit a request with ONE
+    MXU-shaped call (all prompt tokens at once) instead of O(plen)
+    latency-bound teacher-forced steps: the presents are written into
+    the slot's cache rows, and row plen-1's logits give the first
+    generated token. Prompts shorter than P pad on the right -- the
+    static causal mask keeps padded positions out of every live row,
+    and the padded cache tail is overwritten by decode steps before any
+    mask ever validates it.
+
+    Same ``seed``/``config`` as the other GPT forms builds the SAME
+    torch module, so all graphs share weights."""
+    import torch
+    from transformers import GPT2Config
+    from transformers.models.gpt2.modeling_gpt2 import GPT2LMHeadModel
+
+    if module is None:
+        torch.manual_seed(seed)
+        if config is None:
+            config = GPT2Config(vocab_size=96, n_positions=prefill_len,
+                                n_embd=32, n_layer=2, n_head=2,
+                                activation_function="gelu")
+        config.attn_implementation = "eager"
+        module = GPT2LMHeadModel(config).eval()
+    config = module.config
+    nh = config.n_head
+    hd = config.n_embd // nh
+
+    g = GraphBuilder("gpt_prefill")
+    e = _ViTEmitter(g)
+    x = g.input("inputs_embeds", [1, prefill_len, config.n_embd])
+    wpe = g.init("wpe.slice",
+                 _np(module.transformer.wpe.weight)[:prefill_len])
+    h = g.node("Add", [x, wpe], out="/pos_add")
+    presents = []
+    for i, block in enumerate(module.transformer.h):
+        h = _gpt_block(e, h, block, prefill_len, f"h.{i}", presents)
+    h = e.layernorm(h, module.transformer.ln_f, "ln_f")
+    head = g.init("lm_head.weight_t", _np(module.lm_head.weight).T)
+    g.node("MatMul", [h, head], out="logits", name="lm_head")
+
+    g.output("logits", [1, prefill_len, config.vocab_size])
+    for i, (kh, vh) in enumerate(presents):
+        g.node("Identity", [kh], out=f"present_k.{i}",
+               name=f"present_k_id.{i}")
+        g.node("Identity", [vh], out=f"present_v.{i}",
+               name=f"present_v_id.{i}")
+        g.output(f"present_k.{i}", [1, nh, prefill_len, hd])
+        g.output(f"present_v.{i}", [1, nh, prefill_len, hd])
 
     model = g.model()
     model._torch_module = module

@@ -72,6 +72,11 @@ class ContinuousBatcher:
     :func:`generate_kv`'s layout arguments (``kv_cache_dtype="int8"``
     stores the slot caches int8 on quantized step models, bit-identical
     tokens). ``eos_id`` retires a slot early when generated.
+    ``prefill_model`` (models/gpt.py gpt_prefill: the full-sequence
+    graph with per-layer present outputs) admits each request with ONE
+    MXU-shaped call over its whole prompt instead of O(plen)
+    teacher-forced steps -- prompts longer than the prefill length fall
+    back to teacher forcing.
 
     Use :meth:`submit` to enqueue requests, :meth:`step` to advance
     every active slot one token (admitting queued requests into free
@@ -83,7 +88,7 @@ class ContinuousBatcher:
     def __init__(self, step_model, wte: np.ndarray, wpe: np.ndarray = None,
                  rope=None, score_bias: np.ndarray = None,
                  has_memory: bool = False, eos_id: int = None,
-                 kv_cache_dtype: str = None):
+                 kv_cache_dtype: str = None, prefill_model=None):
         self.model = step_model
         self.eos_id = eos_id
         cache_start = (2 if rope is None else 4) \
@@ -141,10 +146,32 @@ class ContinuousBatcher:
              self._q_cache(zeros, 2 * i + 1).astype(cache_dtype))
             for i in range(n_layer))
 
+        # prefill fast path: one MXU-shaped call per admission instead
+        # of O(plen) teacher-forced steps (models/gpt.py gpt_prefill)
+        self._prefill = prefill_model
+        if prefill_model is not None:
+            if (rope is not None or score_bias is not None or has_memory):
+                raise ValueError("prefill_model currently supports the "
+                                 "plain decode layout only")
+            pb, plen_hint, _ = prefill_model.inputs[0].shape_hint
+            if int(pb) != 1:
+                raise ValueError("prefill graphs admit one request at a "
+                                 "time (batch 1)")
+            self.prefill_len = int(plen_hint)
+            if self.prefill_len > L:
+                raise ValueError(f"prefill length {self.prefill_len} "
+                                 f"exceeds the cache length {L}")
+            pf = prefill_model.lowered_fn()
+            self._prefill_fn = jax.jit(
+                lambda emb, params: pf([emb], params))
+        else:
+            self.prefill_len = 0
+
         # host-side bookkeeping
         self._queue: list[_Request] = []
         self._slots: list[_SlotInfo | None] = [None] * B
         self._next_id = 0
+        self._early: list[tuple[int, np.ndarray]] = []
         self._fwd = step_model.lowered_fn()
         self._step_fn = jax.jit(self._build_step())
 
@@ -255,14 +282,47 @@ class ContinuousBatcher:
 
     def _admit(self) -> None:
         for slot in range(self.n_slots):
-            if self._slots[slot] is not None or not self._queue:
-                continue
+            while self._slots[slot] is None and self._queue:
+                self._admit_one(slot)
+
+    def _admit_one(self, slot: int) -> None:
             req = self._queue.pop(0)
             plen = req.prompt.size
             row = np.zeros(self.max_len + 1, np.int32)
             row[:plen] = req.prompt
+
+            pos0 = 0
+            if self._prefill is not None and plen <= self.prefill_len:
+                # one MXU call admits the whole prompt: presents land in
+                # the slot's cache rows, row plen-1's logits give the
+                # first generated token, and decode starts at pos=plen
+                emb = np.zeros((1, self.prefill_len, self._wte.shape[1]),
+                               np.float32)
+                emb[0, :plen] = np.asarray(self._wte)[req.prompt]
+                outs = self._prefill_fn(emb,
+                                        self._prefill._placed_params())
+                tok = int(np.asarray(outs[0][0, plen - 1]).argmax())
+                row[plen] = tok
+                P = self.prefill_len
+                self._caches = tuple(
+                    (k.at[slot, :, :P].set(
+                        self._q_cache(outs[1 + 2 * i], 2 * i)
+                        .astype(k.dtype)[0]),
+                     v.at[slot, :, :P].set(
+                         self._q_cache(outs[2 + 2 * i], 2 * i + 1)
+                         .astype(v.dtype)[0]))
+                    for i, (k, v) in enumerate(self._caches))
+                pos0 = plen
+                done = (req.max_new_tokens <= 1
+                        or (self.eos_id is not None
+                            and tok == self.eos_id))
+                if done:
+                    self._early.append(
+                        (req.req_id, row[: plen + 1].copy()))
+                    return  # never occupies the slot
+
             self._ids = self._ids.at[slot].set(jnp.asarray(row))
-            self._pos = self._pos.at[slot].set(0)
+            self._pos = self._pos.at[slot].set(pos0)
             self._plen = self._plen.at[slot].set(plen)
             self._tmax = self._tmax.at[slot].set(plen + req.max_new_tokens)
             self._active = self._active.at[slot].set(True)
@@ -278,14 +338,15 @@ class ContinuousBatcher:
         that finished this step as ``(req_id, tokens)`` -- tokens
         include the prompt and the EOS when one was generated."""
         self._admit()
+        early, self._early = self._early, []
         if self.n_active == 0:
-            return []
+            return sorted(early, key=lambda t: t[0])
         ids, pos, done, caches = self._step_fn(
             self._ids, self._pos, self._plen, self._tmax, self._active,
             self._caches, self.model._placed_params(), self._wte,
             self._wpe, self._cos, self._sin, self._bias, self._memory)
         self._ids, self._pos, self._caches = ids, pos, caches
-        finished = []
+        finished = early
         done_h = np.asarray(done)
         if done_h.any():
             ids_h = np.asarray(ids)
@@ -296,7 +357,7 @@ class ContinuousBatcher:
                     (info.req_id, ids_h[slot, : pos_h[slot] + 1].copy()))
                 self._slots[slot] = None
                 self._active = self._active.at[slot].set(False)
-            finished.sort(key=lambda t: t[0])
+        finished.sort(key=lambda t: t[0])
         return finished
 
     def run(self, requests) -> dict[int, np.ndarray]:

@@ -210,3 +210,48 @@ def test_submit_validation(gpt_steps):
         b.submit(np.zeros((8,), np.int32), MAXLEN)  # exceeds cache
     with pytest.raises(ValueError):
         b.submit(np.zeros((2,), np.int32), 3, memory_row=np.zeros((4, 8)))
+
+
+def test_prefill_fast_path(gpt_steps):
+    """With a prefill graph attached, admissions land the whole prompt
+    in one call; results stay token-exact with the teacher-forced
+    engine AND the solo generate_kv runs -- including a prompt longer
+    than the prefill length (falls back to teacher forcing), a
+    one-token budget (finishes at admit), and EOS on the first
+    generated token."""
+    from numpy_quant_tpu.models.gpt import gpt_prefill
+
+    engine, oracle, proto = gpt_steps
+    pre_proto = gpt_prefill(prefill_len=6, module=proto._torch_module)
+    prefill = nq.Model.from_onnx(pre_proto)
+
+    reqs = [(RNG.integers(0, 96, size=(k,)).astype(np.int32), n)
+            for k, n in [(1, 6), (4, 5), (8, 3), (2, 1), (5, 4)]]
+    # req 2 (plen 8 > prefill 6) teacher-forces; req 3 (budget 1)
+    # finishes at admission
+    b = ContinuousBatcher(engine, proto._wte, proto._wpe,
+                          prefill_model=prefill)
+    got = b.run(reqs)
+    plain = ContinuousBatcher(engine, proto._wte, proto._wpe).run(reqs)
+    assert len(got) == 5
+    for rid, (prompt, n_new) in enumerate(reqs):
+        want = _oracle_row(oracle, proto, prompt, n_new)
+        np.testing.assert_array_equal(got[rid], want, err_msg=f"req {rid}")
+        np.testing.assert_array_equal(plain[rid], want)
+
+    # EOS on the first generated token retires at admission
+    prompt = reqs[1][0]
+    full = _oracle_row(oracle, proto, prompt, 5)
+    eos = int(full[4])
+    b2 = ContinuousBatcher(engine, proto._wte, proto._wpe,
+                           prefill_model=prefill, eos_id=eos)
+    got2 = b2.run([(prompt, 5)])[0]
+    np.testing.assert_array_equal(got2, full[:5])
+
+    # layout guards
+    with pytest.raises(ValueError):
+        from numpy_quant_tpu.models.llama import llama_decode_step
+        lp = llama_decode_step(batch_size=2, max_len=10, seed=0)
+        lm = nq.Model.from_onnx(lp)
+        ContinuousBatcher(lm, lp._wte, None, rope=lp._rope_tables,
+                          prefill_model=prefill)
