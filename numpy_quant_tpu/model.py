@@ -565,6 +565,18 @@ class Model:
         from .smoothquant import smooth_outliers
         return smooth_outliers(self, inputs, alpha=alpha)
 
+    def rotate_vo(self, seed: int = 0) -> int:
+        """QuaRot-style orthogonal rotation of every attention's V/O
+        projection pair (Ashkboos et al., arXiv:2404.00456): an exact
+        data-free reparameterization (V' = V R, W_o' = R^T W_o per
+        head) that spreads V-channel outliers across all lanes, so
+        per-TENSOR quantization of the v/o weights stops being set by
+        one wide channel. Run on the FLOAT model before ``quantize`` /
+        ``quantize_weights``. Returns the number of attentions rotated.
+        See numpy_quant_tpu/rotate.py."""
+        from .rotate import rotate_vo
+        return rotate_vo(self, seed=seed)
+
     def awq_scale_weights(self, inputs, bit_width: int = 4,
                           group_size: int = None, n_grid: int = 20,
                           **kw) -> dict:
