@@ -20,5 +20,6 @@ from .generate import (beam_search, decode_calibration, generate,
                        generate_speculative)
 from .calibration import mse_clipped_stats
 from .serving import ContinuousBatcher
+from .aot import load_compiled, save_compiled
 from .sensitivity import plan_mixed_precision, weight_sensitivity
 from .summary import summarize

@@ -1,6 +1,7 @@
 """Utility subsystems: QModel serialization (checkpoint/resume gap-fill),
 profile chart, summary."""
 import numpy as np
+import pytest
 
 import numpy_quant_tpu as nq
 from numpy_quant_tpu.utils import (
@@ -359,3 +360,40 @@ def test_export_qdq_after_merge_parallel_matmuls(tmp_path):
     a, b = merged_out, qdq([x])[0]
     assert np.abs(a - b).mean() < 0.02, np.abs(a - b).mean()
     assert np.array_equal(a.argmax(1), b.argmax(1))
+
+
+def test_aot_save_load_compiled(tmp_path):
+    """utils.aot: the COMPILED program round-trips through jax.export
+    serialization -- the loaded artifact needs no graph/ONNX/framework
+    state and reproduces the QModel's outputs bit-exactly (int8
+    dataflow, fusions and packed payload unpacking are baked into the
+    StableHLO; params ride beside it as arguments)."""
+    import numpy_quant_tpu as nq
+    from numpy_quant_tpu.models.vit import vit
+    from numpy_quant_tpu.utils.aot import load_compiled, save_compiled
+
+    rng = np.random.default_rng(7)
+    model = nq.Model.from_onnx(vit(1, 12, 4, 24, 16, 2, 2, 4))
+    x = rng.normal(size=(1, 3, 12, 12)).astype(np.float32)
+    qmodel = model.quantize([x], bit_width=8)
+    qmodel.optimize()
+    qmodel.pack_weights()
+    want = [np.asarray(o) for o in qmodel([x])]
+
+    p = str(tmp_path / "vit_int8.npz")
+    save_compiled(qmodel, p, [x])
+    fn = load_compiled(p)
+    got = fn([x])
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+    # float model round-trips too
+    p2 = str(tmp_path / "vit_f32.npz")
+    save_compiled(model, p2, [x])
+    np.testing.assert_array_equal(load_compiled(p2)([x])[0],
+                                  np.asarray(model([x])[0]))
+
+    with pytest.raises(ValueError):
+        np.savez(str(tmp_path / "bad.npz"), a=np.zeros(3))
+        load_compiled(str(tmp_path / "bad.npz"))
