@@ -158,10 +158,34 @@ def main(json_path=None):
         ("speculative-k4", "float", lambda: generate_speculative(
             tgt, drf, prompt, tgt_p._wte, drf_p._wte, NEW, k=k)),
     ]
+
+    # continuous batching: 2x oversubscribed ragged workload through
+    # BATCH slots (per-step host sync is the price of online admission;
+    # compare against the one-program lockstep kv row)
+    from numpy_quant_tpu.models.gpt import gpt_prefill
+    from numpy_quant_tpu.utils import ContinuousBatcher
+
+    workload = [
+        (rng.integers(0, step_p._wte.shape[0],
+                      size=(1 + i % PROMPT,)).astype(np.int32), NEW)
+        for i in range(2 * BATCH)]
+    cb_tokens = sum(n for _, n in workload)
+    pre = None
+
+    def run_cb(prefill=None):
+        b = ContinuousBatcher(step, step_p._wte, step_p._wpe,
+                              prefill_model=prefill)
+        return b.run(workload)
+
+    runs.append(("cb-2x", "float", lambda: run_cb()))
+    import numpy_quant_tpu as nq
+    pre = nq.Model.from_onnx(gpt_prefill(
+        prefill_len=PROMPT, module=step_p._torch_module))
+    runs.append(("cb-2x-prefill", "float", lambda: run_cb(pre)))
     results = []
     for form, quant, fn in runs:
         sec = timed(fn)
-        toks = BATCH * NEW / sec
+        toks = (cb_tokens if form.startswith("cb") else BATCH * NEW) / sec
         rec = {"form": form, "quant": quant,
                "tokens_per_sec": round(toks, 1),
                "sec_per_run": round(sec, 4)}
