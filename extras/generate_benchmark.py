@@ -132,14 +132,19 @@ def main(json_path=None):
     from numpy_quant_tpu.utils import (beam_search, generate, generate_kv,
                                        generate_speculative)
 
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
+
     full, full_p, step, step_p, wstep = build()
     rng = np.random.default_rng(7)
     prompt = rng.integers(0, full_p._wte.shape[0],
                           size=(BATCH, PROMPT)).astype(np.int32)
-    qfull, qstep = quantize_models(full, step, full_p, step_p, prompt)
-    beam, beam_p, tgt, tgt_p, drf, drf_p, k = build_search_models()
+    if only is None or not only.startswith("cb"):
+        qfull, qstep = quantize_models(full, step, full_p, step_p, prompt)
+        beam, beam_p, tgt, tgt_p, drf, drf_p, k = build_search_models()
 
-    runs = [
+    runs = [] if only is not None and only.startswith("cb") else [
         ("full", "float", lambda: generate(
             full, prompt, full_p._wte, NEW)),
         ("full", "int8", lambda: generate(
@@ -170,20 +175,23 @@ def main(json_path=None):
                       size=(1 + i % PROMPT,)).astype(np.int32), NEW)
         for i in range(2 * BATCH)]
     cb_tokens = sum(n for _, n in workload)
-    pre = None
-
-    def run_cb(prefill=None):
-        b = ContinuousBatcher(step, step_p._wte, step_p._wpe,
-                              prefill_model=prefill)
-        return b.run(workload)
-
-    runs.append(("cb-2x", "float", lambda: run_cb()))
     import numpy_quant_tpu as nq
     pre = nq.Model.from_onnx(gpt_prefill(
         prefill_len=PROMPT, module=step_p._torch_module))
-    runs.append(("cb-2x-prefill", "float", lambda: run_cb(pre)))
+    cb_plain = ContinuousBatcher(step, step_p._wte, step_p._wpe)
+    cb_pre = ContinuousBatcher(step, step_p._wte, step_p._wpe,
+                               prefill_model=pre)
+
+    def run_cb(b):
+        b.reset()
+        return b.run(workload)
+
+    runs.append(("cb-2x", "float", lambda: run_cb(cb_plain)))
+    runs.append(("cb-2x-prefill", "float", lambda: run_cb(cb_pre)))
     results = []
     for form, quant, fn in runs:
+        if only and not form.startswith(only):
+            continue
         sec = timed(fn)
         toks = (cb_tokens if form.startswith("cb") else BATCH * NEW) / sec
         rec = {"form": form, "quant": quant,

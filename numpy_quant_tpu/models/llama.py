@@ -108,7 +108,8 @@ def _rope_tables(module, seq_len: int):
 
 def _llama_attention(e: _ViTEmitter, x: str, attn, seq_len: int,
                      cos: str, sin: str, name: str,
-                     window: int | None = None) -> str:
+                     window: int | None = None,
+                     presents: list = None) -> str:
     """LlamaAttention (eager): separate q/k/v projections, RoPE on q/k,
     grouped-query repeat of k/v, causal additive mask, softmax,
     context, o_proj. ``window`` bands the causal mask (Mistral-style
@@ -139,6 +140,9 @@ def _llama_attention(e: _ViTEmitter, x: str, attn, seq_len: int,
     qh = _apply_rope(g, qh, cos, sin, head_dim, f"{name}/q_rope")
     kh = _apply_rope(g, kh, cos, sin, head_dim, f"{name}/k_rope")
 
+    if presents is not None:
+        # the decode cache layout: post-RoPE k, PRE-repeat kv heads
+        presents.append((kh, vh))
     kh = _repeat_kv(e, kh, n_kv, n_rep, seq_len, head_dim, f"{name}/k_rep")
     vh = _repeat_kv(e, vh, n_kv, n_rep, seq_len, head_dim, f"{name}/v_rep")
 
@@ -179,13 +183,14 @@ def _swiglu_mlp(e: _ViTEmitter, x: str, mlp, name: str) -> str:
 
 def _llama_block(e: _ViTEmitter, x: str, layer, seq_len: int,
                  cos: str, sin: str, name: str,
-                 window: int | None = None) -> str:
+                 window: int | None = None, presents: list = None) -> str:
     """LlamaDecoderLayer: pre-RMSNorm attention + residual,
     pre-RMSNorm SwiGLU MLP + residual."""
     g = e.g
     ln1 = _rms_norm(e, x, layer.input_layernorm, f"{name}.input_norm")
     att = _llama_attention(e, ln1, layer.self_attn, seq_len, cos, sin,
-                           f"{name}.self_attn", window=window)
+                           f"{name}.self_attn", window=window,
+                           presents=presents)
     x1 = g.node("Add", [att, x], out=f"{name}/residual1")
     ln2 = _rms_norm(e, x1, layer.post_attention_layernorm,
                     f"{name}.post_norm")
@@ -418,4 +423,62 @@ def llama_decode_step(config=None, batch_size: int = 2, max_len: int = 16,
     model._wte = _np(module.model.embed_tokens.weight)
     model._rope_tables = _rope_tables(module, max_len)  # [1,1,L,D] each
     model._head_dim = head_dim
+    return model
+
+
+def llama_prefill(config=None, prefill_len: int = 8, seed: int = 0,
+                  module=None):
+    """The PREFILL form of :func:`llama_causal_lm`: one request's
+    prompt in one call, exposing every layer's cache-layout K/V --
+    ``inputs_embeds`` [1, P, H] -> ``logits`` [1, P, V] plus
+    ``present_k.i``/``present_v.i`` [1, n_kv_heads, P, head_dim]
+    (post-RoPE k, PRE-repeat kv heads: exactly what llama_decode_step's
+    cache inputs expect). RoPE tables bake at positions 0..P-1, which
+    is always right for admission-time prefill.
+
+    utils.serving.ContinuousBatcher uses it to admit a request with ONE
+    MXU-shaped call; prompts shorter than P pad on the right (the
+    static causal mask keeps padded positions out of live rows)."""
+    import torch
+    from transformers.models.llama.modeling_llama import LlamaForCausalLM
+
+    if module is None:
+        torch.manual_seed(seed)
+        if config is None:
+            config = default_config(prefill_len)
+        module = LlamaForCausalLM(config).eval()
+    config = module.config
+    n_kv = config.num_key_value_heads
+    head_dim = module.model.layers[0].self_attn.head_dim
+
+    g = GraphBuilder("llama_prefill")
+    e = _ViTEmitter(g)
+    h = g.input("inputs_embeds", [1, prefill_len, config.hidden_size])
+    cos_np, sin_np = _rope_tables(module, prefill_len)
+    cos = g.init("rope.cos", cos_np)
+    sin = g.init("rope.sin", sin_np)
+    window = getattr(config, "sliding_window", None)
+    presents = []
+    for i, layer in enumerate(module.model.layers):
+        h = _llama_block(e, h, layer, prefill_len, cos, sin,
+                         f"layers.{i}", window=window, presents=presents)
+    h = _rms_norm(e, h, module.model.norm, "norm")
+    head = g.init("lm_head.weight_t", _np(module.lm_head.weight).T)
+    g.node("MatMul", [h, head], out="logits", name="lm_head")
+
+    g.output("logits", [1, prefill_len, config.vocab_size])
+    for i, (kh, vh) in enumerate(presents):
+        g.node("Identity", [kh], out=f"present_k.{i}",
+               name=f"present_k_id.{i}")
+        g.node("Identity", [vh], out=f"present_v.{i}",
+               name=f"present_v_id.{i}")
+        g.output(f"present_k.{i}", [1, n_kv, prefill_len, head_dim])
+        g.output(f"present_v.{i}", [1, n_kv, prefill_len, head_dim])
+
+    model = g.model()
+    model._torch_module = module
+    model._wte = _np(module.model.embed_tokens.weight)
+    model._head_dim = head_dim
+    model._rope_tables = _rope_tables(module,
+                                      config.max_position_embeddings)
     return model

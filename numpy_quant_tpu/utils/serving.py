@@ -150,9 +150,11 @@ class ContinuousBatcher:
         # of O(plen) teacher-forced steps (models/gpt.py gpt_prefill)
         self._prefill = prefill_model
         if prefill_model is not None:
-            if (rope is not None or score_bias is not None or has_memory):
+            # RoPE engines work too: the prefill graph bakes its own
+            # positions 0..P-1, exactly right at admission time
+            if score_bias is not None or has_memory:
                 raise ValueError("prefill_model currently supports the "
-                                 "plain decode layout only")
+                                 "plain and RoPE decode layouts only")
             pb, plen_hint, _ = prefill_model.inputs[0].shape_hint
             if int(pb) != 1:
                 raise ValueError("prefill graphs admit one request at a "
@@ -250,6 +252,16 @@ class ContinuousBatcher:
         return step
 
     # ------------------------------------------------------ public API
+
+    def reset(self) -> None:
+        """Drop all queued and in-flight requests (state zeroes; the
+        compiled step/prefill programs are kept). New submissions start
+        fresh -- slot caches need no clearing (masks only ever validate
+        positions a request itself wrote)."""
+        self._queue = []
+        self._early = []
+        self._slots = [None] * self.n_slots
+        self._active = jnp.zeros((self.n_slots,), jnp.bool_)
 
     def submit(self, prompt_ids, max_new_tokens: int,
                memory_row: np.ndarray = None) -> int:

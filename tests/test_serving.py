@@ -248,10 +248,39 @@ def test_prefill_fast_path(gpt_steps):
     got2 = b2.run([(prompt, 5)])[0]
     np.testing.assert_array_equal(got2, full[:5])
 
-    # layout guards
+    # layout guard: seq2seq/bias engines have no prefill path yet
     with pytest.raises(ValueError):
-        from numpy_quant_tpu.models.llama import llama_decode_step
-        lp = llama_decode_step(batch_size=2, max_len=10, seed=0)
-        lm = nq.Model.from_onnx(lp)
-        ContinuousBatcher(lm, lp._wte, None, rope=lp._rope_tables,
+        from numpy_quant_tpu.models.t5 import t5_decode_step
+        tp = t5_decode_step(batch_size=2, max_len=8, src_len=6, seed=0)
+        tm = nq.Model.from_onnx(tp)
+        ContinuousBatcher(tm, tp._wte, None,
+                          score_bias=tp._decode_bias, has_memory=True,
                           prefill_model=prefill)
+
+
+def test_prefill_fast_path_llama_rope():
+    """llama_prefill (post-RoPE pre-repeat presents, the decode cache
+    layout) admits prompts in one call on a RoPE engine; results stay
+    token-exact with solo generate_kv."""
+    from numpy_quant_tpu.models.llama import (llama_decode_step,
+                                              llama_prefill)
+
+    proto = llama_decode_step(batch_size=2, max_len=10, seed=0)
+    module = proto._torch_module
+    engine = nq.Model.from_onnx(proto)
+    pre = nq.Model.from_onnx(llama_prefill(prefill_len=5, module=module))
+    oracle_proto = llama_decode_step(batch_size=1, max_len=10,
+                                     module=module)
+    oracle = nq.Model.from_onnx(oracle_proto)
+
+    b = ContinuousBatcher(engine, proto._wte, None,
+                          rope=proto._rope_tables, prefill_model=pre)
+    reqs = [(RNG.integers(0, 64, size=(k,)).astype(np.int32), n)
+            for k, n in [(2, 5), (5, 4), (7, 3), (1, 6)]]
+    # req 2 (plen 7 > prefill 5) teacher-forces
+    got = b.run(reqs)
+    for rid, (prompt, n_new) in enumerate(reqs):
+        want = generate_kv(oracle, prompt[None, :], oracle_proto._wte,
+                           None, max_new_tokens=n_new,
+                           rope=oracle_proto._rope_tables)[0]
+        np.testing.assert_array_equal(got[rid], want, err_msg=f"req {rid}")
