@@ -174,6 +174,8 @@ class ContinuousBatcher:
         self._slots: list[_SlotInfo | None] = [None] * B
         self._next_id = 0
         self._early: list[tuple[int, np.ndarray]] = []
+        self.stats = {"steps": 0, "slot_steps": 0, "prefills": 0,
+                      "completed": 0, "tokens_out": 0}
         self._fwd = step_model.lowered_fn()
         self._step_fn = jax.jit(self._build_step())
 
@@ -262,6 +264,7 @@ class ContinuousBatcher:
         self._early = []
         self._slots = [None] * self.n_slots
         self._active = jnp.zeros((self.n_slots,), jnp.bool_)
+        self.stats = {k: 0 for k in self.stats}
 
     def submit(self, prompt_ids, max_new_tokens: int,
                memory_row: np.ndarray = None) -> int:
@@ -325,6 +328,7 @@ class ContinuousBatcher:
                          .astype(v.dtype)[0]))
                     for i, (k, v) in enumerate(self._caches))
                 pos0 = plen
+                self.stats["prefills"] += 1
                 done = (req.max_new_tokens <= 1
                         or (self.eos_id is not None
                             and tok == self.eos_id))
@@ -352,12 +356,16 @@ class ContinuousBatcher:
         self._admit()
         early, self._early = self._early, []
         if self.n_active == 0:
+            self.stats["completed"] += len(early)
+            self.stats["tokens_out"] += sum(len(t) for _, t in early)
             return sorted(early, key=lambda t: t[0])
         ids, pos, done, caches = self._step_fn(
             self._ids, self._pos, self._plen, self._tmax, self._active,
             self._caches, self.model._placed_params(), self._wte,
             self._wpe, self._cos, self._sin, self._bias, self._memory)
         self._ids, self._pos, self._caches = ids, pos, caches
+        self.stats["steps"] += 1
+        self.stats["slot_steps"] += self.n_active
         finished = early
         done_h = np.asarray(done)
         if done_h.any():
@@ -370,6 +378,8 @@ class ContinuousBatcher:
                 self._slots[slot] = None
                 self._active = self._active.at[slot].set(False)
         finished.sort(key=lambda t: t[0])
+        self.stats["completed"] += len(finished)
+        self.stats["tokens_out"] += sum(len(t) for _, t in finished)
         return finished
 
     def run(self, requests) -> dict[int, np.ndarray]:
