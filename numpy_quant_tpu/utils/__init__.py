@@ -16,6 +16,7 @@ from .serialization import (
 )
 from .analyzer import print_quantization_report, quantization_report
 from .generate import (beam_search, decode_calibration, generate,
+                       generate_mamba, mamba_decode_calibration,
                        generate_kv, generate_seq2seq,
                        generate_speculative)
 from .calibration import mse_clipped_stats

@@ -659,3 +659,92 @@ def decode_calibration(step_model, prompt_ids: np.ndarray,
         for i in range(2 * n_layer):
             caches[i][:, :, t : t + 1, :] = res[1 + i]
     return out
+
+
+def _mamba_state_shapes(step_model):
+    """[(conv shape, ssm shape), ...] from the step graph's input
+    hints (models/mamba.py mamba_decode_step input order)."""
+    hints = [tuple(int(d) for d in v.shape_hint)
+             for v in step_model.inputs[1:]]
+    return list(zip(hints[0::2], hints[1::2]))
+
+
+def generate_mamba(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
+                   max_new_tokens: int, temperature: float = None,
+                   top_k: int = None, top_p: float = None, key=None,
+                   min_p: float = None,
+                   repetition_penalty: float = None) -> np.ndarray:
+    """Autoregressive decode through an SSM decode-step graph
+    (models/mamba.py mamba_decode_step): O(1)/token -- the carry is a
+    constant-size (conv window, SSM state) pair per layer instead of a
+    growing KV cache, swapped in WHOLESALE each step (no positions, no
+    masks, no dynamic_update_slice). The whole loop is ONE compiled XLA
+    program; sampling knobs as in :func:`generate`."""
+    prompt_ids = np.asarray(prompt_ids)
+    batch, t0 = prompt_ids.shape
+    shapes = _mamba_state_shapes(step_model)
+    wte_j = jnp.asarray(wte, jnp.float32)
+    fwd = step_model.lowered_fn()
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    total = t0 + max_new_tokens
+    sampling = (temperature is not None or top_k is not None
+                or top_p is not None or min_p is not None)
+
+    @jax.jit
+    def run(prompt, params, wte_j):
+        def body(t, carry):
+            ids, states, key = carry
+            tok = jnp.take(ids, t, axis=1)
+            x = jnp.take(wte_j, tok, axis=0)[:, None, :]
+            flat = [s for pair in states for s in pair]
+            outs = fwd([x] + flat, params)
+            row = outs[0][:, 0, :]
+            if sampling:
+                key, sub = jax.random.split(key)
+            else:
+                sub = key
+            presence = None
+            if repetition_penalty is not None:
+                valid = (jnp.arange(ids.shape[1])[None, :]
+                         <= t).astype(jnp.float32)
+                presence = jnp.zeros(row.shape, jnp.float32).at[
+                    jnp.arange(ids.shape[0])[:, None], ids].max(valid)
+            nxt = _next_token(row, temperature, top_k, top_p, sub,
+                              min_p, presence, repetition_penalty)
+            states = tuple((outs[1 + 2 * i], outs[2 + 2 * i])
+                           for i in range(len(states)))
+            cand = jax.lax.dynamic_update_slice_in_dim(ids, nxt[:, None],
+                                                       t + 1, axis=1)
+            ids = jnp.where(t + 1 >= t0, cand, ids)
+            return ids, states, key
+
+        ids = jnp.zeros((batch, total), jnp.int32).at[:, :t0].set(prompt)
+        states = tuple((jnp.zeros(cs, jnp.float32),
+                        jnp.zeros(ss, jnp.float32)) for cs, ss in shapes)
+        ids, _, _ = jax.lax.fori_loop(0, total - 1, body,
+                                      (ids, states, key))
+        return ids
+
+    return np.asarray(run(jnp.asarray(prompt_ids, jnp.int32),
+                          step_model._placed_params(), wte_j))
+
+
+def mamba_decode_calibration(step_model, prompt_ids: np.ndarray,
+                             wte: np.ndarray) -> list:
+    """Teacher-forced replay of ``prompt_ids`` through the float SSM
+    decode step; returns one input-list per step (the state-carry
+    analogue of :func:`decode_calibration`)."""
+    prompt_ids = np.asarray(prompt_ids)
+    batch, t0 = prompt_ids.shape
+    shapes = _mamba_state_shapes(step_model)
+    states = [np.zeros(s, np.float32)
+              for pair in shapes for s in pair]
+    out = []
+    for t in range(t0):
+        x = wte[prompt_ids[:, t]][:, None, :].astype(np.float32)
+        inputs = [x] + [s.copy() for s in states]
+        out.append(inputs)
+        res = step_model(inputs)
+        states = [np.asarray(r) for r in res[1:]]
+    return out
