@@ -15,6 +15,7 @@ from .proto import (
     ModelProto,
     NodeProto,
     OperatorSetIdProto,
+    StringStringEntryProto,
     TensorProto,
     TensorShapeProto,
     TensorTypeProto,
@@ -225,9 +226,61 @@ def make_model(graph: GraphProto, producer_name: str = "numpy-quant-tpu",
 # IO
 # ---------------------------------------------------------------------------
 
+def _walk_graphs(graph):
+    """Yield ``graph`` and every control-flow subgraph under it."""
+    yield graph
+    for node in graph.node:
+        for attr in node.attribute:
+            if getattr(attr, "g", None) is not None \
+                    and getattr(attr.g, "node", None) is not None:
+                yield from _walk_graphs(attr.g)
+            for sub in getattr(attr, "graphs", []) or []:
+                yield from _walk_graphs(sub)
+
+
+def _resolve_external_data(model: ModelProto, base_dir: str) -> int:
+    """Inline externally-stored tensor payloads (data_location ==
+    EXTERNAL, the format real >2GB HF exports use): read the
+    location/offset/length window from the side file relative to
+    ``base_dir`` into raw_data. Returns the number resolved."""
+    import os
+
+    resolved = 0
+    for g in _walk_graphs(model.graph):
+        for t in g.initializer:
+            if getattr(t, "data_location", 0) != TensorProto.EXTERNAL:
+                continue
+            info = {e.key: e.value for e in t.external_data}
+            if "location" not in info:
+                raise ValueError(
+                    f"initializer {t.name!r} is external but carries no "
+                    "location entry")
+            fpath = os.path.join(base_dir, info["location"])
+            if os.path.commonpath(
+                    [os.path.abspath(fpath),
+                     os.path.abspath(base_dir or ".")]) \
+                    != os.path.abspath(base_dir or "."):
+                raise ValueError(
+                    f"external location {info['location']!r} escapes the "
+                    "model directory")
+            offset = int(info.get("offset", 0))
+            length = int(info.get("length", -1))
+            with open(fpath, "rb") as f:
+                f.seek(offset)
+                t.raw_data = f.read() if length < 0 else f.read(length)
+            t.data_location = TensorProto.DEFAULT
+            t.external_data = []
+            resolved += 1
+    return resolved
+
+
 def load(path) -> ModelProto:
+    import os
+
     with open(path, "rb") as f:
-        return load_from_string(f.read())
+        m = load_from_string(f.read())
+    _resolve_external_data(m, os.path.dirname(os.path.abspath(path)))
+    return m
 
 
 def load_from_string(data: bytes) -> ModelProto:
@@ -236,7 +289,39 @@ def load_from_string(data: bytes) -> ModelProto:
     return m
 
 
-def save(model: ModelProto, path) -> None:
+def save(model: ModelProto, path,
+         external_data_threshold: int = None) -> None:
+    """Write the model; with ``external_data_threshold`` (bytes), move
+    every initializer payload at least that large into a single
+    ``<path>.data`` side file (offset/length entries, the standard ONNX
+    external-data format) so the .onnx itself stays small -- the layout
+    real >2GB exports require. ``load`` transparently inlines it back."""
+    import os
+
+    if external_data_threshold is not None:
+        model = ModelProto().ParseFromString(model.SerializeToString())
+        data_name = os.path.basename(str(path)) + ".data"
+        data_path = os.path.join(os.path.dirname(os.path.abspath(path)),
+                                 data_name)
+        offset = 0
+        chunks = []
+        for g in _walk_graphs(model.graph):
+            for t in g.initializer:
+                if len(t.raw_data) < external_data_threshold:
+                    continue
+                entries = [("location", data_name),
+                           ("offset", str(offset)),
+                           ("length", str(len(t.raw_data)))]
+                t.external_data = [
+                    StringStringEntryProto(key=k, value=v)
+                    for k, v in entries]
+                t.data_location = TensorProto.EXTERNAL
+                chunks.append(t.raw_data)
+                offset += len(t.raw_data)
+                t.raw_data = b""
+        with open(data_path, "wb") as f:
+            for c in chunks:
+                f.write(c)
     with open(path, "wb") as f:
         f.write(model.SerializeToString())
 

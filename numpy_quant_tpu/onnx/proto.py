@@ -71,6 +71,10 @@ OperatorSetIdProto.FIELDS = {
 class TensorProto(Message):
     """Tensor payload. DataType enum values are the public ONNX ones."""
 
+    # DataLocation enum
+    DEFAULT = 0
+    EXTERNAL = 1
+
     UNDEFINED = 0
     FLOAT = 1
     UINT8 = 2
@@ -99,6 +103,8 @@ TensorProto.FIELDS = {
     7: ("int64_data", "ints"),
     8: ("name", "string"),
     9: ("raw_data", "bytes"),
+    13: ("external_data", "messages", StringStringEntryProto),
+    14: ("data_location", "int"),
     10: ("double_data", "doubles"),
     11: ("uint64_data", "uints"),
     12: ("doc_string", "string"),

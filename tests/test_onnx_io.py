@@ -90,3 +90,49 @@ def test_parse_real_torch_exported_file():
     m2 = O.load_from_string(m.SerializeToString())
     np.testing.assert_array_equal(O.to_array(m2.graph.initializer[0]),
                                   inits[m.graph.initializer[0].name])
+
+
+def test_external_data_round_trip(tmp_path):
+    """save(external_data_threshold=) moves big payloads into a .data
+    side file in the standard offset/length format; load() transparently
+    inlines them back, and the model still executes identically."""
+    import numpy_quant_tpu as nq
+    from numpy_quant_tpu import onnx as O
+
+    rng = np.random.default_rng(3)
+    big = rng.normal(size=(64, 32)).astype(np.float32)
+    small = rng.normal(size=(32,)).astype(np.float32)
+    nodes = [O.make_node("MatMul", ["x", "w"], ["h"], name="mm"),
+             O.make_node("Add", ["h", "b"], ["y"], name="add")]
+    g = O.make_graph(
+        nodes, "ext",
+        [O.make_tensor_value_info("x", O.TensorProto.FLOAT, [4, 64])],
+        [O.make_tensor_value_info("y", O.TensorProto.FLOAT, None)],
+        initializer=[O.from_array(big, "w"), O.from_array(small, "b")])
+    m = O.make_model(g)
+    x = rng.normal(size=(4, 64)).astype(np.float32)
+    want = np.asarray(nq.Model.from_onnx(m)([x])[0])
+
+    p = str(tmp_path / "ext.onnx")
+    O.save(m, p, external_data_threshold=1024)
+    import os
+    assert os.path.exists(p + ".data")
+    assert os.path.getsize(p) < 1024          # payload left the .onnx
+    assert os.path.getsize(p + ".data") == big.nbytes
+
+    loaded = O.load(p)
+    ts = {t.name: t for g2 in [loaded.graph] for t in g2.initializer}
+    assert ts["w"].data_location == 0 and len(ts["w"].raw_data)
+    got = np.asarray(nq.Model.from_onnx(loaded)([x])[0])
+    np.testing.assert_array_equal(got, want)
+
+    # escape attempts are rejected
+    ts2 = O.load_from_string(open(p, "rb").read())
+    for t in ts2.graph.initializer:
+        if t.data_location == 1:
+            for e in t.external_data:
+                if e.key == "location":
+                    e.value = "../escape.bin"
+    O.save(ts2, str(tmp_path / "bad.onnx"))
+    with pytest.raises(ValueError):
+        O.load(str(tmp_path / "bad.onnx"))
