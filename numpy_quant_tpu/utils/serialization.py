@@ -51,12 +51,15 @@ def _qparams_to_json(qp: QuantizationParams) -> dict:
             "zero_point": None if qp.zero_point is None else int(qp.zero_point)}
 
 
-def save_qmodel(qmodel: QModel, path, source_onnx: O.ModelProto) -> None:
+def save_qmodel(qmodel: QModel, path, source_onnx: O.ModelProto,
+                external_data_threshold: int = None) -> None:
     """Persist a QModel next to its source graph.
 
     source_onnx: the ModelProto the float model was imported from (the
     graph structure is reused; only constant payloads and metadata
-    change).
+    change). ``external_data_threshold`` (bytes) moves big payloads to
+    a ``<path>.data`` side file (onnx/helper.py save -- the >2GB
+    export layout); load_qmodel reads it transparently.
     """
     # packed payloads store verbatim (exactly bit_width bits per value
     # on disk too, except native int8); colsum recomputes at load time
@@ -75,7 +78,8 @@ def save_qmodel(qmodel: QModel, path, source_onnx: O.ModelProto) -> None:
     entry.value = json.dumps(meta)
     model.metadata_props = [e for e in model.metadata_props
                             if e.key != "numpy_quant_tpu.qmodel"] + [entry]
-    O.save(model, path)
+    O.save(model, path,
+           external_data_threshold=external_data_threshold)
 
 
 def _weight_only_initializers(model, source_onnx):

@@ -397,3 +397,20 @@ def test_aot_save_load_compiled(tmp_path):
     with pytest.raises(ValueError):
         np.savez(str(tmp_path / "bad.npz"), a=np.zeros(3))
         load_compiled(str(tmp_path / "bad.npz"))
+
+
+def test_save_qmodel_external_data(tmp_path):
+    """save_qmodel(external_data_threshold=) splits big int payloads
+    into the .data side file; load_qmodel round-trips bit-exactly."""
+    m = nq.onnx.load(MLP)
+    model = nq.Model.from_onnx(m)
+    x = RNG.normal(size=(16, 2)).astype(np.float32)
+    q = model.quantize([x], bit_width=8)
+    want = np.asarray(q([x])[0])
+
+    p = str(tmp_path / "q_ext.onnx")
+    save_qmodel(q, p, m, external_data_threshold=16)
+    import os
+    assert os.path.exists(p + ".data")
+    q2 = load_qmodel(p)
+    np.testing.assert_array_equal(np.asarray(q2([x])[0]), want)
