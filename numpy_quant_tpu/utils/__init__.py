@@ -19,7 +19,7 @@ from .generate import (beam_search, decode_calibration, generate,
                        generate_mamba, mamba_decode_calibration,
                        generate_kv, generate_seq2seq,
                        generate_speculative)
-from .calibration import mse_clipped_stats
+from .calibration import kl_calibrated_stats, mse_clipped_stats
 from .serving import ContinuousBatcher
 from .aot import load_compiled, save_compiled
 from .sensitivity import plan_mixed_precision, weight_sensitivity

@@ -79,3 +79,70 @@ def mse_clipped_stats(model, inputs, bit_width: int = 8, grid: int = 24,
                     best, f_hi = mse, float(f)
         stats[name] = (np.float32(mn * f_lo), np.float32(mx * f_hi))
     return stats
+
+
+def _kl_divergence(p: np.ndarray, q: np.ndarray) -> float:
+    mask = p > 0
+    qm = np.where(q > 0, q, 1e-12)
+    return float(np.sum(p[mask] * np.log(p[mask] / qm[mask])))
+
+
+def kl_calibrated_stats(model, inputs, bit_width: int = 8,
+                        n_bins: int = 512, max_elems: int = 20000) -> dict:
+    """Entropy (KL-divergence) calibration, the TensorRT method: per
+    activation, build a |x| histogram and pick the clip threshold whose
+    quantized distribution (histogram folded into 2^bit_width levels,
+    clipped tail mass added to the edge bin) loses the least
+    information vs the original. Symmetric thresholds (the method is
+    magnitude-based); the returned range is ``(-T, T)`` intersected
+    with the observed min/max, as a standard stats dict for
+    ``Model.quantize(stats=...)``. Constants keep exact min/max.
+    Completes the calibrator family next to min/max, percentile
+    (calibration_stats(percentile=)) and :func:`mse_clipped_stats`.
+    Parity-plus: the reference knows only min/max."""
+    from ..graph import Constant
+    from .parity import record_all_values
+
+    acts = record_all_values(model, inputs)
+    const_names = {v.name for v in model.values if isinstance(v, Constant)}
+    n_levels = int(2 ** bit_width)
+
+    stats: dict = {}
+    for name, arr in acts.items():
+        a = np.asarray(arr)
+        if a.dtype not in (np.float32, np.float64):
+            stats[name] = (np.float32(a.min()), np.float32(a.max()))
+            continue
+        mn, mx = np.float32(a.min()), np.float32(a.max())
+        if name in const_names or mn == mx:
+            stats[name] = (mn, mx)
+            continue
+        x = np.abs(a.reshape(-1).astype(np.float32))
+        if x.size > max_elems:
+            x = x[:: x.size // max_elems + 1]
+        amax = float(x.max())
+        hist, edges = np.histogram(x, bins=n_bins, range=(0.0, amax))
+        hist = hist.astype(np.float64)
+
+        best_t, best_kl = amax, np.inf
+        # candidate thresholds: every bin edge from n_levels bins up
+        for i in range(max(n_levels, n_bins // 8), n_bins + 1):
+            ref = hist[:i].copy()
+            ref[i - 1] += hist[i:].sum()      # clipped tail -> edge
+            if ref.sum() == 0:
+                continue
+            # fold i bins into n_levels quantization levels, then
+            # expand back (TensorRT's smoothing of the quantized dist)
+            idx = (np.arange(i) * n_levels // i)
+            q = np.zeros(n_levels)
+            np.add.at(q, idx, ref)
+            counts = np.bincount(idx, minlength=n_levels)
+            expanded = np.where(counts[idx] > 0, q[idx] / counts[idx], 0)
+            p = ref / ref.sum()
+            e = expanded / max(expanded.sum(), 1e-12)
+            kl = _kl_divergence(p, e)
+            if kl < best_kl:
+                best_kl, best_t = kl, float(edges[i])
+        stats[name] = (np.float32(max(mn, -best_t)),
+                       np.float32(min(mx, best_t)))
+    return stats
