@@ -88,16 +88,41 @@ class ContinuousBatcher:
     def __init__(self, step_model, wte: np.ndarray, wpe: np.ndarray = None,
                  rope=None, score_bias: np.ndarray = None,
                  has_memory: bool = False, eos_id: int = None,
-                 kv_cache_dtype: str = None, prefill_model=None):
+                 kv_cache_dtype: str = None, prefill_model=None,
+                 state_carry: bool = False, max_len: int = None):
         self.model = step_model
         self.eos_id = eos_id
-        cache_start = (2 if rope is None else 4) \
-            + (0 if score_bias is None else 1) \
-            + (0 if not has_memory else 1)
-        n_layer = (len(step_model.inputs) - cache_start) // 2
-        b, nh, length, hd = step_model.inputs[cache_start].shape_hint
-        self.n_slots, self.max_len = int(b), int(length)
-        self._layout = (n_layer, int(nh), int(hd))
+        self._state_carry = bool(state_carry)
+        if state_carry:
+            # SSM layout (models/mamba.py mamba_decode_step): x_step +
+            # per-layer (conv window, recurrent state) swapped wholesale
+            # -- no masks, no positions, constant-size carry. max_len
+            # only bounds the ids buffer / budgets.
+            if (wpe is not None or rope is not None
+                    or score_bias is not None or has_memory
+                    or kv_cache_dtype is not None
+                    or prefill_model is not None):
+                raise ValueError("state_carry engines take none of "
+                                 "wpe/rope/score_bias/memory/"
+                                 "kv_cache_dtype/prefill_model")
+            if max_len is None:
+                raise ValueError("state_carry engines need max_len= "
+                                 "(there is no cache to infer it from)")
+            hints = [tuple(int(d) for d in v.shape_hint)
+                     for v in step_model.inputs[1:]]
+            self._state_shapes = list(zip(hints[0::2], hints[1::2]))
+            n_layer = len(self._state_shapes)
+            self.n_slots = hints[0][0]
+            self.max_len = int(max_len)
+            cache_start = 1
+        else:
+            cache_start = (2 if rope is None else 4) \
+                + (0 if score_bias is None else 1) \
+                + (0 if not has_memory else 1)
+            n_layer = (len(step_model.inputs) - cache_start) // 2
+            b, nh, length, hd = step_model.inputs[cache_start].shape_hint
+            self.n_slots, self.max_len = int(b), int(length)
+            self._layout = (n_layer, int(nh), int(hd))
         self._wte = jnp.asarray(wte, jnp.float32)
         self._wpe = None if wpe is None else jnp.asarray(wpe, jnp.float32)
         if rope is not None:
@@ -117,6 +142,8 @@ class ContinuousBatcher:
         # int8 cache storage (4x less KV HBM), generate_kv's contract:
         # presents quantize with THEIR cache input's calibrated params,
         # idempotent -> bit-identical to the float-carry run
+        if state_carry:
+            kv_cache_dtype = None
         if kv_cache_dtype is None:
             self._cache_qps = [None] * (2 * n_layer)
             cache_dtype = jnp.float32
@@ -139,12 +166,17 @@ class ContinuousBatcher:
         self._plen = jnp.zeros((B,), jnp.int32)   # prompt length
         self._tmax = jnp.zeros((B,), jnp.int32)   # plen + max_new
         self._active = jnp.zeros((B,), jnp.bool_)
-        zeros = jnp.zeros((B, self._layout[1], L, self._layout[2]),
-                          jnp.float32)
-        self._caches = tuple(
-            (self._q_cache(zeros, 2 * i).astype(cache_dtype),
-             self._q_cache(zeros, 2 * i + 1).astype(cache_dtype))
-            for i in range(n_layer))
+        if state_carry:
+            self._caches = tuple(
+                (jnp.zeros(cs, jnp.float32), jnp.zeros(ss, jnp.float32))
+                for cs, ss in self._state_shapes)
+        else:
+            zeros = jnp.zeros((B, self._layout[1], L, self._layout[2]),
+                              jnp.float32)
+            self._caches = tuple(
+                (self._q_cache(zeros, 2 * i).astype(cache_dtype),
+                 self._q_cache(zeros, 2 * i + 1).astype(cache_dtype))
+                for i in range(n_layer))
 
         # prefill fast path: one MXU-shaped call per admission instead
         # of O(plen) teacher-forced steps (models/gpt.py gpt_prefill)
@@ -195,6 +227,7 @@ class ContinuousBatcher:
         has_rope = self._cos is not None
         has_bias = self._bias is not None
         has_mem = self._memory is not None
+        state_carry = self._state_carry
         fwd = self._fwd
 
         def step(ids, pos, plen, tmax, active, caches, params,
@@ -224,19 +257,29 @@ class ContinuousBatcher:
             if has_mem:
                 extra = extra + [mem]
             flat = [c for pair in caches for c in pair]
-            outs = fwd([x, mask] + extra + flat, params)
-            nxt = jnp.argmax(outs[0][:, 0, :], axis=-1).astype(jnp.int32)
+            if state_carry:
+                # SSM: no mask; the state swaps in wholesale. Inactive
+                # rows evolve garbage that admission re-zeroes.
+                outs = fwd([x] + flat, params)
+                nxt = jnp.argmax(outs[0][:, 0, :],
+                                 axis=-1).astype(jnp.int32)
+                caches = tuple((outs[1 + 2 * i], outs[2 + 2 * i])
+                               for i in range(len(caches)))
+            else:
+                outs = fwd([x, mask] + extra + flat, params)
+                nxt = jnp.argmax(outs[0][:, 0, :],
+                                 axis=-1).astype(jnp.int32)
 
-            def put(cache, present, p):
-                return jax.lax.dynamic_update_slice_in_dim(
-                    cache, present, p, axis=1)
-            vput = jax.vmap(put)  # per-row positions
-            caches = tuple(
-                (vput(k, self._q_cache(outs[1 + 2 * i], 2 * i)
-                      .astype(k.dtype), pos),
-                 vput(v, self._q_cache(outs[2 + 2 * i], 2 * i + 1)
-                      .astype(v.dtype), pos))
-                for i, (k, v) in enumerate(caches))
+                def put(cache, present, p):
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        cache, present, p, axis=1)
+                vput = jax.vmap(put)  # per-row positions
+                caches = tuple(
+                    (vput(k, self._q_cache(outs[1 + 2 * i], 2 * i)
+                          .astype(k.dtype), pos),
+                     vput(v, self._q_cache(outs[2 + 2 * i], 2 * i + 1)
+                          .astype(v.dtype), pos))
+                    for i, (k, v) in enumerate(caches))
 
             # teacher forcing: inside the prompt the next token is given
             in_prompt = pos + 1 < plen
@@ -337,6 +380,13 @@ class ContinuousBatcher:
                         (req.req_id, row[: plen + 1].copy()))
                     return  # never occupies the slot
 
+            if self._state_carry:
+                # unlike KV caches (whose masks hide stale slots), the
+                # recurrent state must restart from zero for a new
+                # request
+                self._caches = tuple(
+                    (cs.at[slot].set(0.0), ss.at[slot].set(0.0))
+                    for cs, ss in self._caches)
             self._ids = self._ids.at[slot].set(jnp.asarray(row))
             self._pos = self._pos.at[slot].set(pos0)
             self._plen = self._plen.at[slot].set(plen)

@@ -312,3 +312,34 @@ def test_stats_and_reset(gpt_steps):
     for (r1, t1), (r2, t2) in zip(sorted(got.items()),
                                   sorted(got2.items())):
         np.testing.assert_array_equal(t1, t2)
+
+
+def test_state_carry_mamba_engine():
+    """state_carry=True serves SSM decode-step graphs: constant-size
+    recurrent states zero at admission (no masks exist to hide stale
+    slots); ragged requests match solo generate_mamba runs."""
+    from numpy_quant_tpu.models.mamba import mamba_decode_step
+    from numpy_quant_tpu.utils import generate_mamba
+
+    proto = mamba_decode_step(batch_size=2, seed=0)
+    module = proto._torch_module
+    engine = nq.Model.from_onnx(proto)
+    oracle_proto = mamba_decode_step(batch_size=1, module=module)
+    oracle = nq.Model.from_onnx(oracle_proto)
+
+    b = ContinuousBatcher(engine, proto._wte, state_carry=True,
+                          max_len=12)
+    reqs = [(RNG.integers(0, 96, size=(k,)).astype(np.int32), n)
+            for k, n in [(2, 5), (4, 4), (1, 7), (3, 3)]]
+    got = b.run(reqs)
+    assert len(got) == 4
+    for rid, (prompt, n_new) in enumerate(reqs):
+        want = generate_mamba(oracle, prompt[None, :], proto._wte,
+                              max_new_tokens=n_new)[0]
+        np.testing.assert_array_equal(got[rid], want, err_msg=f"req {rid}")
+
+    with pytest.raises(ValueError):
+        ContinuousBatcher(engine, proto._wte, state_carry=True)  # no max_len
+    with pytest.raises(ValueError):
+        ContinuousBatcher(engine, proto._wte, state_carry=True,
+                          max_len=12, kv_cache_dtype="int8")
