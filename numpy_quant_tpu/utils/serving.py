@@ -30,8 +30,10 @@ Works with every decode-step layout ``generate_kv`` supports: plain
 (models/gpt.py), RoPE (models/llama.py, per-row cos/sin rows), T5
 score-bias rows, and seq2seq ``memory`` (per-slot encoder rows,
 models/whisper.py / seq2seq.py / t5.py), float or int8-quantized step
-models. Greedy decode (the deterministic serving mode); sampling stays
-on :func:`generate_kv`.
+models. Decode is greedy per slot by default; ``submit(...,
+temperature=)`` switches THAT request to categorical sampling
+(per-slot, so greedy and sampled requests co-batch in one step
+program; deterministic under the engine's ``key=``).
 
 The reference framework has no serving surface at all (single
 ``__call__``, reference model.py:294) -- this is parity-plus, the
@@ -53,6 +55,7 @@ class _Request:
     prompt: np.ndarray          # [plen] int32
     max_new_tokens: int
     memory_row: np.ndarray = None
+    temperature: float = 0.0    # 0 = greedy
 
 
 @dataclass
@@ -89,9 +92,11 @@ class ContinuousBatcher:
                  rope=None, score_bias: np.ndarray = None,
                  has_memory: bool = False, eos_id: int = None,
                  kv_cache_dtype: str = None, prefill_model=None,
-                 state_carry: bool = False, max_len: int = None):
+                 state_carry: bool = False, max_len: int = None,
+                 key=None):
         self.model = step_model
         self.eos_id = eos_id
+        self._base_key = (jax.random.PRNGKey(0) if key is None else key)
         self._state_carry = bool(state_carry)
         if state_carry:
             # SSM layout (models/mamba.py mamba_decode_step): x_step +
@@ -166,6 +171,7 @@ class ContinuousBatcher:
         self._plen = jnp.zeros((B,), jnp.int32)   # prompt length
         self._tmax = jnp.zeros((B,), jnp.int32)   # plen + max_new
         self._active = jnp.zeros((B,), jnp.bool_)
+        self._temp = jnp.zeros((B,), jnp.float32)  # 0 = greedy
         if state_carry:
             self._caches = tuple(
                 (jnp.zeros(cs, jnp.float32), jnp.zeros(ss, jnp.float32))
@@ -230,8 +236,17 @@ class ContinuousBatcher:
         state_carry = self._state_carry
         fwd = self._fwd
 
+        def pick(row, temp, key):
+            """Per-slot next token: categorical at the slot's
+            temperature, argmax where temperature is 0 (greedy)."""
+            greedy = jnp.argmax(row, axis=-1).astype(jnp.int32)
+            scaled = row / jnp.maximum(temp, jnp.float32(1e-6))[:, None]
+            sampled = jax.random.categorical(key, scaled,
+                                             axis=-1).astype(jnp.int32)
+            return jnp.where(temp > 0, sampled, greedy)
+
         def step(ids, pos, plen, tmax, active, caches, params,
-                 wte, wpe, cos, sin, bias, mem):
+                 wte, wpe, cos, sin, bias, mem, temp, key):
             B = ids.shape[0]
             rows = jnp.arange(B)
             tok = jnp.take_along_axis(ids, pos[:, None], axis=1)[:, 0]
@@ -261,14 +276,12 @@ class ContinuousBatcher:
                 # SSM: no mask; the state swaps in wholesale. Inactive
                 # rows evolve garbage that admission re-zeroes.
                 outs = fwd([x] + flat, params)
-                nxt = jnp.argmax(outs[0][:, 0, :],
-                                 axis=-1).astype(jnp.int32)
+                nxt = pick(outs[0][:, 0, :], temp, key)
                 caches = tuple((outs[1 + 2 * i], outs[2 + 2 * i])
                                for i in range(len(caches)))
             else:
                 outs = fwd([x, mask] + extra + flat, params)
-                nxt = jnp.argmax(outs[0][:, 0, :],
-                                 axis=-1).astype(jnp.int32)
+                nxt = pick(outs[0][:, 0, :], temp, key)
 
                 def put(cache, present, p):
                     return jax.lax.dynamic_update_slice_in_dim(
@@ -310,10 +323,14 @@ class ContinuousBatcher:
         self.stats = {k: 0 for k in self.stats}
 
     def submit(self, prompt_ids, max_new_tokens: int,
-               memory_row: np.ndarray = None) -> int:
+               memory_row: np.ndarray = None,
+               temperature: float = None) -> int:
         """Enqueue a request; returns its id. ``prompt_ids`` is a 1-D
         token array; ``memory_row`` ([S, d]) is that request's encoder
-        output for seq2seq step models."""
+        output for seq2seq step models; ``temperature`` switches THIS
+        request to categorical sampling (greedy when None/0 --
+        per-slot, so sampling and greedy requests co-batch; seeded by
+        the engine's ``key=``)."""
         prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
         if prompt.size < 1:
             raise ValueError("empty prompt")
@@ -325,7 +342,7 @@ class ContinuousBatcher:
             raise ValueError("memory_row must be passed iff the step "
                              "model takes encoder memory")
         req = _Request(self._next_id, prompt, int(max_new_tokens),
-                       memory_row)
+                       memory_row, float(temperature or 0.0))
         self._next_id += 1
         self._queue.append(req)
         return req.req_id
@@ -359,7 +376,15 @@ class ContinuousBatcher:
                 emb[0, :plen] = np.asarray(self._wte)[req.prompt]
                 outs = self._prefill_fn(emb,
                                         self._prefill._placed_params())
-                tok = int(np.asarray(outs[0][0, plen - 1]).argmax())
+                logit_row = np.asarray(outs[0][0, plen - 1])
+                if req.temperature > 0:
+                    k = jax.random.fold_in(self._base_key,
+                                           1_000_000
+                                           + self.stats["prefills"])
+                    tok = int(jax.random.categorical(
+                        k, jnp.asarray(logit_row) / req.temperature))
+                else:
+                    tok = int(logit_row.argmax())
                 row[plen] = tok
                 P = self.prefill_len
                 self._caches = tuple(
@@ -392,6 +417,7 @@ class ContinuousBatcher:
             self._plen = self._plen.at[slot].set(plen)
             self._tmax = self._tmax.at[slot].set(plen + req.max_new_tokens)
             self._active = self._active.at[slot].set(True)
+            self._temp = self._temp.at[slot].set(req.temperature)
             if req.memory_row is not None:
                 self._memory = self._memory.at[slot].set(
                     jnp.asarray(req.memory_row, jnp.float32))
@@ -412,7 +438,9 @@ class ContinuousBatcher:
         ids, pos, done, caches = self._step_fn(
             self._ids, self._pos, self._plen, self._tmax, self._active,
             self._caches, self.model._placed_params(), self._wte,
-            self._wpe, self._cos, self._sin, self._bias, self._memory)
+            self._wpe, self._cos, self._sin, self._bias, self._memory,
+            self._temp,
+            jax.random.fold_in(self._base_key, self.stats["steps"]))
         self._ids, self._pos, self._caches = ids, pos, caches
         self.stats["steps"] += 1
         self.stats["slot_steps"] += self.n_active

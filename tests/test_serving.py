@@ -343,3 +343,37 @@ def test_state_carry_mamba_engine():
     with pytest.raises(ValueError):
         ContinuousBatcher(engine, proto._wte, state_carry=True,
                           max_len=12, kv_cache_dtype="int8")
+
+
+def test_per_request_temperature(gpt_steps):
+    """A sampled request co-batches with greedy ones: the greedy rows
+    still match their solo oracle exactly, the sampled row is
+    deterministic under the engine key and differs across keys."""
+    import jax
+
+    engine, oracle, proto = gpt_steps
+    pg = RNG.integers(0, 96, size=(3,)).astype(np.int32)
+    ps = RNG.integers(0, 96, size=(2,)).astype(np.int32)
+
+    def run(key_seed):
+        b = ContinuousBatcher(engine, proto._wte, proto._wpe,
+                              key=jax.random.PRNGKey(key_seed))
+        r_greedy = b.submit(pg, 5)
+        r_samp = b.submit(ps, 6, temperature=5.0)
+        out = {}
+        while b.n_active or b.n_queued:
+            for rid, toks in b.step():
+                out[rid] = toks
+        return out[r_greedy], out[r_samp]
+
+    g1, s1 = run(0)
+    g2, s2 = run(0)
+    np.testing.assert_array_equal(g1, _oracle_row(oracle, proto, pg, 5))
+    np.testing.assert_array_equal(g1, g2)   # greedy unaffected by key
+    np.testing.assert_array_equal(s1, s2)   # sampling deterministic
+    assert (s1 >= 0).all() and (s1 < 96).all()
+    np.testing.assert_array_equal(s1[:2], ps)
+    _, s3 = run(7)
+    assert s3.shape == s1.shape  # a different key may (usually does)
+    # change the continuation; the prompt prefix never changes
+    np.testing.assert_array_equal(s3[:2], ps)
