@@ -28,23 +28,51 @@ from .graph import Constant
 from .tensor import FTensor
 
 
+def _rms_norm_tail(node) -> "Constant | None":
+    """Match the decomposed RMSNorm idiom's final node (models/llama.py
+    _rms_norm: Mul(Div(x, Sqrt(...)), weight)): returns the 1-D weight
+    Constant, or None. The weight plays gamma's role exactly (the norm
+    emits (x/std) * w, so w/s rescales the output per channel)."""
+    if node.op != "Mul" or len(node.inputs) != 2:
+        return None
+    w = node.inputs[1]
+    if not isinstance(w, Constant) or not isinstance(w.data, FTensor) \
+            or np.asarray(w.data.data).ndim != 1:
+        return None
+    div_val = node.inputs[0]
+    prods = getattr(div_val, "inputs", None)
+    if not prods or len(prods) != 1 or prods[0].op != "Div":
+        return None
+    std_val = prods[0].inputs[1]
+    sprods = getattr(std_val, "inputs", None)
+    if not sprods or len(sprods) != 1 or sprods[0].op != "Sqrt":
+        return None
+    return w
+
+
 def ln_matmul_groups(model) -> list:
     """Discover every exactly-reparameterizable group: a
-    LayerNormalization (last-axis, constant gamma/beta, output not a
-    graph output) whose output feeds ONLY constant-weight MatMul/Gemm
-    nodes. Returns [(ln_node, gamma, beta, out_value, ws)] where ``ws``
-    is [(weight_constant, axis)] and ``axis`` says which weight axis
-    runs over the LN's channels (0 = rows of [K, N], 1 = columns of a
+    LayerNormalization (last-axis, constant gamma/beta) OR a decomposed
+    RMSNorm (the LLaMA/T5/Mamba idiom, matched by its
+    Mul(Div(x, Sqrt(...)), w) tail) whose output is not a graph output
+    and feeds ONLY constant-weight MatMul/Gemm nodes. Returns
+    [(norm_node, gamma, beta, out_value, ws)] where ``ws`` is
+    [(weight_constant, axis)] and ``axis`` says which weight axis runs
+    over the norm's channels (0 = rows of [K, N], 1 = columns of a
     transB [N, K]). Shared by :func:`smooth_outliers` and
     awq.awq_scale_weights."""
     groups = []
     for node in model.nodes:
-        if node.op != "LayerNormalization" or len(node.inputs) < 2:
-            continue
-        if int(node.attrs.get("axis", -1)) != -1:
-            continue
-        gamma = node.inputs[1]
-        beta = node.inputs[2] if len(node.inputs) > 2 else None
+        if node.op == "LayerNormalization" and len(node.inputs) >= 2:
+            if int(node.attrs.get("axis", -1)) != -1:
+                continue
+            gamma = node.inputs[1]
+            beta = node.inputs[2] if len(node.inputs) > 2 else None
+        else:
+            gamma = _rms_norm_tail(node)
+            if gamma is None:
+                continue
+            beta = None
         if not isinstance(gamma, Constant) \
                 or not isinstance(gamma.data, FTensor):
             continue

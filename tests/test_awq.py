@@ -125,3 +125,35 @@ def test_awq_vit_fixture_composes():
     model.quantize_weights(bit_width=4)
     acc_awq = (np.asarray(model([x])[0]).argmax(-1) == labels).mean()
     assert acc_awq >= acc_plain - 1e-9, (acc_awq, acc_plain)
+
+
+def test_awq_covers_rmsnorm_models():
+    """The group matcher recognizes the decomposed RMSNorm idiom
+    (LLaMA/T5/Mamba), so AWQ/SmoothQuant apply to modern-LLM graphs:
+    the float function stays put and W4 grouped error does not get
+    worse."""
+    from numpy_quant_tpu.models.llama import llama_causal_lm
+    from numpy_quant_tpu.smoothquant import ln_matmul_groups
+
+    proto = llama_causal_lm(batch_size=2, seq_len=12, seed=0)
+    model = nq.Model.from_onnx(proto)
+    groups = ln_matmul_groups(model)
+    # 2 layers x (input_norm -> q/k/v, post_norm -> gate/up); the final
+    # norm feeds the lm head
+    assert len(groups) >= 4, len(groups)
+
+    x = proto._wte[np.random.default_rng(5).integers(
+        0, 96, size=(2, 12))].astype(np.float32)
+    y_ref = np.asarray(model([x])[0])
+    chosen = model.awq_scale_weights([x], bit_width=4, group_size=8)
+    assert len(chosen) >= 4
+    np.testing.assert_allclose(np.asarray(model([x])[0]), y_ref,
+                               rtol=1e-3, atol=1e-3)
+
+    err_awq_model = model
+    err_awq_model.quantize_weights(bit_width=4, group_size=8)
+    err_awq = np.abs(np.asarray(err_awq_model([x])[0]) - y_ref).mean()
+    plain = nq.Model.from_onnx(proto)
+    plain.quantize_weights(bit_width=4, group_size=8)
+    err_plain = np.abs(np.asarray(plain([x])[0]) - y_ref).mean()
+    assert err_awq <= err_plain * 1.02, (err_awq, err_plain)
