@@ -170,24 +170,28 @@ def main(json_path=None):
     from numpy_quant_tpu.models.gpt import gpt_prefill
     from numpy_quant_tpu.utils import ContinuousBatcher
 
+    run_cb_rows = only is None or only.startswith("cb")
+
     workload = [
         (rng.integers(0, step_p._wte.shape[0],
                       size=(1 + i % PROMPT,)).astype(np.int32), NEW)
         for i in range(2 * BATCH)]
     cb_tokens = sum(n for _, n in workload)
-    import numpy_quant_tpu as nq
-    pre = nq.Model.from_onnx(gpt_prefill(
-        prefill_len=PROMPT, module=step_p._torch_module))
-    cb_plain = ContinuousBatcher(step, step_p._wte, step_p._wpe)
-    cb_pre = ContinuousBatcher(step, step_p._wte, step_p._wpe,
-                               prefill_model=pre)
+    if run_cb_rows:
+        import numpy_quant_tpu as nq
+        pre = nq.Model.from_onnx(gpt_prefill(
+            prefill_len=PROMPT, module=step_p._torch_module))
+        cb_plain = ContinuousBatcher(step, step_p._wte, step_p._wpe)
+        cb_pre = ContinuousBatcher(step, step_p._wte, step_p._wpe,
+                                   prefill_model=pre)
 
-    def run_cb(b):
-        b.reset()
-        return b.run(workload)
+        def run_cb(b):
+            b.reset()
+            return b.run(workload)
 
-    runs.append(("cb-2x", "float", lambda: run_cb(cb_plain)))
-    runs.append(("cb-2x-prefill", "float", lambda: run_cb(cb_pre)))
+        runs.append(("cb-2x", "float", lambda: run_cb(cb_plain)))
+        runs.append(("cb-2x-prefill", "float",
+                     lambda: run_cb(cb_pre)))
     results = []
     for form, quant, fn in runs:
         if only and not form.startswith(only):

@@ -29,35 +29,39 @@ from __future__ import annotations
 
 import numpy as np
 
-from .quantization import qrange
+from .quantization import qrange, weight_only_scales
 from .smoothquant import apply_channel_scale, ln_matmul_groups
 
 
-def _fake_quant_kn(W: np.ndarray, bit_width: int,
-                   group_size: int | None) -> np.ndarray:
-    """Symmetric fake-quant of a [K, N] weight with quantize_weights'
-    scale choice: per output channel (abs-max over K), or grouped
-    [K/g, N] when ``group_size`` divides K."""
+def _fake_quant_kn(W: np.ndarray, bit_width: int, per_channel: bool,
+                   group_size: int | None, groupable: bool) -> np.ndarray:
+    """Symmetric fake-quant of a [K, N]-oriented weight with EXACTLY
+    quantize_weights' scale choice (quantization.weight_only_scales --
+    shared code, so the search objective cannot drift from the applied
+    quantizer). ``groupable`` carries the caller's consumer-based
+    decision; the channel axis in this orientation is always 1."""
     min_q, max_q = qrange(bit_width)
-    if group_size and W.shape[0] % group_size == 0:
-        g = int(group_size)
-        grp = W.reshape(W.shape[0] // g, g, W.shape[1])
-        absmax = np.maximum(np.abs(grp).max(axis=1), np.float32(1e-12))
-        scale = (np.float32(2.0) * absmax
-                 / np.float32(max_q - min_q)).astype(np.float32)
-        scale = np.repeat(scale, g, axis=0)                  # [K, N]
-    else:
-        absmax = np.maximum(np.abs(W).max(axis=0, keepdims=True),
-                            np.float32(1e-12))
-        scale = (np.float32(2.0) * absmax
-                 / np.float32(max_q - min_q)).astype(np.float32)
+    scale, _ = weight_only_scales(W, bit_width, 1,
+                                  per_channel=per_channel,
+                                  group_size=group_size,
+                                  groupable=groupable)
     q = np.rint(np.clip(W / scale, min_q, max_q))
     return (q * scale).astype(np.float32)
 
 
+def _groupable(w_const, axis: int, group_size: int | None) -> bool:
+    """quantize_weights' grouping eligibility for this weight: grouped
+    scales apply only when EVERY consumer is a MatMul reading it as the
+    rhs (stored [K, N], which is ``axis == 0`` in ln_matmul_groups'
+    convention)."""
+    return bool(group_size) and axis == 0 and all(
+        nd.op == "MatMul" and len(nd.inputs) > 1
+        and nd.inputs[1] is w_const for nd in w_const.outputs)
+
+
 def awq_scale_weights(model, inputs, bit_width: int = 4,
-                      group_size: int = None, n_grid: int = 20,
-                      max_tokens: int = 512,
+                      group_size: int = None, per_channel: bool = True,
+                      n_grid: int = 20, max_tokens: int = 512,
                       rng: np.random.Generator = None) -> dict:
     """Grid-search the activation-aware scaling exponent per LN group
     and apply the winning reparameterization in place. ``inputs`` is a
@@ -87,11 +91,13 @@ def awq_scale_weights(model, inputs, bit_width: int = 4,
         if not np.any(amax_x > 0):
             continue
         # [K, N] orientation for every consumer; the LN channel axis is
-        # always K there, the quant channel axis always N
-        Ws = []
+        # always K there, the quant channel axis always N. Grouping
+        # eligibility is per weight, mirroring quantize_weights.
+        Ws, grp = [], []
         for w, axis in ws:
             W = np.asarray(w.data.data, np.float32)
             Ws.append(W if axis == 0 else W.T)
+            grp.append(_groupable(w, axis, group_size))
         refs = [x @ W for W in Ws]
 
         best_alpha, best_err = 0.0, None
@@ -105,8 +111,9 @@ def awq_scale_weights(model, inputs, bit_width: int = 4,
             s = np.clip(s, 1e-5, None).astype(np.float32)
             err = 0.0
             xs = x / s
-            for W, ref in zip(Ws, refs):
-                Wq = _fake_quant_kn(W * s[:, None], bit_width, group_size)
+            for W, ref, g_ok in zip(Ws, refs, grp):
+                Wq = _fake_quant_kn(W * s[:, None], bit_width,
+                                    per_channel, group_size, g_ok)
                 err += float(((xs @ Wq - ref) ** 2).sum())
             if best_err is None or err < best_err:
                 best_alpha, best_err, best_s = alpha, err, s

@@ -588,6 +588,9 @@ class Model:
         on calibration activations (alpha = 0 is in the grid, so no
         group gets worse). Run on the FLOAT model BEFORE
         ``quantize_weights`` with the same ``bit_width``/``group_size``.
+        Pass the same ``per_channel=``/``group_size=`` you will give
+        quantize_weights -- the search replicates its exact scale
+        choice per weight (grouping eligibility included).
         Returns {ln_node_name: best_alpha}. See numpy_quant_tpu/awq.py."""
         from .awq import awq_scale_weights
         return awq_scale_weights(self, inputs, bit_width=bit_width,
@@ -1094,24 +1097,12 @@ class Model:
             if ch_axis is None:
                 continue
             # grouped scales assume the MatMul [K, N] orientation
-            groupable = group_size and ch_axis == 1 \
+            groupable = bool(group_size) and ch_axis == 1 \
                 and all(nd.op == "MatMul" for nd in value.outputs)
-            min_q, max_q = qrange(bit_width)
-            store_scale = None
-            if groupable and arr.shape[0] % group_size == 0:
-                g = int(group_size)
-                grp = arr.reshape(arr.shape[0] // g, g, arr.shape[1])
-                absmax = np.maximum(np.abs(grp).max(axis=1),
-                                    np.float32(1e-12))      # [G, N]
-                store_scale = (np.float32(2.0) * absmax
-                               / np.float32(max_q - min_q)) \
-                    .astype(np.float32)
-                scale = np.repeat(store_scale, g, axis=0)    # [K, N]
-            elif per_channel:
-                scale = per_channel_scales(arr, bit_width, ch_axis)
-            else:
-                absmax = max(float(np.abs(arr).max()), 1e-12)
-                scale = np.float32(2.0 * absmax / (max_q - min_q))
+            from .quantization import weight_only_scales
+            scale, store_scale = weight_only_scales(
+                arr, bit_width, ch_axis, per_channel=per_channel,
+                group_size=group_size, groupable=groupable)
             qt = quantize_tensor(value.data, bit_width, scale, None)
             qt = QTensor(np.asarray(qt.data), bit_width,
                          scale if store_scale is None else store_scale,

@@ -256,10 +256,11 @@ def _resolve_external_data(model: ModelProto, base_dir: str) -> int:
                     f"initializer {t.name!r} is external but carries no "
                     "location entry")
             fpath = os.path.join(base_dir, info["location"])
+            # realpath: a symlink inside the dir must not escape either
             if os.path.commonpath(
-                    [os.path.abspath(fpath),
-                     os.path.abspath(base_dir or ".")]) \
-                    != os.path.abspath(base_dir or "."):
+                    [os.path.realpath(fpath),
+                     os.path.realpath(base_dir or ".")]) \
+                    != os.path.realpath(base_dir or "."):
                 raise ValueError(
                     f"external location {info['location']!r} escapes the "
                     "model directory")
@@ -307,6 +308,16 @@ def save(model: ModelProto, path,
         chunks = []
         for g in _walk_graphs(model.graph):
             for t in g.initializer:
+                if not t.raw_data and tuple(t.dims):
+                    # typed-field payloads (float_data/...) externalize
+                    # too once converted to raw bytes
+                    arr = to_array(t)
+                    if arr.nbytes >= external_data_threshold:
+                        t.raw_data = arr.tobytes()
+                        t.float_data = []
+                        t.int32_data = []
+                        t.int64_data = []
+                        t.double_data = []
                 if len(t.raw_data) < external_data_threshold:
                     continue
                 entries = [("location", data_name),
@@ -319,9 +330,10 @@ def save(model: ModelProto, path,
                 chunks.append(t.raw_data)
                 offset += len(t.raw_data)
                 t.raw_data = b""
-        with open(data_path, "wb") as f:
-            for c in chunks:
-                f.write(c)
+        if chunks:  # no side file when nothing crossed the threshold
+            with open(data_path, "wb") as f:
+                for c in chunks:
+                    f.write(c)
     with open(path, "wb") as f:
         f.write(model.SerializeToString())
 

@@ -113,11 +113,10 @@ class ContinuousBatcher:
             if max_len is None:
                 raise ValueError("state_carry engines need max_len= "
                                  "(there is no cache to infer it from)")
-            hints = [tuple(int(d) for d in v.shape_hint)
-                     for v in step_model.inputs[1:]]
-            self._state_shapes = list(zip(hints[0::2], hints[1::2]))
+            from .generate import _mamba_state_shapes
+            self._state_shapes = _mamba_state_shapes(step_model)
             n_layer = len(self._state_shapes)
-            self.n_slots = hints[0][0]
+            self.n_slots = int(self._state_shapes[0][0][0])
             self.max_len = int(max_len)
             cache_start = 1
         else:
@@ -334,6 +333,8 @@ class ContinuousBatcher:
         prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
         if prompt.size < 1:
             raise ValueError("empty prompt")
+        if max_new_tokens < 1:
+            raise ValueError("max_new_tokens must be >= 1")
         if prompt.size + max_new_tokens > self.max_len + 1:
             raise ValueError(
                 f"prompt {prompt.size} + {max_new_tokens} new tokens "
@@ -403,6 +404,8 @@ class ContinuousBatcher:
                 if done:
                     self._early.append(
                         (req.req_id, row[: plen + 1].copy()))
+                    self.stats["completed"] += 1
+                    self.stats["tokens_out"] += 1   # generated tokens
                     return  # never occupies the slot
 
             if self._state_carry:
@@ -432,8 +435,6 @@ class ContinuousBatcher:
         self._admit()
         early, self._early = self._early, []
         if self.n_active == 0:
-            self.stats["completed"] += len(early)
-            self.stats["tokens_out"] += sum(len(t) for _, t in early)
             return sorted(early, key=lambda t: t[0])
         ids, pos, done, caches = self._step_fn(
             self._ids, self._pos, self._plen, self._tmax, self._active,
@@ -453,11 +454,11 @@ class ContinuousBatcher:
                 info = self._slots[slot]
                 finished.append(
                     (info.req_id, ids_h[slot, : pos_h[slot] + 1].copy()))
+                self.stats["completed"] += 1
+                self.stats["tokens_out"] += pos_h[slot] + 1 - info.plen
                 self._slots[slot] = None
                 self._active = self._active.at[slot].set(False)
         finished.sort(key=lambda t: t[0])
-        self.stats["completed"] += len(finished)
-        self.stats["tokens_out"] += sum(len(t) for _, t in finished)
         return finished
 
     def run(self, requests) -> dict[int, np.ndarray]:

@@ -157,3 +157,31 @@ def test_awq_covers_rmsnorm_models():
     plain.quantize_weights(bit_width=4, group_size=8)
     err_plain = np.abs(np.asarray(plain([x])[0]) - y_ref).mean()
     assert err_awq <= err_plain * 1.02, (err_awq, err_plain)
+
+
+def test_awq_gemm_consumer_ignores_group_size():
+    """quantize_weights only groups all-MatMul-consumed weights; the
+    search must replicate that eligibility, so on a Gemm-consumed
+    weight group_size= changes nothing (regression: the search used to
+    optimize a grouped quantizer that would never be applied)."""
+    gamma = np.ones(32, np.float32)
+    gamma[::7] = 50.0
+    W = RNG.normal(size=(16, 32)).astype(np.float32)  # transB [N, K]
+    nodes = [
+        O.make_node("LayerNormalization", ["x", "gamma"], ["h"],
+                    name="ln", axis=-1),
+        O.make_node("Gemm", ["h", "w"], ["y"], name="gm", transB=1),
+    ]
+    g = O.make_graph(
+        nodes, "awqg",
+        [O.make_tensor_value_info("x", O.TensorProto.FLOAT, [64, 32])],
+        [O.make_tensor_value_info("y", O.TensorProto.FLOAT, None)],
+        initializer=[O.from_array(gamma, "gamma"), O.from_array(W, "w")])
+    m = O.make_model(g)
+    x = RNG.normal(size=(64, 32)).astype(np.float32)
+
+    m1 = nq.Model.from_onnx(m)
+    c1 = m1.awq_scale_weights([x], bit_width=4, group_size=8)
+    m2 = nq.Model.from_onnx(m)
+    c2 = m2.awq_scale_weights([x], bit_width=4)
+    assert c1 == c2, (c1, c2)

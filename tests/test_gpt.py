@@ -173,7 +173,7 @@ def test_decode_step_quantized(gpt):
 
 def test_generate_benchmark_tiny_smoke():
     """extras/generate_benchmark.py --tiny stays runnable (the TPU
-    bench path compiles and reports all five variants)."""
+    bench path compiles and reports all variants)."""
     import json
     import os
     import subprocess
@@ -190,7 +190,7 @@ def test_generate_benchmark_tiny_smoke():
     assert r.returncode == 0, r.stderr[-2000:]
     recs = [json.loads(ln) for ln in r.stdout.splitlines()
             if ln.startswith("{")]
-    assert len(recs) == 8
+    assert len(recs) == 10
     assert all(rec["tokens_per_sec"] > 0 for rec in recs)
 
 

@@ -302,7 +302,7 @@ def test_stats_and_reset(gpt_steps):
     s = b.stats
     assert s["completed"] == 4
     assert s["prefills"] == 4
-    assert s["tokens_out"] == sum(len(t) for t in got.values())
+    assert s["tokens_out"] == sum(len(t) - 2 for t in got.values())
     assert s["steps"] >= 2 and s["slot_steps"] >= s["steps"]
 
     b.reset()
