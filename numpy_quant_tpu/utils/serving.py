@@ -25,6 +25,18 @@ loop), and this module implements it TPU-natively:
   the device-resident state between steps; the KV caches never need
   clearing (a new request's mask only ever validates positions its own
   steps have already written).
+* PAGED KV cache (``paged_kv=(block_size, n_blocks)``): instead of a
+  dense ``[B, H, L, D]`` cache per slot, all slots share one block pool
+  ``[n_blocks, H, block_size, D]`` per layer plus a per-slot block
+  table (vLLM, SOSP'23 -- the TPU-native form: the step program
+  gathers each slot's table into a contiguous view for attention and
+  scatters the new K/V row into its block, all inside the one compiled
+  step). Blocks are allocated on demand as a request's position
+  crosses block boundaries and freed at retirement, so HBM holds
+  ragged ACTUAL lengths instead of B x max_len worst cases; when the
+  pool runs dry mid-decode the youngest request is preempted by
+  recompute (tokens so far re-queued as its prompt -- greedy decode is
+  exactly preserved).
 
 Works with every decode-step layout ``generate_kv`` supports: plain
 (models/gpt.py), RoPE (models/llama.py, per-row cos/sin rows), T5
@@ -63,6 +75,7 @@ class _SlotInfo:
     req_id: int
     plen: int
     max_new: int
+    req: "_Request" = None      # original request (preemption rebuilds)
 
 
 class ContinuousBatcher:
@@ -93,7 +106,7 @@ class ContinuousBatcher:
                  has_memory: bool = False, eos_id: int = None,
                  kv_cache_dtype: str = None, prefill_model=None,
                  state_carry: bool = False, max_len: int = None,
-                 key=None):
+                 paged_kv: tuple = None, key=None):
         self.model = step_model
         self.eos_id = eos_id
         self._base_key = (jax.random.PRNGKey(0) if key is None else key)
@@ -171,10 +184,36 @@ class ContinuousBatcher:
         self._tmax = jnp.zeros((B,), jnp.int32)   # plen + max_new
         self._active = jnp.zeros((B,), jnp.bool_)
         self._temp = jnp.zeros((B,), jnp.float32)  # 0 = greedy
+        self._paged = None
+        if paged_kv is not None:
+            if state_carry:
+                raise ValueError("paged_kv applies to KV-cache engines "
+                                 "only (state_carry caches are already "
+                                 "constant-size)")
+            blk, n_blocks = int(paged_kv[0]), int(paged_kv[1])
+            if blk < 1 or n_blocks < 2:
+                raise ValueError("paged_kv needs block_size >= 1 and "
+                                 "n_blocks >= 2 (block 0 is the null "
+                                 "sink for inactive rows)")
+            nbt = -(-L // blk)  # table entries per slot
+            self._paged = (blk, n_blocks, nbt)
+            # block 0 is never allocated: unallocated table entries and
+            # inactive slots read/write it, masked out of attention
+            self._table = jnp.zeros((B, nbt), jnp.int32)
+            self._free = list(range(n_blocks - 1, 0, -1))
+            self._owned: list[list[int]] = [[] for _ in range(B)]
         if state_carry:
             self._caches = tuple(
                 (jnp.zeros(cs, jnp.float32), jnp.zeros(ss, jnp.float32))
                 for cs, ss in self._state_shapes)
+        elif self._paged is not None:
+            blk, n_blocks, _ = self._paged
+            zeros = jnp.zeros((n_blocks, self._layout[1], blk,
+                               self._layout[2]), jnp.float32)
+            self._caches = tuple(
+                (self._q_cache(zeros, 2 * i).astype(cache_dtype),
+                 self._q_cache(zeros, 2 * i + 1).astype(cache_dtype))
+                for i in range(n_layer))
         else:
             zeros = jnp.zeros((B, self._layout[1], L, self._layout[2]),
                               jnp.float32)
@@ -212,7 +251,7 @@ class ContinuousBatcher:
         self._next_id = 0
         self._early: list[tuple[int, np.ndarray]] = []
         self.stats = {"steps": 0, "slot_steps": 0, "prefills": 0,
-                      "completed": 0, "tokens_out": 0}
+                      "completed": 0, "tokens_out": 0, "preemptions": 0}
         self._fwd = step_model.lowered_fn()
         self._step_fn = jax.jit(self._build_step())
 
@@ -233,6 +272,9 @@ class ContinuousBatcher:
         has_bias = self._bias is not None
         has_mem = self._memory is not None
         state_carry = self._state_carry
+        paged = self._paged
+        if paged is not None:
+            nh, hd = self._layout[1], self._layout[2]
         fwd = self._fwd
 
         def pick(row, temp, key):
@@ -244,7 +286,7 @@ class ContinuousBatcher:
                                              axis=-1).astype(jnp.int32)
             return jnp.where(temp > 0, sampled, greedy)
 
-        def step(ids, pos, plen, tmax, active, caches, params,
+        def step(ids, pos, plen, tmax, active, caches, table, params,
                  wte, wpe, cos, sin, bias, mem, temp, key):
             B = ids.shape[0]
             rows = jnp.arange(B)
@@ -270,7 +312,20 @@ class ContinuousBatcher:
                 extra = extra + [jnp.take(bias, pos, axis=0)[:, :, None, :]]
             if has_mem:
                 extra = extra + [mem]
-            flat = [c for pair in caches for c in pair]
+            if paged is not None:
+                # pool [nB, H, blk, D] + table [B, nbt] -> the slot's
+                # contiguous [B, H, L, D] attention view (one gather,
+                # fused into the step program)
+                blk_sz, _, nbt = paged
+
+                def view(pool):
+                    g = jnp.take(pool, table, axis=0)   # [B,nbt,H,blk,D]
+                    g = jnp.moveaxis(g, 2, 1)           # [B,H,nbt,blk,D]
+                    g = g.reshape(B, nh, nbt * blk_sz, hd)
+                    return g[:, :, :L]
+                flat = [view(c) for pair in caches for c in pair]
+            else:
+                flat = [c for pair in caches for c in pair]
             if state_carry:
                 # SSM: no mask; the state swaps in wholesale. Inactive
                 # rows evolve garbage that admission re-zeroes.
@@ -278,6 +333,24 @@ class ContinuousBatcher:
                 nxt = pick(outs[0][:, 0, :], temp, key)
                 caches = tuple((outs[1 + 2 * i], outs[2 + 2 * i])
                                for i in range(len(caches)))
+            elif paged is not None:
+                outs = fwd([x, mask] + extra + flat, params)
+                nxt = pick(outs[0][:, 0, :], temp, key)
+                # scatter each slot's new K/V row into its current
+                # block (inactive slots' tables point at null block 0)
+                blk_sz = paged[0]
+                wblk = jnp.take_along_axis(table, (pos // blk_sz)[:, None],
+                                           axis=1)[:, 0]
+                off = pos % blk_sz
+
+                def put_pool(pool, present, idx):
+                    row = self._q_cache(present, idx).astype(
+                        pool.dtype)[:, :, 0, :]          # [B, H, D]
+                    return pool.at[wblk, :, off].set(row)
+                caches = tuple(
+                    (put_pool(k, outs[1 + 2 * i], 2 * i),
+                     put_pool(v, outs[2 + 2 * i], 2 * i + 1))
+                    for i, (k, v) in enumerate(caches))
             else:
                 outs = fwd([x, mask] + extra + flat, params)
                 nxt = pick(outs[0][:, 0, :], temp, key)
@@ -308,6 +381,72 @@ class ContinuousBatcher:
 
         return step
 
+    # ------------------------------------------------- paged block pool
+
+    def _alloc_upto(self, slot: int, n_entries: int) -> bool:
+        """Ensure the slot's first ``n_entries`` block-table entries are
+        allocated; False when the free list cannot cover them."""
+        need = n_entries - len(self._owned[slot])
+        if need <= 0:
+            return True
+        if len(self._free) < need:
+            return False
+        for _ in range(need):
+            b = self._free.pop()
+            idx = len(self._owned[slot])
+            self._owned[slot].append(b)
+            self._table = self._table.at[slot, idx].set(b)
+        return True
+
+    def _release_blocks(self, slot: int) -> None:
+        if self._paged is None or not self._owned[slot]:
+            return
+        self._free.extend(reversed(self._owned[slot]))
+        self._owned[slot] = []
+        self._table = self._table.at[slot].set(0)
+
+    def _preempt_youngest(self) -> None:
+        """Recompute-style preemption (vLLM): re-queue the youngest
+        active request with its tokens-so-far as the prompt, free its
+        blocks. Greedy decode replays to exactly the same tokens."""
+        cand = [s for s in range(self.n_slots) if self._slots[s] is not None]
+        if not cand:
+            raise RuntimeError("paged KV pool exhausted with nothing "
+                               "to preempt")
+        slot = max(cand, key=lambda s: self._slots[s].req_id)
+        info = self._slots[slot]
+        pos_h = int(np.asarray(self._pos[slot]))
+        known = max(info.plen, pos_h + 1)   # prompt + generated so far
+        toks = np.asarray(self._ids[slot, :known]).astype(np.int32)
+        tmax = info.plen + info.max_new
+        req0 = info.req
+        self._queue.insert(0, _Request(
+            info.req_id, toks, tmax - known,
+            req0.memory_row if req0 is not None else None,
+            req0.temperature if req0 is not None else 0.0))
+        self._release_blocks(slot)
+        self._slots[slot] = None
+        self._active = self._active.at[slot].set(False)
+        self.stats["preemptions"] += 1
+
+    def _ensure_blocks(self) -> None:
+        """Before a step, every active slot must own the block its
+        write position lands in; preempt the youngest request until the
+        pool covers the rest."""
+        blk = self._paged[0]
+        while True:
+            pos_h = np.asarray(self._pos)
+            ok = True
+            for slot in range(self.n_slots):
+                if self._slots[slot] is None:
+                    continue
+                if not self._alloc_upto(slot, int(pos_h[slot]) // blk + 1):
+                    ok = False
+                    break
+            if ok:
+                return
+            self._preempt_youngest()
+
     # ------------------------------------------------------ public API
 
     def reset(self) -> None:
@@ -319,6 +458,9 @@ class ContinuousBatcher:
         self._early = []
         self._slots = [None] * self.n_slots
         self._active = jnp.zeros((self.n_slots,), jnp.bool_)
+        if self._paged is not None:
+            for slot in range(self.n_slots):
+                self._release_blocks(slot)
         self.stats = {k: 0 for k in self.stats}
 
     def submit(self, prompt_ids, max_new_tokens: int,
@@ -342,6 +484,13 @@ class ContinuousBatcher:
         if (memory_row is None) != (self._memory is None):
             raise ValueError("memory_row must be passed iff the step "
                              "model takes encoder memory")
+        if self._paged is not None:
+            blk, n_blocks, _ = self._paged
+            need = -(-(prompt.size + max_new_tokens - 1) // blk)
+            if need > n_blocks - 1:
+                raise ValueError(
+                    f"request needs {need} KV blocks but the pool has "
+                    f"{n_blocks - 1} allocatable (block_size {blk})")
         req = _Request(self._next_id, prompt, int(max_new_tokens),
                        memory_row, float(temperature or 0.0))
         self._next_id += 1
@@ -359,16 +508,27 @@ class ContinuousBatcher:
     def _admit(self) -> None:
         for slot in range(self.n_slots):
             while self._slots[slot] is None and self._queue:
-                self._admit_one(slot)
+                if not self._admit_one(slot):
+                    return
 
-    def _admit_one(self, slot: int) -> None:
+    def _admit_one(self, slot: int) -> bool:
             req = self._queue.pop(0)
             plen = req.prompt.size
+            use_prefill = (self._prefill is not None
+                           and plen <= self.prefill_len)
+            if self._paged is not None:
+                # the rows written at admission must have blocks: the
+                # whole prompt under prefill, just row 0 teacher-forced
+                blk = self._paged[0]
+                entries = -(-plen // blk) if use_prefill else 1
+                if not self._alloc_upto(slot, entries):
+                    self._queue.insert(0, req)   # pool dry: wait
+                    return False
             row = np.zeros(self.max_len + 1, np.int32)
             row[:plen] = req.prompt
 
             pos0 = 0
-            if self._prefill is not None and plen <= self.prefill_len:
+            if use_prefill:
                 # one MXU call admits the whole prompt: presents land in
                 # the slot's cache rows, row plen-1's logits give the
                 # first generated token, and decode starts at pos=plen
@@ -388,25 +548,48 @@ class ContinuousBatcher:
                     tok = int(logit_row.argmax())
                 row[plen] = tok
                 P = self.prefill_len
-                self._caches = tuple(
-                    (k.at[slot, :, :P].set(
-                        self._q_cache(outs[1 + 2 * i], 2 * i)
-                        .astype(k.dtype)[0]),
-                     v.at[slot, :, :P].set(
-                         self._q_cache(outs[2 + 2 * i], 2 * i + 1)
-                         .astype(v.dtype)[0]))
-                    for i, (k, v) in enumerate(self._caches))
+                if self._paged is not None:
+                    blk = self._paged[0]
+                    nb = -(-plen // blk)
+                    blks = jnp.asarray(self._owned[slot][:nb], jnp.int32)
+
+                    def pool_write(pool, present, idx):
+                        rows = self._q_cache(present, idx).astype(
+                            pool.dtype)[0]            # [H, P, D]
+                        tgt = nb * blk
+                        if tgt <= rows.shape[1]:
+                            rows = rows[:, :tgt]
+                        else:
+                            rows = jnp.pad(
+                                rows, ((0, 0), (0, tgt - rows.shape[1]),
+                                       (0, 0)))
+                        rows = rows.reshape(rows.shape[0], nb, blk, -1)
+                        return pool.at[blks].set(jnp.moveaxis(rows, 1, 0))
+                    self._caches = tuple(
+                        (pool_write(k, outs[1 + 2 * i], 2 * i),
+                         pool_write(v, outs[2 + 2 * i], 2 * i + 1))
+                        for i, (k, v) in enumerate(self._caches))
+                else:
+                    self._caches = tuple(
+                        (k.at[slot, :, :P].set(
+                            self._q_cache(outs[1 + 2 * i], 2 * i)
+                            .astype(k.dtype)[0]),
+                         v.at[slot, :, :P].set(
+                             self._q_cache(outs[2 + 2 * i], 2 * i + 1)
+                             .astype(v.dtype)[0]))
+                        for i, (k, v) in enumerate(self._caches))
                 pos0 = plen
                 self.stats["prefills"] += 1
                 done = (req.max_new_tokens <= 1
                         or (self.eos_id is not None
                             and tok == self.eos_id))
                 if done:
+                    self._release_blocks(slot)
                     self._early.append(
                         (req.req_id, row[: plen + 1].copy()))
                     self.stats["completed"] += 1
                     self.stats["tokens_out"] += 1   # generated tokens
-                    return  # never occupies the slot
+                    return True  # never occupies the slot
 
             if self._state_carry:
                 # unlike KV caches (whose masks hide stale slots), the
@@ -425,7 +608,8 @@ class ContinuousBatcher:
                 self._memory = self._memory.at[slot].set(
                     jnp.asarray(req.memory_row, jnp.float32))
             self._slots[slot] = _SlotInfo(req.req_id, plen,
-                                          req.max_new_tokens)
+                                          req.max_new_tokens, req)
+            return True
 
     def step(self) -> list[tuple[int, np.ndarray]]:
         """Admit queued requests into free slots, advance every active
@@ -436,9 +620,13 @@ class ContinuousBatcher:
         early, self._early = self._early, []
         if self.n_active == 0:
             return sorted(early, key=lambda t: t[0])
+        if self._paged is not None:
+            self._ensure_blocks()
         ids, pos, done, caches = self._step_fn(
             self._ids, self._pos, self._plen, self._tmax, self._active,
-            self._caches, self.model._placed_params(), self._wte,
+            self._caches,
+            self._table if self._paged is not None else None,
+            self.model._placed_params(), self._wte,
             self._wpe, self._cos, self._sin, self._bias, self._memory,
             self._temp,
             jax.random.fold_in(self._base_key, self.stats["steps"]))
@@ -456,6 +644,7 @@ class ContinuousBatcher:
                     (info.req_id, ids_h[slot, : pos_h[slot] + 1].copy()))
                 self.stats["completed"] += 1
                 self.stats["tokens_out"] += pos_h[slot] + 1 - info.plen
+                self._release_blocks(slot)
                 self._slots[slot] = None
                 self._active = self._active.at[slot].set(False)
         finished.sort(key=lambda t: t[0])
