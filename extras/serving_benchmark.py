@@ -12,6 +12,10 @@ deployment shapes the framework offers:
 * scan       -- map_batches: the whole request set as one device
                 program (the OFFLINE shape bench.py measures; upper
                 bound -- zero per-request dispatch)
+* ring       -- serve_ring: ONE persistent device program for the
+                whole session; each step pulls its batch from the host
+                through an input-ring io_callback (device-paced
+                ingestion, single dispatch, no upfront dataset)
 
 Each shape runs twice: with per-request HOST inputs (real ingest: the
 bytes cross the host->device link every request) and with pre-placed
@@ -29,6 +33,30 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+
+def _ring_supported() -> bool:
+    """serve_ring needs host-callback support in the device runtime;
+    a REMOTE-attached chip (tunneled device plugin) never completes an
+    io_callback, so probe in a watchdogged subprocess instead of
+    hanging the benchmark. Override with NQ_TPU_RING=0/1."""
+    forced = os.environ.get("NQ_TPU_RING")
+    if forced is not None:
+        return forced == "1"
+    import subprocess
+    probe = (
+        "import jax, numpy as np, jax.numpy as jnp\n"
+        "from jax.experimental import io_callback\n"
+        "f = jax.jit(lambda x: io_callback("
+        "lambda y: np.float32(1.0), "
+        "jax.ShapeDtypeStruct((), jnp.float32), x, ordered=True))\n"
+        "jax.block_until_ready(f(jnp.ones(())))\n")
+    try:
+        r = subprocess.run([sys.executable, "-c", probe], timeout=120,
+                           capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def main():
@@ -91,6 +119,12 @@ def main():
             np.asarray(qmodel.map_batches([stacked])[0])
         return go
 
+    def run_ring(inputs):
+        def go():
+            outs = qmodel.serve_ring([x] for x in inputs)
+            assert len(outs) == len(inputs)
+        return go
+
     host_stack = np.stack(host)
     dev_stack = jax.device_put(host_stack)
     jax.block_until_ready(dev_stack)
@@ -101,6 +135,10 @@ def main():
         for depth in (2, 4, 8):
             shapes.append((f"stream_d{depth}", run_stream(xs, depth)))
         shapes.append(("scan", run_scan(stacked)))
+        if placement == "host" and _ring_supported():
+            # ring ingest is host-side by construction (the pull
+            # callback feeds from the host), so one placement row
+            shapes.append(("ring", run_ring(xs)))
         for name, fn in shapes:
             ips = timed(fn)
             print(json.dumps({"shape": name, "inputs": placement,

@@ -85,6 +85,7 @@ class Model:
         self.inputs = inputs
         self.outputs = outputs
         self._jit_cache: dict = {}
+        self._ring_state: dict = {}
         self._dp_cache = None
         self._dp_cache_key = None
         # Multi-chip execution (set via parallel.shard_model): mesh +
@@ -687,6 +688,118 @@ class Model:
                 yield _finish(inflight.popleft())
         while inflight:
             yield _finish(inflight.popleft())
+
+    def serve_ring(self, batches):
+        """Persistent device serving loop: ONE dispatched XLA program
+        owns the chip for the whole session. The compiled program is a
+        ``lax.while_loop`` whose body pulls the next input batch from
+        the host through an ordered ``io_callback`` (the input ring),
+        runs the forward, and pushes the outputs back through another
+        callback -- so per-step dispatch overhead is paid ONCE for the
+        session, and the device, not the host loop, paces ingestion.
+
+        This is the deployment shape beyond ``map_batches`` (which
+        needs the whole ``[steps, ...]`` dataset upfront): ``batches``
+        may be a LIVE generator -- each ``next()`` happens inside the
+        pull callback when the device is ready for more work, and the
+        session ends when it raises ``StopIteration``. Returns the list
+        of per-batch output lists (host numpy -- the push callback
+        crosses to the host by construction), in order.
+
+        All batches must share the first batch's shape/dtype signature
+        (one compiled program). Float inputs only (int64 inputs are
+        shape-domain, static under jit); unsupported on a sharded model
+        (callbacks are single-host). Requires a runtime with host
+        callback support: a LOCALLY-attached device (or CPU). On a
+        remote-attached chip (e.g. a tunneled device plugin) host
+        callbacks never complete and the session hangs -- use
+        ``map_batches``/``serve_stream`` there
+        (extras/serving_benchmark.py probes for this).
+        """
+        import itertools
+        import weakref
+
+        import jax.numpy as jnp
+        from jax.experimental import io_callback
+
+        if self.mesh is not None:
+            raise ValueError("serve_ring runs single-device (host "
+                             "callbacks); use map_batches on a sharded "
+                             "model")
+        it = iter(batches)
+        try:
+            first = [np.asarray(a) for a in next(it)]
+        except StopIteration:
+            return []
+        if any(_np_dtype(a) == np.int64 for a in first):
+            raise ValueError("serve_ring supports float inputs only "
+                             "(int64 inputs are shape-domain, static "
+                             "under jit)")
+        sig = tuple((tuple(a.shape), str(a.dtype)) for a in first)
+        key = ("serve_ring", sig, bool(jax.config.jax_enable_x64))
+        if key in self._ring_state:
+            raise RuntimeError("a serve_ring session with this input "
+                               "signature is already running on this "
+                               "model")
+        if key not in self._jit_cache:
+            fwd = self.lowered_fn()
+            in_specs = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
+                             for a in first)
+            out_shapes = jax.eval_shape(
+                lambda xs, params: tuple(fwd(list(xs), params)),
+                in_specs, self._placed_params())
+            out_specs = tuple(jax.ShapeDtypeStruct(o.shape, o.dtype)
+                              for o in out_shapes)
+            pull_spec = (jax.ShapeDtypeStruct((), jnp.int32),) + in_specs
+            model_ref = weakref.proxy(self)
+
+            def host_pull():
+                state = model_ref._ring_state[key]
+                try:
+                    batch = next(state["it"])
+                except StopIteration:
+                    return ((np.int32(0),)
+                            + tuple(np.zeros(s.shape, s.dtype)
+                                    for s in in_specs))
+                arrs = [np.asarray(a) for a in batch]
+                got = tuple((tuple(a.shape), str(a.dtype)) for a in arrs)
+                if got != sig:
+                    raise ValueError(
+                        f"serve_ring batch signature changed mid-"
+                        f"session: expected {sig}, got {got}")
+                return (np.int32(1),) + tuple(arrs)
+
+            def host_push(*ys):
+                model_ref._ring_state[key]["out"].append(
+                    [np.asarray(y) for y in ys])
+                return np.int32(0)
+
+            def session(params):
+                def pull():
+                    return io_callback(host_pull, pull_spec, ordered=True)
+
+                def cond(carry):
+                    return carry[0] > 0
+
+                def body(carry):
+                    ys = fwd(list(carry[1:]), params)
+                    io_callback(host_push,
+                                jax.ShapeDtypeStruct((), jnp.int32),
+                                *ys, ordered=True)
+                    return pull()
+
+                final = jax.lax.while_loop(cond, body, pull())
+                return final[0]
+
+            self._jit_cache[key] = jax.jit(session)
+        state = {"it": itertools.chain([first], it), "out": []}
+        self._ring_state[key] = state
+        try:
+            jax.block_until_ready(
+                self._jit_cache[key](self._placed_params()))
+        finally:
+            del self._ring_state[key]
+        return state["out"]
 
     def _place_batched_input(self, array):
         """Shard a [steps, batch, ...] input over the mesh data axis

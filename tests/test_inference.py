@@ -272,3 +272,44 @@ def test_serve_stream_bounds_inflight_to_depth():
         finally:
             Model.__call__ = orig_call
         assert len(seen) == len(xs)
+
+def test_serve_ring_matches_per_call():
+    """serve_ring (ONE persistent device program pulling each batch
+    from the host through an input-ring io_callback) returns, in
+    order, exactly what blocking per-batch __call__ returns -- float
+    and quantized -- and the feed generator is consumed device-paced
+    (one pull per step, inside the session)."""
+    import numpy_quant_tpu as nq
+
+    mlp = nq.onnx.load("numpy_quant_tpu/models/mlp.onnx")
+    model = Model.from_onnx(mlp)
+    xs = RNG.normal(size=(6, 16, 2)).astype(np.float32)
+    seq = [model([x])[0] for x in xs]
+
+    pulled = []
+
+    def live():
+        for i, x in enumerate(xs):
+            pulled.append(i)
+            yield [x]
+
+    got = model.serve_ring(live())
+    assert len(got) == len(seq) and pulled == list(range(len(xs)))
+    for g, s in zip(got, seq):
+        np.testing.assert_array_equal(g[0], s)
+
+    q = model.quantize([xs.reshape(-1, 2)], bit_width=8)
+    qseq = [q([x])[0] for x in xs]
+    qgot = q.serve_ring([x] for x in xs)
+    for g, s in zip(qgot, qseq):
+        np.testing.assert_array_equal(g[0], s)
+
+    # session edge cases: empty feed; compiled-program reuse across
+    # sessions; a mid-session signature change is a hard error
+    assert model.serve_ring(iter([])) == []
+    again = model.serve_ring([x] for x in xs[:2])
+    assert len(again) == 2
+    np.testing.assert_array_equal(again[1][0], seq[1])
+    bad = [[xs[0]], [xs[1][:4]]]
+    with pytest.raises(Exception, match="signature"):
+        model.serve_ring(iter(bad))
