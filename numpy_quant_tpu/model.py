@@ -706,6 +706,14 @@ class Model:
         of per-batch output lists (host numpy -- the push callback
         crosses to the host by construction), in order.
 
+        Cost model: one host round trip per step (outputs out + next
+        batch in, fused into a single ordered callback). The shape pays
+        off when per-call dispatch overhead exceeds that callback trip
+        (locally-attached accelerators with non-trivial per-step
+        compute); at tiny compute on the CPU backend the callback trip
+        (~0.3 ms) exceeds jit dispatch (~0.2 ms) and plain ``__call__``
+        is faster (BENCH_HISTORY.md round-3 ring measurement).
+
         All batches must share the first batch's shape/dtype signature
         (one compiled program). Float inputs only (int64 inputs are
         shape-domain, static under jit); unsupported on a sharded model
@@ -769,26 +777,24 @@ class Model:
                         f"session: expected {sig}, got {got}")
                 return (np.int32(1),) + tuple(arrs)
 
-            def host_push(*ys):
+            def host_exchange(*ys):
+                # one host round trip per step: deliver this step's
+                # outputs AND fetch the next batch in the same callback
                 model_ref._ring_state[key]["out"].append(
                     [np.asarray(y) for y in ys])
-                return np.int32(0)
+                return host_pull()
 
             def session(params):
-                def pull():
-                    return io_callback(host_pull, pull_spec, ordered=True)
-
                 def cond(carry):
                     return carry[0] > 0
 
                 def body(carry):
                     ys = fwd(list(carry[1:]), params)
-                    io_callback(host_push,
-                                jax.ShapeDtypeStruct((), jnp.int32),
-                                *ys, ordered=True)
-                    return pull()
+                    return io_callback(host_exchange, pull_spec, *ys,
+                                       ordered=True)
 
-                final = jax.lax.while_loop(cond, body, pull())
+                first = io_callback(host_pull, pull_spec, ordered=True)
+                final = jax.lax.while_loop(cond, body, first)
                 return final[0]
 
             self._jit_cache[key] = jax.jit(session)
