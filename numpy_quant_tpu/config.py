@@ -36,6 +36,41 @@ def x64_enabled() -> bool:
     return bool(jax.config.jax_enable_x64)
 
 
+class host_eager:
+    """Context manager: run eager (non-jit) jnp ops on the HOST CPU
+    backend instead of the default accelerator.
+
+    Graph-construction work -- quantizing weights in ``Model.quantize``,
+    the optimize() passes reading constant payloads, ``pack_weights`` --
+    is many small per-tensor eager ops. On a remote-attached chip each
+    one is an RPC round trip (~0.5 s over this rig's tunnel: measured
+    596 s for optimize() alone, BENCH_HISTORY.md round 4). Under this
+    context the same ops run on the local CPU backend (bit-identical:
+    quantize is IEEE-exact f32 divide/rint/clip on either backend) and
+    the finished payloads move to the accelerator in ONE batched
+    transfer at ``_placed_params`` time.
+
+    No-op (still correct) when the default backend already is the CPU.
+    jit-compiled calls should NOT run under this context -- they would
+    compile for CPU.
+    """
+
+    def __enter__(self):
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:  # no CPU backend registered
+            self._ctx = None
+            return self
+        self._ctx = jax.default_device(cpu)
+        self._ctx.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        if self._ctx is not None:
+            return self._ctx.__exit__(*exc)
+        return False
+
+
 class low_precision_floats:
     """Context manager: run the float data plane in bfloat16."""
 

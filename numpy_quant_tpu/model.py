@@ -620,192 +620,27 @@ class Model:
         return fold_batchnorm(self)
 
     def map_batches(self, inputs: List[np.ndarray], as_numpy: bool = True):
-        """Throughput inference over a leading STEPS axis: each input is
-        ``[steps, *per_call_shape]`` and all steps execute inside ONE
-        device program (``lax.scan`` over forwards) with a single host
-        sync at the end -- the production serving shape (what bench.py
-        measures). Returns outputs stacked ``[steps, ...]``.
-
-        Weights stay device-resident across steps, XLA overlaps the
-        output transfer of step i with the compute of step i+1, and the
-        per-call dispatch overhead of ``__call__`` is paid once for the
-        whole dataset instead of per batch.
-        """
-        if any(_np_dtype(a) == np.int64 for a in inputs):
-            raise ValueError("map_batches supports float inputs only "
-                             "(int64 inputs are shape-domain, static "
-                             "under jit)")
-        arrays = list(inputs)
-        key = ("map_batches",
-               tuple((tuple(a.shape), str(a.dtype)) for a in arrays),
-               bool(jax.config.jax_enable_x64))
-        if key not in self._jit_cache:
-            fwd = self.lowered_fn()
-
-            def run(xs: list, params):
-                def body(carry, step_inputs):
-                    return carry, tuple(fwd(list(step_inputs), params))
-                _, ys = jax.lax.scan(body, 0, tuple(xs))
-                return ys
-
-            self._jit_cache[key] = jax.jit(run)
-        placed = [self._place_batched_input(a) for a in arrays]
-        outs = self._jit_cache[key](placed, self._placed_params())
-        if as_numpy:
-            return [np.asarray(o) for o in outs]
-        return list(outs)
+        """Throughput inference over a leading STEPS axis: all steps in
+        ONE device program (``lax.scan``), a single host sync -- the
+        production serving shape bench.py measures. See serving.py."""
+        from .serving import map_batches
+        return map_batches(self, inputs, as_numpy=as_numpy)
 
     def serve_stream(self, batches, depth: int = 2, as_numpy: bool = True):
-        """Pipelined request-stream inference: a generator yielding one
-        output list per input batch (in order), keeping up to ``depth``
-        forwards in flight.
-
-        JAX dispatch is asynchronous -- ``__call__(as_numpy=False)``
-        returns device futures without blocking -- so enqueueing the
-        next request BEFORE synchronizing the previous one overlaps
-        host->device transfer, dispatch and compute across requests.
-        On a remote-attached chip each dispatch pays an RPC round trip;
-        pipelining hides it behind the in-flight compute. This is the
-        ONLINE serving shape: unlike ``map_batches`` (one device program
-        over a fixed [steps, ...] dataset) it needs no inputs upfront
-        and yields each result as it completes.
-
-        ``batches``: iterable of input lists, each as ``__call__``'s
-        ``inputs`` (all batches must share one shape signature to reuse
-        the compiled program)."""
-        from collections import deque
-
-        if depth < 1:
-            raise ValueError(f"depth must be >= 1, got {depth}")
-        inflight: deque = deque()
-
-        def _finish(outs):
-            return [np.asarray(o) for o in outs] if as_numpy else outs
-
-        for batch in batches:
-            inflight.append(self(list(batch), as_numpy=False))
-            if len(inflight) >= depth:
-                yield _finish(inflight.popleft())
-        while inflight:
-            yield _finish(inflight.popleft())
+        """Pipelined online request-stream inference: a generator
+        keeping up to ``depth`` forwards in flight. See serving.py."""
+        from .serving import serve_stream
+        return serve_stream(self, batches, depth=depth, as_numpy=as_numpy)
 
     def serve_ring(self, batches):
-        """Persistent device serving loop: ONE dispatched XLA program
-        owns the chip for the whole session. The compiled program is a
-        ``lax.while_loop`` whose body pulls the next input batch from
-        the host through an ordered ``io_callback`` (the input ring),
-        runs the forward, and pushes the outputs back through another
-        callback -- so per-step dispatch overhead is paid ONCE for the
-        session, and the device, not the host loop, paces ingestion.
-
-        This is the deployment shape beyond ``map_batches`` (which
-        needs the whole ``[steps, ...]`` dataset upfront): ``batches``
-        may be a LIVE generator -- each ``next()`` happens inside the
-        pull callback when the device is ready for more work, and the
-        session ends when it raises ``StopIteration``. Returns the list
-        of per-batch output lists (host numpy -- the push callback
-        crosses to the host by construction), in order.
-
-        Cost model: one host round trip per step (outputs out + next
-        batch in, fused into a single ordered callback). The shape pays
-        off when per-call dispatch overhead exceeds that callback trip
-        (locally-attached accelerators with non-trivial per-step
-        compute); at tiny compute on the CPU backend the callback trip
-        (~0.3 ms) exceeds jit dispatch (~0.2 ms) and plain ``__call__``
-        is faster (BENCH_HISTORY.md round-3 ring measurement).
-
-        All batches must share the first batch's shape/dtype signature
-        (one compiled program). Float inputs only (int64 inputs are
-        shape-domain, static under jit); unsupported on a sharded model
-        (callbacks are single-host). Requires a runtime with host
-        callback support: a LOCALLY-attached device (or CPU). On a
-        remote-attached chip (e.g. a tunneled device plugin) host
-        callbacks never complete and the session hangs -- use
-        ``map_batches``/``serve_stream`` there
-        (extras/serving_benchmark.py probes for this).
-        """
-        import itertools
-        import weakref
-
-        import jax.numpy as jnp
-        from jax.experimental import io_callback
-
-        if self.mesh is not None:
-            raise ValueError("serve_ring runs single-device (host "
-                             "callbacks); use map_batches on a sharded "
-                             "model")
-        it = iter(batches)
-        try:
-            first = [np.asarray(a) for a in next(it)]
-        except StopIteration:
-            return []
-        if any(_np_dtype(a) == np.int64 for a in first):
-            raise ValueError("serve_ring supports float inputs only "
-                             "(int64 inputs are shape-domain, static "
-                             "under jit)")
-        sig = tuple((tuple(a.shape), str(a.dtype)) for a in first)
-        key = ("serve_ring", sig, bool(jax.config.jax_enable_x64))
-        if key in self._ring_state:
-            raise RuntimeError("a serve_ring session with this input "
-                               "signature is already running on this "
-                               "model")
-        if key not in self._jit_cache:
-            fwd = self.lowered_fn()
-            in_specs = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
-                             for a in first)
-            out_shapes = jax.eval_shape(
-                lambda xs, params: tuple(fwd(list(xs), params)),
-                in_specs, self._placed_params())
-            out_specs = tuple(jax.ShapeDtypeStruct(o.shape, o.dtype)
-                              for o in out_shapes)
-            pull_spec = (jax.ShapeDtypeStruct((), jnp.int32),) + in_specs
-            model_ref = weakref.proxy(self)
-
-            def host_pull():
-                state = model_ref._ring_state[key]
-                try:
-                    batch = next(state["it"])
-                except StopIteration:
-                    return ((np.int32(0),)
-                            + tuple(np.zeros(s.shape, s.dtype)
-                                    for s in in_specs))
-                arrs = [np.asarray(a) for a in batch]
-                got = tuple((tuple(a.shape), str(a.dtype)) for a in arrs)
-                if got != sig:
-                    raise ValueError(
-                        f"serve_ring batch signature changed mid-"
-                        f"session: expected {sig}, got {got}")
-                return (np.int32(1),) + tuple(arrs)
-
-            def host_exchange(*ys):
-                # one host round trip per step: deliver this step's
-                # outputs AND fetch the next batch in the same callback
-                model_ref._ring_state[key]["out"].append(
-                    [np.asarray(y) for y in ys])
-                return host_pull()
-
-            def session(params):
-                def cond(carry):
-                    return carry[0] > 0
-
-                def body(carry):
-                    ys = fwd(list(carry[1:]), params)
-                    return io_callback(host_exchange, pull_spec, *ys,
-                                       ordered=True)
-
-                first = io_callback(host_pull, pull_spec, ordered=True)
-                final = jax.lax.while_loop(cond, body, first)
-                return final[0]
-
-            self._jit_cache[key] = jax.jit(session)
-        state = {"it": itertools.chain([first], it), "out": []}
-        self._ring_state[key] = state
-        try:
-            jax.block_until_ready(
-                self._jit_cache[key](self._placed_params()))
-        finally:
-            del self._ring_state[key]
-        return state["out"]
+        """EXPERIMENTAL persistent device serving loop (ONE dispatched
+        program pulling batches through host callbacks). CPU-validated
+        only: requires working host callbacks, which remote-attached
+        chips (this rig's tunnel) do not provide -- deploy with
+        ``map_batches``/``serve_stream``. See serving.py and
+        docs/DEPLOYMENT.md."""
+        from .serving import serve_ring
+        return serve_ring(self, batches)
 
     def _place_batched_input(self, array):
         """Shard a [steps, batch, ...] input over the mesh data axis
@@ -1246,8 +1081,9 @@ class Model:
         return qat_quantize(self, inputs, **kw)
 
 
-_PASSTHROUGH_OPS = ("Reshape", "Transpose", "Identity", "Squeeze",
-                    "Unsqueeze", "Flatten", "Gather")
+# value-preserving ops the int8_dataflow pass propagates through
+# (single definition: passes/toolkit.py)
+from .passes.toolkit import PASSTHROUGH_OPS as _PASSTHROUGH_OPS  # noqa: E402
 
 
 class QModel(Model):
@@ -1397,897 +1233,42 @@ class QModel(Model):
         raise ValueError(f"Unsupported output tensor {type(tensor)}")
 
     def fuse_attention(self) -> int:
-        """Fuse MatMul -> Mul/Div(const) -> Softmax -> MatMul chains into
-        fused-attention nodes backed by the VMEM-resident int8 attention
-        kernels (kernels/attention.py), avoiding the [B, H, N, N]
-        score/probability tensors in HBM. When the surrounding
-        head-split Reshape/Transpose chains match the standard
-        multi-head export pattern they are swallowed too
-        (FusedAttentionHS): the kernel consumes the raw [B, N, H*D]
-        projection outputs and splits/merges heads in VMEM, so none of
-        the head shuffles or d-padding ever touch HBM. Returns the
-        number of fused blocks.
-
-        Every Softmax that does NOT fuse is recorded with the reason in
-        ``self.fusion_report["failures"]`` (a silent fall-back to the
-        slow path on a foreign exporter's graph would otherwise be an
-        invisible perf cliff)."""
-        self.fusion_report = {"fused": 0, "failures": []}
-        if self.bit_width > 8:
-            for n in self.nodes:
-                if n.op == "Softmax":
-                    self.fusion_report["failures"].append(
-                        (n.name, f"bit_width {self.bit_width} > 8: the "
-                         "int8 attention kernels do not apply"))
-            return 0
-        producer = {}
-        for node in self.nodes:
-            for out in node.outputs:
-                producer[out.name] = node
-
-        def consumers(value):
-            return [n for n in self.nodes if value in n.inputs]
-
-        def single_consumer_chain_back(value, specs):
-            """Walk producers back through ops matching ``specs``
-            (list of (op, attr check) from nearest to farthest); returns
-            (chain nodes nearest-first, source value) or None."""
-            chain = []
-            for op, check in specs:
-                node = producer.get(value.name)
-                if node is None or node.op != op or not check(node):
-                    return None
-                if len(consumers(node.outputs[0])) != 1:
-                    return None
-                chain.append(node)
-                value = node.inputs[0]
-            return chain, value
-
-        def perm_is(node, perm):
-            return tuple(int(p) for p in node.attrs.get("perm", ())) == perm
-
-        fused = 0
-
-        def fail(sm, reason):
-            self.fusion_report["failures"].append((sm.name, reason))
-
-        for sm in [n for n in self.nodes if n.op == "Softmax"]:
-            if int(sm.attrs.get("axis", -1)) != -1:
-                fail(sm, f"softmax axis {sm.attrs.get('axis')} != -1")
-                continue
-            # optional additive causal mask (decoder graphs): the
-            # Softmax input may be Add(scaled scores, triangular const);
-            # the kernel applies the same additive value in VMEM.
-            # A non-causal constant Add matches as a general per-head
-            # score BIAS instead (T5 relative position bias, ALiBi,
-            # sliding-window masks) -- fused as a kernel operand.
-            mask_node, mask_val = self._match_causal_mask(
-                producer, consumers, sm.inputs[0])
-            bias_node, bias_const = (None, None) if mask_node is not None \
-                else self._match_score_bias(producer, sm.inputs[0])
-            add_node = mask_node if mask_node is not None else bias_node
-            scale_val = sm.inputs[0] if add_node is None else \
-                add_node.inputs[1 if isinstance(add_node.inputs[0],
-                                                Constant) else 0]
-            mul = producer.get(scale_val.name)
-            if mul is not None and mul.op == "MatMul":
-                # exporter pre-scaled q (or k): scores feed softmax
-                # directly; the kernel's scaling factor is 1
-                mm1, mul, scaling = mul, None, 1.0
-            elif mul is None or mul.op not in ("Mul", "Div"):
-                fail(sm, "input is not a Mul/Div scale node or MatMul "
-                     f"(got {mul.op if mul else 'graph input'})")
-                continue
-            else:
-                mm1 = producer.get(mul.inputs[0].name)
-                if mm1 is None or mm1.op != "MatMul":
-                    fail(sm, "scale node's input is not a MatMul "
-                         f"(got {mm1.op if mm1 else 'graph input'})")
-                    continue
-                # scale factor: a Constant NODE's attrs (torch exporter)
-                # or an initializer Constant -- dequantized if the PTQ
-                # pass quantized it, exactly what the executor would use
-                scal_val = mul.inputs[1]
-                scal_node = producer.get(scal_val.name)
-                scaling = None
-                if scal_node is not None and scal_node.op == "Constant":
-                    arr = np.asarray(scal_node.attrs["value"])
-                    if arr.size == 1:
-                        scaling = float(arr.reshape(-1)[0])
-                elif isinstance(scal_val, Constant) \
-                        and scal_val.data is not None:
-                    d = scal_val.data
-                    arr = np.asarray(d.data)
-                    if arr.size == 1:
-                        scaling = float(arr.reshape(-1)[0])
-                        if isinstance(d, QTensor):
-                            if d.zero_point is not None:
-                                scaling -= float(np.asarray(d.zero_point)
-                                                 .reshape(-1)[0])
-                            scaling *= float(np.float32(d.scale))
-                if scaling is None:
-                    fail(sm, "scale factor is not a scalar constant")
-                    continue
-                if mul.op == "Div":
-                    scaling = 1.0 / scaling
-            cons = consumers(sm.outputs[0])
-            if len(cons) != 1 or cons[0].op != "MatMul" \
-                    or cons[0].inputs[0] is not sm.outputs[0]:
-                fail(sm, "softmax output does not feed exactly one "
-                     "MatMul as its lhs")
-                continue
-            mm2 = cons[0]
-            chain_vals = [mm1.outputs[0]]
-            if mul is not None:
-                chain_vals.append(mul.outputs[0])
-            if add_node is not None:
-                chain_vals.append(add_node.outputs[0])
-            if any(len(consumers(v)) != 1 for v in chain_vals):
-                fail(sm, "scores/probabilities have consumers outside "
-                     "the attention chain")
-                continue
-            probs_qp = self.quant_params[sm.outputs[0].name]
-            attrs = {"scaling": scaling,
-                     "probs_scale": float(np.float32(probs_qp.scale)),
-                     "probs_zero_point": 0 if probs_qp.zero_point is None
-                     else int(probs_qp.zero_point)}
-            if mask_node is not None:
-                attrs["causal_mask_val"] = mask_val[0]
-                if mask_val[1] is not None:
-                    # banded (sliding-window) causal mask
-                    attrs["causal_window"] = mask_val[1]
-            # calibrated max of the softmax INPUT: the fast serving
-            # kernel uses it as a STATIC exp2 shift instead of the
-            # per-row max-subtract reduce pass (softmax is shift-
-            # invariant; a clamp keeps pathological out-of-calibration
-            # scores finite) -- kernels/attention.py fast path
-            # (for causal graphs: the PRE-mask scores -- the masked
-            # value's range is dominated by the -1e9 mask entries)
-            sm_in_qp = self.quant_params.get(scale_val.name)
-            if sm_in_qp is not None and sm_in_qp.zero_point is not None \
-                    and getattr(sm_in_qp.scale, "ndim", 0) == 0:
-                qmax = 2.0 ** (self.bit_width - 1) - 1
-                attrs["score_max"] = float(
-                    (qmax - int(sm_in_qp.zero_point))
-                    * np.float32(sm_in_qp.scale))
-
-            # -- try the head-splitting superset pattern --------------
-            hs = self._match_attention_hs(mm1, mm2, producer, consumers)
-            if hs is not None:
-                xq, xk, xv, out_value, num_heads, dead = hs
-                f_inputs = [xq, xk, xv]
-                if bias_node is not None:
-                    bshape = bias_const.data.data.shape
-                    if len(bshape) >= 3 \
-                            and bshape[-3] not in (1, num_heads):
-                        fail(sm, f"score-bias constant head dim "
-                             f"{bshape[-3]} is not 1 or num_heads "
-                             f"{num_heads}")
-                        continue
-                    # the bias CONSTANT rides as a 4th input: the
-                    # executor dequantizes it exactly as the unfused
-                    # Add would, then the kernel adds it per head in
-                    # VMEM (kernels/attention.py score_bias)
-                    f_inputs.append(bias_const)
-                fnode = Node(f"{mm2.name}/fused_attention_hs",
-                             "FusedAttentionHS",
-                             dict(attrs, num_heads=num_heads),
-                             f_inputs, [out_value])
-                idx = self.nodes.index(mm2)
-                self.nodes[idx] = fnode
-                for dn in dead:
-                    if dn in self.nodes:
-                        self.nodes.remove(dn)
-                for dn in (mm1, mul, add_node, sm):
-                    if dn is not None:
-                        self.nodes.remove(dn)
-                fused += 1
-                continue
-
-            if bias_node is not None:
-                # the plain kernel's [BH, N, D] layout has no head index
-                # to slice a per-head bias by -- only the shape-checked
-                # head-split pattern fuses biased attention
-                fail(sm, "score-bias constant present but the head-split"
-                     " pattern did not match (bias fuses via"
-                     " FusedAttentionHS only)")
-                continue
-
-            if mul is None:
-                # pre-scaled scores carry no standalone scale node to
-                # anchor a safe plain fusion (the bare MatMul operands
-                # may be 2-D / batch-broadcast, which the plain kernel's
-                # [BH, N, D] layout cannot express) -- only the
-                # shape-checked head-split pattern fuses this form
-                fail(sm, "pre-scaled scores (no Mul/Div before Softmax):"
-                     " only the head-split pattern fuses this form, and"
-                     " it did not match")
-                continue
-
-            # plain (non-head-split) fusion: still fused, but the head
-            # Reshape/Transpose shuffles stay in the graph -- note it.
-            # Causal graphs take this path too (causal_mask_val is in
-            # attrs; the kernel applies it in VMEM) when the head-split
-            # chains carry extra structure, e.g. RoPE/repeat_kv in
-            # models/llama.py.
-            self.fusion_report.setdefault("plain_fusions", []).append(
-                (sm.name, "head-split pattern not matched; fused the "
-                 "core only (head shuffles remain in the graph)"))
-            fnode = Node(
-                f"{mm2.name}/fused_attention", "FusedAttention", attrs,
-                [mm1.inputs[0], mm1.inputs[1], mm2.inputs[1]],
-                [mm2.outputs[0]])
-            idx = self.nodes.index(mm2)
-            self.nodes[idx] = fnode
-            for dead in (mm1, mul, mask_node, sm):
-                if dead is not None:
-                    self.nodes.remove(dead)
-            fused += 1
-        if fused:
-            self.quantized_ops = tuple(self.quantized_ops) \
-                + ("FusedAttention", "FusedAttentionHS")
-            self._jit_cache.clear()
-        self.fusion_report["fused"] = fused
-        return fused
-
-    def _match_causal_mask(self, producer, consumers, value):
-        """Match ``Add(x, C)`` feeding a Softmax where C dequantizes to
-        a causal additive mask: 0 on a (possibly BANDED) region at or
-        below the diagonal, ONE large negative value everywhere else --
-        the decoder-exporter idiom (models/gpt.py), including
-        Mistral-style sliding windows (models/llama.py
-        mistral_causal_lm). Returns (add_node, (mask_value, window)) --
-        mask_value is the EXECUTOR-exact dequantized constant and
-        window the band width (None = full causal), so the fused
-        kernel's in-VMEM add is bit-identical to the unfused graph's --
-        or (None, None)."""
-        from .tensor import FTensor
-
-        node = producer.get(value.name)
-        if node is None or node.op != "Add":
-            return None, None
-        consts = [v for v in node.inputs if isinstance(v, Constant)]
-        if len(consts) != 1 or consts[0].data is None:
-            return None, None
-        d = consts[0].data
-        if isinstance(d, QTensor):
-            arr = np.asarray(d.dequantize().data)
-        elif isinstance(d, FTensor):
-            arr = np.asarray(d.data)
-        else:
-            return None, None
-        if arr.ndim < 2 or arr.shape[-1] != arr.shape[-2] \
-                or any(s != 1 for s in arr.shape[:-2]):
-            return None, None
-        m = arr.reshape(arr.shape[-2], arr.shape[-1])
-        n = m.shape[0]
-        # band width from the last row's visible run (full causal = n)
-        window = int((m[n - 1] == 0).sum())
-        if window == 0:
-            return None, None
-        i, j = np.indices(m.shape)
-        visible = (j <= i) & (j > i - window)
-        if not (m[visible] == 0).all():
-            return None, None
-        masked = m[~visible]
-        if masked.size == 0:
-            return None, None  # window == n == 1: nothing to fuse on
-        if not (masked == masked[0]).all() or not masked[0] < -1e4:
-            return None, None
-        return node, (float(masked[0]), None if window >= n else window)
-
-    def _match_score_bias(self, producer, value):
-        """Match ``Add(x, C)`` feeding a Softmax where C is a general
-        additive score-bias constant: T5 relative position bias, ALiBi
-        slopes, sliding-window/document masks, or a combined
-        bias+causal-mask constant (T5 decoder) -- anything the causal
-        matcher above did not claim. The constant must broadcast over
-        the batch dim (every dim before the last three is 1); its last
-        three dims broadcast to the scores' [H, Nq, Nk]. Returns
-        (add_node, bias_constant_value) or (None, None). The VALUE is
-        returned, not a folded array, so execution dequantizes it
-        exactly as the unfused Add would (bit-identical fusion)."""
-        from .tensor import FTensor
-
-        node = producer.get(value.name)
-        if node is None or node.op != "Add":
-            return None, None
-        consts = [v for v in node.inputs if isinstance(v, Constant)]
-        if len(consts) != 1 or consts[0].data is None:
-            return None, None
-        d = consts[0].data
-        if not isinstance(d, (QTensor, FTensor)):
-            return None, None
-        shape = tuple(d.data.shape)
-        if len(shape) < 2 or any(s != 1 for s in shape[:-3]):
-            return None, None
-        return node, consts[0]
-
-    def _match_attention_hs(self, mm1, mm2, producer, consumers):
-        """Match the standard multi-head split/merge around a fused
-        attention core:
-
-            x{q,k,v} -> Reshape[B,N,H,D] -> Transpose(0,2,1,3)   (q, v)
-            xk       -> Reshape -> Transpose(0,2,1,3) -> Transpose(0,1,3,2)
-                        (or the composed single Transpose(0,2,3,1) some
-                        exporters emit for the key side)
-            mm2 out  -> Transpose(0,2,1,3) -> Reshape[B,N,H*D]
-
-        The head-split Reshape's target shape may be the torch
-        exporter's Concat(batch_dim, [-1, H, D] constant) or a plain
-        4-dim shape constant (node or initializer).
-
-        Returns (xq, xk, xv, merged_out_value, num_heads, dead_nodes)
-        or None."""
-
-        def perm_is(node, perm):
-            return tuple(int(p) for p in node.attrs.get("perm", ())) == perm
-
-        def heads_from_reshape(node):
-            """Head count from a head-split Reshape's target shape."""
-            shp = node.inputs[1]
-            shape_src = producer.get(shp.name)
-            if shape_src is not None and shape_src.op == "Concat":
-                # Concat(batch_dim, Constant[-1 (or N), H, D])
-                tail = producer.get(shape_src.inputs[-1].name)
-                if tail is None or tail.op != "Constant":
-                    return None
-                tail_arr = np.asarray(tail.attrs["value"]).reshape(-1)
-                return int(tail_arr[1]) if tail_arr.size == 3 else None
-            # plain 4-dim shape constant: [B|-1, N|-1, H, D]
-            if shape_src is not None and shape_src.op == "Constant":
-                arr = np.asarray(shape_src.attrs["value"]).reshape(-1)
-            elif isinstance(shp, Constant) and shp.data is not None:
-                arr = np.asarray(shp.data.data).reshape(-1)
-            else:
-                return None
-            return int(arr[2]) if arr.size == 4 and int(arr[2]) > 0 \
-                else None
-
-        def back(value, perm_alts):
-            """value <- Transpose chain (one of ``perm_alts``) <-
-            Reshape <- src"""
-            for perms in perm_alts:
-                dead = []
-                v = value
-                ok = True
-                for perm in perms:
-                    node = producer.get(v.name)
-                    if node is None or node.op != "Transpose" \
-                            or not perm_is(node, perm) \
-                            or len(consumers(node.outputs[0])) != 1:
-                        ok = False
-                        break
-                    dead.append(node)
-                    v = node.inputs[0]
-                if not ok:
-                    continue
-                node = producer.get(v.name)
-                if node is None or node.op != "Reshape" \
-                        or len(consumers(node.outputs[0])) != 1:
-                    continue
-                num_heads = heads_from_reshape(node)
-                if num_heads is None:
-                    continue
-                dead.append(node)
-                return node.inputs[0], num_heads, dead
-            return None
-
-        rq = back(mm1.inputs[0], [[(0, 2, 1, 3)]])
-        # key side: the two-step transpose, or its composition
-        rk = back(mm1.inputs[1], [[(0, 1, 3, 2), (0, 2, 1, 3)],
-                                  [(0, 2, 3, 1)]])
-        rv = back(mm2.inputs[1], [[(0, 2, 1, 3)]])
-        if rq is None or rk is None or rv is None:
-            return None
-        if not (rq[1] == rk[1] == rv[1]):
-            return None
-        # forward: mm2 -> Transpose(0,2,1,3) -> Reshape -> merged
-        cons = consumers(mm2.outputs[0])
-        if len(cons) != 1 or cons[0].op != "Transpose" \
-                or not perm_is(cons[0], (0, 2, 1, 3)):
-            return None
-        tr_out = cons[0]
-        cons2 = consumers(tr_out.outputs[0])
-        if len(cons2) != 1 or cons2[0].op != "Reshape":
-            return None
-        rs_out = cons2[0]
-        dead = rq[2] + rk[2] + rv[2] + [tr_out, rs_out]
-        return (rq[0], rk[0], rv[0], rs_out.outputs[0], rq[1], dead)
+        """Fuse MatMul -> scale -> [mask/bias] -> Softmax -> MatMul
+        chains into fused-attention nodes backed by the VMEM-resident
+        int8 kernels; head-split chains are swallowed too
+        (FusedAttentionHS). Unfused Softmaxes are recorded with reasons
+        in ``self.fusion_report``. See passes/attention.py."""
+        from .passes import fuse_attention
+        return fuse_attention(self)
 
     def fuse_gelu(self) -> int:
-        """Fuse the exporter's exact-GELU chain
-        Div(x, sqrt2) -> Erf -> Add(1) -> Mul(x, .) -> Mul(., 0.5)
-        into ONE FusedGelu node. In f32 exact mode the node replays the
-        identical op sequence (bit-exact); in the bf16 serving mode it
-        computes x * sigmoid(K1*x + K3*x^3) -- the tanh approximation
-        in sigmoid form, where the +1 / x0.5 fold into the logistic
-        identity 0.5*(1+tanh(z)) == sigmoid(2z) -- removing four full
-        VPU passes over the [tokens, intermediate] tensor inside the
-        MLP mega-fusion, which is VPU-bound (BENCH_HISTORY.md round 3).
-        Returns the number of fused chains."""
-        producer = {}
-        for node in self.nodes:
-            for out in node.outputs:
-                producer[out.name] = node
-
-        def consumers(value):
-            return [n for n in self.nodes if value in n.inputs]
-
-        def scalar_const(value):
-            """Scalar value the executor computes for this graph value:
-            a Constant NODE's attrs (exporters emit sqrt2/1/0.5 that
-            way -- exact), an initializer Constant, or its dequantized
-            value when the PTQ pass quantized the initializer."""
-            prod = producer.get(getattr(value, "name", None))
-            if prod is not None and prod.op == "Constant":
-                arr = np.asarray(prod.attrs["value"])
-                return float(arr.reshape(-1)[0]) if arr.size == 1 else None
-            if not isinstance(value, Constant) or value.data is None:
-                return None
-            d = value.data
-            arr = np.asarray(d.data)
-            if arr.size != 1:
-                return None
-            v = float(arr.reshape(-1)[0])
-            if isinstance(d, QTensor):
-                if d.zero_point is not None:
-                    v -= float(np.asarray(d.zero_point).reshape(-1)[0])
-                v *= float(np.float32(d.scale))
-            return v
-
-        fused = 0
-        for erf in [n for n in self.nodes if n.op == "Erf"]:
-            div = producer.get(erf.inputs[0].name)
-            if div is None or div.op not in ("Div", "Mul"):
-                continue
-            c = scalar_const(div.inputs[1])
-            via_div = div.op == "Div"
-            # the GELU constant (sqrt2 / its reciprocal), allowing the
-            # PTQ pass's int8 rounding of the scalar (up to ~1%)
-            target = np.sqrt(2.0) if via_div else 1 / np.sqrt(2.0)
-            if c is None or abs(c - target) > 0.02 * target:
-                continue
-            x_val = div.inputs[0]
-            cons = consumers(erf.outputs[0])
-            if len(cons) != 1 or cons[0].op != "Add":
-                continue
-            add = cons[0]
-            one_val = add.inputs[1] if add.inputs[0] is erf.outputs[0] \
-                else add.inputs[0]
-            one = scalar_const(one_val)
-            if one is None or abs(one - 1.0) > 0.01:
-                continue
-            cons2 = consumers(add.outputs[0])
-            if len(cons2) != 1 or cons2[0].op != "Mul":
-                continue
-            mul1 = cons2[0]
-            m_other = mul1.inputs[1] if mul1.inputs[0] is add.outputs[0] \
-                else mul1.inputs[0]
-            if m_other is not x_val:
-                continue
-            cons3 = consumers(mul1.outputs[0])
-            if len(cons3) != 1 or cons3[0].op != "Mul":
-                continue
-            mul2 = cons3[0]
-            half_val = mul2.inputs[1] if mul2.inputs[0] is mul1.outputs[0] \
-                else mul2.inputs[0]
-            half = scalar_const(half_val)
-            if half is None or abs(half - 0.5) > 0.005:
-                continue
-            if any(len(consumers(v)) != 1
-                   for v in (div.outputs[0], mul1.outputs[0])):
-                continue
-            # constants ride as INPUTS so the executor dequantizes them
-            # through the normal path -- the exact-mode replay is then
-            # bitwise identical in every numerics mode (f32 and x64)
-            fnode = Node(f"{mul2.name}/fused_gelu", "FusedGelu",
-                         {"via_div": via_div,
-                          # exactly-1/0.5 constants make the sigmoid
-                          # identity pure: y = x * sigmoid(z), no
-                          # affine correction passes
-                          "pure": one == 1.0 and half == 0.5},
-                         [x_val, div.inputs[1], one_val, half_val],
-                         [mul2.outputs[0]])
-            idx = self.nodes.index(mul2)
-            self.nodes[idx] = fnode
-            for dead in (div, erf, add, mul1):
-                self.nodes.remove(dead)
-            x_val.outputs = [fnode if n in (div, mul1) else n
-                             for n in x_val.outputs]
-            x_val.outputs = list(dict.fromkeys(x_val.outputs))
-            for cv in (div.inputs[1], one_val, half_val):
-                cv.outputs = [fnode if n in (div, add, mul2) else n
-                              for n in cv.outputs]
-                cv.outputs = list(dict.fromkeys(cv.outputs))
-            mul2.outputs[0].inputs = [fnode]
-            fused += 1
-        if fused:
-            self._jit_cache.clear()
-        return fused
+        """Fuse the exporter's exact-GELU chain into ONE FusedGelu node
+        (bit-exact replay in f32 mode; sigmoid-form tanh approximation
+        in the bf16 serving mode). See passes/gelu.py."""
+        from .passes import fuse_gelu
+        return fuse_gelu(self)
 
     def merge_parallel_matmuls(self) -> int:
-        """Horizontally fuse MatMul nodes that share the same activation
-        input into ONE wide dot (weights concatenated along the
-        output-channel axis) plus in-graph splitting -- the ViT Q/K/V
-        projection pattern. One MXU dot of [M, K] x [K, 3N] replaces
-        three [M, K] x [K, N] dots: the wider N feeds the 128x128
-        systolic array better and the activation tile is read once
-        instead of three times.
-
-        Bit-identical: the merged weight carries a per-column scale
-        vector, each output column's dequantize multiplies by the SAME
-        f32 scale as before, and the per-segment output slices carry
-        the original scalar qparams -- every downstream f32 op is
-        unchanged (asserted in tests/test_kernels.py).
-
-        Returns the number of merged groups.
-        """
-        # group mergeable MatMuls by their shared activation value
-        groups: dict[int, list[Node]] = {}
-        order = {id(n): i for i, n in enumerate(self.nodes)}
-        for node in self.nodes:
-            if node.op != "MatMul" or len(node.inputs) != 2:
-                continue
-            w = node.inputs[1]
-            if not isinstance(w, Constant) or not isinstance(w.data, QTensor):
-                continue
-            qt = w.data
-            if np.asarray(qt.data).ndim != 2 or qt.zero_point is not None:
-                continue
-            if getattr(qt.scale, "ndim", 0) > 0:
-                continue  # per-channel weights: scales are already vectors
-            if len(w.outputs) != 1:
-                continue  # weight shared by several nodes: leave alone
-            groups.setdefault(id(node.inputs[0]), []).append(node)
-
-        merged = 0
-        for nodes in groups.values():
-            nodes = [n for n in nodes
-                     if np.asarray(n.inputs[1].data.data).shape[0]
-                     == np.asarray(nodes[0].inputs[1].data.data).shape[0]
-                     and n.inputs[1].data.bit_width
-                     == nodes[0].inputs[1].data.bit_width]
-            if len(nodes) < 2:
-                continue
-            nodes.sort(key=lambda n: order[id(n)])
-            x_val = nodes[0].inputs[0]
-            weights = [n.inputs[1].data for n in nodes]
-            segs = [int(np.asarray(w.data).shape[1]) for w in weights]
-            seg_scales = [float(np.float32(w.scale)) for w in weights]
-            wdata = np.concatenate([np.asarray(w.data) for w in weights],
-                                   axis=1)
-            scale_vec = np.concatenate(
-                [np.full((1, s), np.float32(sc), np.float32)
-                 for s, sc in zip(segs, seg_scales)], axis=1)
-            bw = weights[0].bit_width
-            mname = f"{nodes[0].name}/merged_w"
-            mconst = Constant(mname, [], QTensor(wdata, bw, scale_vec, None))
-            self.quant_params[mname] = QuantizationParams(scale_vec, None)
-
-            fnode = Node(f"{nodes[0].name}/merged", "MatMulSplit",
-                         {"segments": segs, "segment_scales": seg_scales,
-                          # original weight initializer names, so
-                          # export_qdq can re-slice per-initializer
-                          # int8 payloads out of the merged tensor
-                          "source_weights": [n.inputs[1].name
-                                             for n in nodes]},
-                         [x_val, mconst],
-                         [n.outputs[0] for n in nodes])
-            mconst.outputs = [fnode]
-            # splice: new node at the first group member's position
-            idx = self.nodes.index(nodes[0])
-            self.nodes[idx] = fnode
-            for n in nodes[1:]:
-                self.nodes.remove(n)
-            # relink values
-            x_val.outputs = [fnode if n in nodes else n for n in x_val.outputs]
-            x_val.outputs = list(dict.fromkeys(x_val.outputs))
-            for n in nodes:
-                old_w = n.inputs[1]
-                if old_w in self.values:
-                    self.values.remove(old_w)
-                n.outputs[0].inputs = [fnode]
-            self.values.append(mconst)
-            merged += 1
-
-        if merged:
-            if "MatMulSplit" not in self.quantized_ops:
-                self.quantized_ops = tuple(self.quantized_ops) \
-                    + ("MatMulSplit",)
-            self._jit_cache.clear()
-            self._dp_cache = None
-            self._sharded_param_cache = None
-            if self.mesh is not None:
-                # merged '<node>/merged_w' params inherit the SOURCE
-                # weights' sharding rule (the group shares one spec --
-                # Q/K/V all column-shard), then refresh the shardings
-                rules = getattr(self, "_shard_rules", None)
-                if rules is not None:
-                    src_of = {}
-                    for node in self.nodes:
-                        if node.op == "MatMulSplit" \
-                                and "source_weights" in node.attrs:
-                            src_of[node.inputs[1].name] = \
-                                node.attrs["source_weights"][0]
-
-                    def rules2(name, ndim, _orig=rules, _map=src_of):
-                        return _orig(_map.get(name, name), ndim)
-
-                    self._shard_rules = rules2
-                from .parallel.sharding import param_shardings
-                self.parameter_shardings = param_shardings(
-                    self, self.mesh, getattr(self, "_shard_rules", None))
-        return merged
+        """Horizontally fuse MatMuls sharing one activation input into
+        ONE wide MXU dot + in-graph splitting (the ViT Q/K/V pattern);
+        bit-identical. See passes/matmul_merge.py."""
+        from .passes import merge_parallel_matmuls
+        return merge_parallel_matmuls(self)
 
     def int8_dataflow(self) -> int:
-        """Plan EARLY quantization: a value whose consumers all quantize
-        it anyway -- quantized ops directly ("TinyqQuant",
-        reference: numpy_quant/model.py:503-527), or value-preserving
-        shape ops leading only to such consumers with identical
-        calibrated qparams -- is produced as an int8 QTensor at its
-        producer instead of a float tensor.
-
-        This is a LAYOUT optimization, not a numerics change: the same
-        quantize() with the same qparams runs, just once at the
-        producer instead of per consumer, so outputs are bit-identical
-        to the unplanned executor. XLA then fuses the whole
-        dot -> dequantize -> bias-add -> quantize chain into the matmul
-        kernel and the residual stream stays int8 in HBM (~4x less
-        activation traffic than f32 accumulators).
-
-        Returns the number of values planned. Run AFTER fuse_attention()
-        for full coverage of the attention block.
-        """
-        out_names = {o.name for o in self.outputs}
-        qp = self.quant_params
-
-        def scalar_qp(name):
-            p = qp.get(name)
-            if p is None or p.scale is None:
-                return None
-            if getattr(p.scale, "ndim", 0) > 0:
-                return None  # per-channel scales stay on the float path
-            if float(np.float32(p.scale)) == 0.0:
-                return None  # degenerate (constant-valued activation)
-            return p
-
-        def qp_equal(a, b):
-            if a is None or b is None:
-                return False
-            if np.float32(a.scale) != np.float32(b.scale):
-                return False
-            if (a.zero_point is None) != (b.zero_point is None):
-                return False
-            return a.zero_point is None or int(a.zero_point) == int(b.zero_point)
-
-        planned: set[str] = set()
-        # nodes are topologically ordered; walking them in reverse decides
-        # every passthrough consumer's outputs before its inputs
-        for node in reversed(self.nodes):
-            for value in node.outputs:
-                if value.name in out_names or not value.outputs:
-                    continue
-                p = scalar_qp(value.name)
-                if p is None:
-                    continue
-                ok = True
-                for consumer in value.outputs:
-                    if consumer.op == "Shape":
-                        # metadata-only consumer: Shape reads dims, never
-                        # data, and handles QTensor directly
-                        continue
-                    if consumer.op in self.quantized_ops:
-                        # only operand positions that quantize at the
-                        # model bit width (never a Gemm bias)
-                        if consumer.op == "Gemm" and len(consumer.inputs) > 2 \
-                                and consumer.inputs[2] is value:
-                            ok = False
-                            break
-                        continue
-                    if consumer.op in _PASSTHROUGH_OPS \
-                            and consumer.inputs[0] is value \
-                            and all(o.name in planned
-                                    and qp_equal(p, scalar_qp(o.name))
-                                    for o in consumer.outputs):
-                        continue
-                    ok = False
-                    break
-                if ok:
-                    planned.add(value.name)
-        # fused-attention nodes with planned outputs requantize inside
-        # the Pallas kernel epilogue (no separate XLA quantize pass)
-        for node in self.nodes:
-            if node.op in ("FusedAttention", "FusedAttentionHS") \
-                    and node.outputs[0].name in planned:
-                p = qp[node.outputs[0].name]
-                node.attrs["out_requant"] = (
-                    float(np.float32(p.scale)),
-                    None if p.zero_point is None else int(p.zero_point))
-        self._int8_values = planned
-        self._jit_cache.clear()
-        return len(planned)
+        """Plan EARLY quantization (bit-identical layout change): the
+        residual stream stays int8 in HBM. Run AFTER fuse_attention()
+        for full coverage. See passes/int8_dataflow.py."""
+        from .passes import int8_dataflow
+        return int8_dataflow(self)
 
     def narrow_gather(self) -> int:
         """Dead-token elimination: hoist a scalar token-axis Gather
-        (e.g. the ViT CLS-token pick before the classifier head,
-        reference models/vit.py:40-66 exports `hidden[:, 0]` this way)
-        backward through per-token ops, so everything between the last
-        token-mixing op and the Gather computes ONLY the consumed
-        token.
-
-        On ViT-Base this narrows the last encoder layer's MLP
-        (fc1 -> GELU -> fc2), its attention out-projection, both of its
-        LayerNorms' tails and the final LayerNorm from 197 tokens to 1.
-        The surviving row sees the same op sequence on the same values
-        (integer matmuls are exact; float LN/erf are per token with the
-        same within-row reduce order), so outputs are unchanged.
-
-        An op hoists when slicing its inputs at the gathered token is
-        value-identical to slicing its output:
-
-        * per-token unary: LayerNormalization(axis=-1), FusedGelu, Erf,
-          Identity, Tanh, Sigmoid, Relu, Neg, Sqrt;
-        * ``MatMul x @ W`` with a rank-2 constant rhs (output rows are
-          per input token);
-        * binary Add/Sub/Mul/Div whose every operand either matches the
-          full token shape (it gets its own hoisted Gather) or has
-          rank <= 1 (broadcasts below the token axis);
-        * ``FusedAttentionHS`` via its q input only (each output row
-          depends on its own q row and all of K/V): the kernel then
-          computes ONE query row (narrow-q path, kernels/attention.py)
-          and the hoist continues up the q-projection chain.
-
-        The hoist stops at multi-consumer values (anything still
-        consumed full-width, e.g. the residual trunk the next layer's
-        LayerNorm reads), graph outputs, and token-mixing ops
-        (Softmax, Concat). Requires static shapes
-        (``_infer_shapes``); returns the number of hoist steps."""
-        shapes = self._infer_shapes()
-        if shapes is None:
-            return 0
-        out_names = {o.name for o in self.outputs}
-
-        UNARY = {"LayerNormalization", "FusedGelu", "Erf", "Identity",
-                 "Tanh", "Sigmoid", "Relu", "Neg", "Sqrt"}
-        BINARY = {"Add", "Sub", "Mul", "Div"}
-
-        def consumers(value):
-            return [n for n in self.nodes if value in n.inputs]
-
-        def producer_of(value):
-            for n in self.nodes:
-                if value in n.outputs:
-                    return n
-            return None
-
-        moved = 0
-        progress = True
-        while progress:
-            progress = False
-            for gnode in [n for n in self.nodes if n.op == "Gather"]:
-                if int(gnode.attrs.get("axis", 0)) != 1 \
-                        or len(gnode.inputs) < 2:
-                    continue
-                idx_val = gnode.inputs[1]
-                if shapes.get(idx_val.name, None) != ():
-                    continue  # non-scalar index: axis survives
-                v = gnode.inputs[0]
-                if not isinstance(v, Variable) or v.name in out_names \
-                        or len(shapes.get(v.name, ())) != 3:
-                    continue
-                if consumers(v) != [gnode]:
-                    continue  # still consumed full-width elsewhere
-                p = producer_of(v)
-                if p is None or len(p.outputs) != 1:
-                    continue
-                if p.op in UNARY:
-                    if p.op == "LayerNormalization":
-                        if int(p.attrs.get("axis", -1)) not in (-1, 2):
-                            continue
-                        p.attrs["axis"] = -1  # rank drops below
-                    slice_idx = [0]
-                elif p.op == "MatMul":
-                    w = p.inputs[1]
-                    if not isinstance(w, Constant) \
-                            or len(shapes.get(w.name, ())) != 2:
-                        continue
-                    slice_idx = [0]
-                elif p.op == "FusedAttentionHS":
-                    # each attention output row depends on its own q row
-                    # and ALL of K/V, so gathering the output token is
-                    # gathering the q input token: the kernel runs with
-                    # one query row against full K/V (narrow-q path,
-                    # kernels/attention.py) -- on ViT this narrows the
-                    # LAST layer's score/context work and its whole
-                    # q-projection chain from 197 rows to 1
-                    if "causal_mask_val" in p.attrs or len(p.inputs) > 3:
-                        # causal masking / the per-head score bias (4th
-                        # input) index q rows by absolute position; a
-                        # gathered q row would be masked/biased as row 0
-                        continue
-                    slice_idx = [0]
-                elif p.op in BINARY:
-                    vshape = shapes[v.name]
-                    slice_idx, ok = [], True
-                    for i, iv in enumerate(p.inputs):
-                        ish = shapes.get(iv.name)
-                        if ish == vshape:
-                            slice_idx.append(i)
-                        elif ish is not None and len(ish) <= 1:
-                            pass  # broadcasts below the token axis
-                        else:
-                            ok = False
-                            break
-                    if not ok or not slice_idx:
-                        continue
-                else:
-                    continue  # token-mixing or unknown: stop here
-
-                out_val = gnode.outputs[0]
-                p_pos = self.nodes.index(p)
-                # the index's producer (a no-input Constant node) must
-                # run before the hoisted Gathers it feeds
-                idx_prod = producer_of(idx_val)
-                if idx_prod is not None \
-                        and self.nodes.index(idx_prod) > p_pos:
-                    if idx_prod.inputs:
-                        continue  # non-constant index source: don't move
-                    self.nodes.remove(idx_prod)
-                    self.nodes.insert(p_pos, idx_prod)
-                    p_pos += 1
-                new_inputs = list(p.inputs)
-                for i in slice_idx:
-                    iv = p.inputs[i]
-                    # reuse an identical Gather on iv (two hoist fronts
-                    # meeting on the residual trunk)
-                    reuse = None
-                    for n in self.nodes:
-                        if n is not gnode and n.op == "Gather" \
-                                and len(n.inputs) > 1 \
-                                and n.inputs[0] is iv \
-                                and n.inputs[1] is idx_val \
-                                and int(n.attrs.get("axis", 0)) == 1:
-                            reuse = n
-                            break
-                    if reuse is not None:
-                        rpos = self.nodes.index(reuse)
-                        if rpos > p_pos:  # keep topological order
-                            self.nodes.remove(reuse)
-                            self.nodes.insert(p_pos, reuse)
-                            p_pos += 1
-                        new_inputs[i] = reuse.outputs[0]
-                        if p not in reuse.outputs[0].outputs:
-                            reuse.outputs[0].outputs.append(p)
-                        continue
-                    gv = Variable(f"{iv.name}/narrowed", inputs=[],
-                                  outputs=[p])
-                    gn = Node(f"{p.name}/narrow_gather_{i}", "Gather",
-                              {"axis": 1}, [iv, idx_val], [gv])
-                    gv.inputs = [gn]
-                    iv.outputs = list(iv.outputs) + [gn]
-                    self.values.append(gv)
-                    qp = self.quant_params.get(iv.name)
-                    if qp is not None:
-                        self.quant_params[gv.name] = qp
-                    ish = shapes[iv.name]
-                    shapes[gv.name] = (ish[0],) + ish[2:]
-                    self.nodes.insert(p_pos, gn)
-                    p_pos += 1
-                    new_inputs[i] = gv
-                p.inputs = new_inputs
-                p.outputs = [out_val]
-                out_val.inputs = [p]
-                self.nodes.remove(gnode)
-                if v in self.values:
-                    self.values.remove(v)
-                self.quant_params.pop(v.name, None)
-                moved += 1
-                progress = True
-                break
-        if moved:
-            self._jit_cache.clear()
-        return moved
+        (the ViT CLS-token pick) backward through per-token ops so the
+        classifier tail computes ONLY the consumed token; outputs are
+        unchanged. See passes/narrow.py."""
+        from .passes import narrow_gather
+        return narrow_gather(self)
 
     def optimize(self, verbose: bool = False) -> dict:
         """Apply the graph-level performance passes that preserve the
@@ -2325,154 +1306,21 @@ class QModel(Model):
 
     def pack_weights(self) -> int:
         """Switch 2-D symmetric MatMul weights to packed storage
-        (kernels/pack.py; split-K layout for bits 1/2/4/8, bit-planes
-        for odd widths): exactly bit_width bits per value in HBM.
-        Returns the number of packed weights.
-
-        Under a tensor-parallel mesh, a weight the sharding rules
-        row-(K-)shard re-packs per device into the stacked layout
-        (tensor.pack_qtensor shards=...), so TP memory scales for
-        row-sharded payloads too instead of silently replicating."""
-        from .tensor import pack_qtensor
-
-        def _row_shards(name: str) -> int:
-            """Mesh size of the model axis if the rules row-shard this
-            2-D weight, else 1."""
-            rules = getattr(self, "_shard_rules", None)
-            if self.mesh is None or rules is None:
-                return 1
-            m_ax = getattr(self, "model_axis", "model")
-            if m_ax not in self.mesh.axis_names or self.mesh.shape[m_ax] < 2:
-                return 1
-            parts = tuple(rules(name, 2))
-            if parts and parts[0] == m_ax \
-                    and all(p is None for p in parts[1:]):
-                return self.mesh.shape[m_ax]
-            return 1
-
-        packed = 0
-        for value in self.values:
-            if not isinstance(value, Constant) or not isinstance(value.data, QTensor):
-                continue
-            qt = value.data
-            if qt.zero_point is not None or np.asarray(qt.data).ndim != 2:
-                continue
-            if qt.bit_width > 8:
-                continue
-            # only weights consumed exclusively as MatMul rhs
-            if not value.outputs or not all(
-                    n.op in ("MatMul", "MatMulSplit") and len(n.inputs) > 1
-                    and n.inputs[1] is value for n in value.outputs):
-                continue
-            shards = _row_shards(value.name) if qt.bit_width in (1, 2, 4, 8) \
-                else 1
-            value.data = pack_qtensor(qt, shards=shards)
-            packed += 1
-        self._jit_cache.clear()
-        self._sharded_param_cache = None
-        self._dp_cache = None
-        if packed and self.mesh is not None:
-            # refresh shardings: packed payloads column-shard over the
-            # model axis where the logical weight did (parallel/sharding)
-            from .parallel.sharding import param_shardings
-            self.parameter_shardings = param_shardings(
-                self, self.mesh, getattr(self, "_shard_rules", None))
-        return packed
+        (kernels/pack.py): exactly bit_width bits per value in HBM;
+        TP-row-sharded payloads re-pack per device. See
+        passes/weights.py."""
+        from .passes import pack_weights
+        return pack_weights(self)
 
     def correct_biases(self, float_model: "Model", inputs,
                        passes: int = 1) -> int:
-        """Empirical bias correction (PTQ accuracy pass; the empirical
-        variant of AIMET's bias correction, arXiv:2201.08442 §IV):
-        quantization shifts each weight layer's expected output --
-        E[y_q] != E[y_f] -- and a per-output-channel shift folds exactly
-        into the layer's additive bias. For every quantized weight op,
-        the mean error over the calibration batch is SUBTRACTED from
-        the bias:
-
-        * Gemm / integer Conv bias: the 4x-bit-width payload (scale
-          s_x*s_w) absorbs ``rint(corr / bias_scale)``;
-        * MatMul followed by a rank-1-constant Add (the exporter's
-          linear form): the float bias absorbs ``corr`` directly,
-          measured at the Add output (the additive bias commutes, so
-          the error there equals the error at the MatMul output).
-
-        ``float_model`` is the unquantized source executor (the oracle);
-        ``inputs`` the calibration batch. Runs both executors eagerly in
-        record mode; ``passes > 1`` re-measures after correcting so
-        downstream layers see corrected upstream activations. Returns
-        the number of corrected biases (summed over passes).
-
-        Parity-plus like per-channel/percentile calibration: the
-        reference has no accuracy passes beyond min/max PTQ
-        (reference model.py:328-442). Most useful for low-bit weights
-        (W4A8), where weight rounding error is largest."""
-        import jax.numpy as jnp
-
-        from .utils.parity import record_all_values
-
-        corrected = 0
-        for _ in range(int(passes)):
-            f_acts = record_all_values(float_model, inputs)
-            q_acts = record_all_values(self, inputs)
-            for node in self.nodes:
-                if node.op not in ("MatMul", "Gemm", "Conv") \
-                        or len(node.inputs) < 2:
-                    continue
-                w = node.inputs[1]
-                if not isinstance(w, Constant) \
-                        or not isinstance(w.data, (QTensor, PackedQTensor)):
-                    continue  # activation-activation matmul: no weight
-                if node.op in ("Gemm", "Conv"):
-                    if len(node.inputs) < 3 \
-                            or not isinstance(node.inputs[2], Constant) \
-                            or not isinstance(node.inputs[2].data, QTensor):
-                        continue
-                    name = node.outputs[0].name
-                    if name not in f_acts or name not in q_acts:
-                        continue
-                    err = q_acts[name].astype(np.float64) \
-                        - f_acts[name].astype(np.float64)
-                    if node.op == "Conv":
-                        if err.ndim != 4:
-                            continue
-                        corr = err.mean(axis=(0, 2, 3))  # NCHW channel
-                    else:
-                        corr = err.reshape(-1, err.shape[-1]).mean(0)
-                    corrected += self._shift_q_bias(node.inputs[2], corr)
-                else:  # MatMul: bias lives in a consuming rank-1 Add
-                    out_val = node.outputs[0]
-                    cons = [n for n in self.nodes if out_val in n.inputs]
-                    if len(cons) != 1 or cons[0].op != "Add":
-                        continue
-                    add = cons[0]
-                    other = add.inputs[1] if add.inputs[0] is out_val \
-                        else add.inputs[0]
-                    if not isinstance(other, Constant) or not isinstance(
-                            other.data, (FTensor, QTensor)):
-                        continue
-                    if np.asarray(getattr(other.data, "data")).ndim != 1:
-                        continue
-                    name = add.outputs[0].name
-                    if name not in f_acts or name not in q_acts:
-                        continue
-                    err = q_acts[name].astype(np.float64) \
-                        - f_acts[name].astype(np.float64)
-                    corr = err.reshape(-1, err.shape[-1]).mean(0)
-                    if isinstance(other.data, FTensor):
-                        bias_arr = np.asarray(other.data.data, np.float32)
-                        if corr.shape != bias_arr.shape:
-                            continue
-                        other.data = FTensor(bias_arr
-                                             - corr.astype(np.float32))
-                        corrected += 1
-                    else:
-                        # the PTQ pass quantized the Add constant: shift
-                        # in its integer domain (one bias-scale step
-                        # granularity, clipped to the bias bit range)
-                        corrected += self._shift_q_bias(other, corr)
-            self._dp_cache = None
-            self._sharded_param_cache = None
-        return corrected
+        """Empirical bias correction (arXiv:2201.08442 section IV):
+        subtract each quantized layer's mean output error over the
+        calibration batch from its bias. Returns the number of
+        corrected biases. See numpy_quant_tpu/bias_correction.py."""
+        from .bias_correction import correct_biases_qmodel
+        return correct_biases_qmodel(self, float_model, inputs,
+                                     passes=passes)
 
     def adaround(self, float_model: "Model", inputs, **kw) -> int:
         """AdaRound (Nagel et al., arXiv:2004.10568): learn each weight
@@ -2495,24 +1343,3 @@ class QModel(Model):
         weights. See numpy_quant_tpu/gptq.py."""
         from .gptq import gptq_qmodel
         return gptq_qmodel(self, float_model, inputs, **kw)
-
-    def _shift_q_bias(self, value: Constant, corr: np.ndarray) -> int:
-        """Subtract a per-channel float correction from a quantized bias
-        Constant, in its integer domain: q -= rint(corr / scale), clipped
-        to the bias bit range. Returns 1 if applied, 0 if skipped."""
-        from .quantization import qrange
-        import jax.numpy as jnp
-
-        qt = value.data
-        scale = np.asarray(qt.scale, np.float32).reshape(-1)
-        arr = np.asarray(qt.data)
-        if corr.shape != arr.shape or np.any(scale == 0):
-            return 0
-        delta = np.rint(corr / scale.astype(np.float64))
-        if not np.all(np.isfinite(delta)):
-            return 0
-        lo, hi = qrange(qt.bit_width)
-        newq = np.clip(arr - delta, lo, hi).astype(arr.dtype)
-        value.data = QTensor(jnp.asarray(newq), qt.bit_width, qt.scale,
-                             qt.zero_point)
-        return 1
