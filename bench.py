@@ -1,13 +1,33 @@
 #!/usr/bin/env python
 """Headline benchmark: int8 ViT-Base-patch16-224 images/sec on one TPU chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints JSON lines {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+to stdout -- one line per completed measurement rep, each at least as good
+as the last, so the LAST line is the result and a partially-completed run
+still parses. vs_baseline compares against the reference implementation
+(tebartsch/numpy-quant) running the same int8 ViT-Base on this machine's
+host CPU (baselines/reference_cpu.json, measured via tests/oracle.py's
+onnx shim).
 
-vs_baseline compares against the reference implementation
-(tebartsch/numpy-quant) running the same int8 ViT-Base on this
-machine's host CPU (baselines/reference_cpu.json, measured via
-tests/oracle.py's onnx shim).
+Un-killable by design (the round-3 benchmark of record was lost to a
+driver timeout, VERDICT.md):
+
+* the measurement runs in a CHILD process; the parent streams its stdout
+  and enforces a wall-clock budget (NQ_TPU_BENCH_BUDGET, default 480 s).
+  On budget exhaustion the child is killed and the parent exits 0 if at
+  least one JSON line was already emitted -- SIGALRM alone cannot do
+  this, because CPython delivers signals only between bytecodes and the
+  XLA compile is one long C++ call;
+* the XLA compilation cache persists in NQ_TPU_JAX_CACHE (default
+  ~/.cache/nq_tpu_jaxcache -- outside /tmp so it survives cleanups);
+  the cache key is the HLO hash, so code revisions invalidate exactly
+  what they change;
+* quantize/optimize/pack run on the host CPU backend
+  (config.host_eager): measured 596 s of per-op tunnel round trips
+  before, ~5 s after;
+* a cold compilation cache auto-selects fewer scan iters/reps
+  (NQ_TPU_BENCH_ITERS/_REPS override) so the first-ever run still lands
+  inside the budget.
 """
 import json
 import os
@@ -19,11 +39,88 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+DEFAULT_BUDGET = 480.0
+
 
 def main():
+    if os.environ.get("NQ_TPU_BENCH_CHILD") == "1":
+        run_measurement()
+        return
+    run_supervisor()
+
+
+def run_supervisor():
+    """Spawn the measurement child, relay its stdout, enforce the budget."""
+    import subprocess
+
+    budget = float(os.environ.get("NQ_TPU_BENCH_BUDGET", DEFAULT_BUDGET))
+    env = dict(os.environ, NQ_TPU_BENCH_CHILD="1")
+    child = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                             env=env, stdout=subprocess.PIPE, text=True)
+    deadline = time.time() + budget
+    saw_json = False
+    import selectors
+    sel = selectors.DefaultSelector()
+    sel.register(child.stdout, selectors.EVENT_READ)
+    buf = ""
+    while True:
+        timeout = deadline - time.time()
+        if timeout <= 0:
+            break
+        events = sel.select(timeout=min(timeout, 5.0))
+        if events:
+            chunk = os.read(child.stdout.fileno(), 65536).decode(
+                "utf-8", "replace")
+            if not chunk:  # EOF: child finished
+                break
+            buf += chunk
+            while "\n" in buf:
+                line, buf = buf.split("\n", 1)
+                print(line, flush=True)
+                if line.startswith("{") and '"value"' in line:
+                    saw_json = True
+        if child.poll() is not None and not events:
+            break
+    if child.poll() is None:
+        # budget exhausted: kill the child (it may be stuck in a C++
+        # compile call where SIGALRM can't be delivered) and keep
+        # whatever it already measured
+        child.kill()
+        child.wait()
+        print(f"bench: budget {budget:.0f}s exhausted; "
+              f"{'kept best-so-far' if saw_json else 'NO measurement'}",
+              file=sys.stderr)
+        sys.exit(0 if saw_json else 1)
+    rc = child.wait()
+    # drain anything left after EOF detection
+    rest = child.stdout.read()
+    if rest:
+        for line in rest.splitlines():
+            print(line, flush=True)
+            if line.startswith("{") and '"value"' in line:
+                saw_json = True
+    sys.exit(rc if rc != 0 and not saw_json else 0)
+
+
+def _cache_is_cold(cache_dir: str) -> bool:
+    try:
+        return len(os.listdir(cache_dir)) < 10
+    except OSError:
+        return True
+
+
+def run_measurement():
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("NQ_TPU_JAX_CACHE", "/tmp/nq_tpu_jaxcache"))
+    cache_dir = os.environ.get(
+        "NQ_TPU_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "nq_tpu_jaxcache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # cache every program, however small/fast to compile: the tunnel's
+    # remote compile dominates, not local codegen
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    cold = _cache_is_cold(cache_dir)
 
     import numpy_quant_tpu as nq
     from numpy_quant_tpu import config as nq_config
@@ -98,7 +195,11 @@ def main():
     x = jax.device_put(x)
     params = qmodel._placed_params()
     fwd = qmodel.lowered_fn()
-    iters = int(os.environ.get("NQ_TPU_BENCH_ITERS", "64"))
+    # cold-start mode: a cold compilation cache means the big program
+    # compiles remotely from scratch; spend the remaining budget on
+    # fewer, shorter reps so at least one JSON line lands
+    iters = int(os.environ.get("NQ_TPU_BENCH_ITERS", "32" if cold else "64"))
+    reps = int(os.environ.get("NQ_TPU_BENCH_REPS", "2" if cold else "3"))
 
     # Sustained device throughput: scan `iters` forwards inside ONE
     # program. Each step sees a distinct (ppm-perturbed) input, so no
@@ -128,47 +229,46 @@ def main():
     def sync(out):
         return float(np.asarray(out[0]))  # host read = completion barrier
 
+    with open(os.path.join(REPO, "baselines", "reference_cpu.json")) as f:
+        ref = json.load(f)["ref_int8_img_per_s"]
+    macs = _vit_macs(cfg)
+    peak_tops = float(os.environ.get("NQ_TPU_PEAK_INT8_TOPS", "394"))
+
+    def emit(best_s_per_fwd):
+        """Print the JSON result line for the best time so far."""
+        img_per_s = batch / best_s_per_fwd
+        # Achieved matmul throughput vs the chip's int8 peak (the
+        # BASELINE.md ">50% MXU" north-star metric). One MAC = 2 ops
+        # (the v5e 394 TOP/s peak counts that way; ViT-Base's quoted
+        # "17.6 GFLOPs" counts MACs and must be doubled). int8_tops/
+        # mxu_util_pct use the model's NOMINAL MACs (round-2/3
+        # convention, comparable across rounds); with narrow_gather the
+        # EXECUTED graph has ~6% fewer (the last layer's MLP/out-proj
+        # run on the CLS token only), reported as executed_*.
+        tops = 2 * macs * img_per_s / 1e12
+        line = {
+            "metric": f"vit_base_{mode}_images_per_sec_per_chip",
+            "value": round(img_per_s, 2),
+            "unit": "images/sec",
+            "vs_baseline": round(img_per_s / ref, 1),
+            "int8_tops": round(tops, 1),
+            "mxu_util_pct": round(100 * tops / peak_tops, 1),
+        }
+        if opt_report.get("narrow_gather", 0) > 0:
+            ex = 2 * _vit_macs(cfg, narrowed=True) * img_per_s / 1e12
+            line["executed_tops"] = round(ex, 1)
+            line["executed_mxu_pct"] = round(100 * ex / peak_tops, 1)
+        print(json.dumps(line), flush=True)
+
     # distinct `base` per call: repeated invocations are never identical,
     # so content-addressed runtimes cannot serve cached results
     sync(many(x, params, jnp.float32(1.0)))  # compile + warm
     best = float("inf")
-    for rep in range(3):
+    for rep in range(reps):
         t0 = time.time()
         sync(many(x, params, jnp.float32(1.0 + 1e-3 * (rep + 1))))
         best = min(best, (time.time() - t0) / iters)
-    img_per_s = batch / best
-
-    with open(os.path.join(REPO, "baselines", "reference_cpu.json")) as f:
-        ref = json.load(f)["ref_int8_img_per_s"]
-
-    # Achieved matmul throughput vs the chip's int8 peak (the BASELINE.md
-    # ">50% MXU" north-star metric). Op counting follows the hardware
-    # peak's convention: one MAC = 2 ops (the v5e 394 TOP/s figure and
-    # the per-kernel numbers in BENCH_HISTORY.md both count that way;
-    # ViT-Base's widely quoted "17.6 GFLOPs" is MACs and must be doubled
-    # before comparing against the peak).
-    macs = _vit_macs(cfg)
-    peak_tops = float(os.environ.get("NQ_TPU_PEAK_INT8_TOPS", "394"))
-    # int8_tops/mxu_util_pct keep the round-2/3 convention: the MODEL's
-    # nominal MACs at the delivered throughput (the "effective"
-    # utilization -- comparable across rounds and to the BASELINE.md
-    # ">50% MXU" target). With narrow_gather on, the executed graph has
-    # ~6% fewer MACs (the last layer's MLP/out-proj run on the CLS token
-    # only), so the EXECUTED utilization is also reported.
-    tops = 2 * macs * img_per_s / 1e12
-    line = {
-        "metric": f"vit_base_{mode}_images_per_sec_per_chip",
-        "value": round(img_per_s, 2),
-        "unit": "images/sec",
-        "vs_baseline": round(img_per_s / ref, 1),
-        "int8_tops": round(tops, 1),
-        "mxu_util_pct": round(100 * tops / peak_tops, 1),
-    }
-    if opt_report.get("narrow_gather", 0) > 0:
-        ex = 2 * _vit_macs(cfg, narrowed=True) * img_per_s / 1e12
-        line["executed_tops"] = round(ex, 1)
-        line["executed_mxu_pct"] = round(100 * ex / peak_tops, 1)
-    print(json.dumps(line))
+        emit(best)  # best-so-far after EVERY rep: partial runs parse
 
 
 def _vit_macs(cfg, narrowed: bool = False) -> float:

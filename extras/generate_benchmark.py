@@ -1,6 +1,7 @@
-"""Autoregressive decode benchmark: tokens/sec on the chip.
+"""Autoregressive decode benchmark: tokens/sec on the chip, with
+DEVICE-time attribution.
 
-Measures the two generation shapes over a GPT-2-Small-dimension decoder
+Measures the generation shapes over a GPT-2-Small-dimension decoder
 (hidden 768, 12 heads, 12 layers, vocab 50257 -- real model scale, the
 weights are random because no pretrained checkpoints exist in this
 environment; throughput does not care):
@@ -8,16 +9,33 @@ environment; throughput does not care):
 * full-sequence re-forward (utils.generate) -- O(L) forwards of O(L^2)
   attention each,
 * KV-cache step decode (utils.generate_kv) -- O(L) steps of O(L) cost,
-  float32 and int8 cache carries.
+  float32 / int8 / weight-only variants.
 
 Each variant decodes as ONE compiled XLA program (the loop is
-lax.fori_loop), so what this measures is pure device throughput, not
-dispatch.
+lax.fori_loop). Two time bases per row:
 
-    python extras/generate_benchmark.py [--json OUT.json]
+* ``sec_per_run`` / ``tokens_per_sec`` -- WALL clock, includes the
+  host->device dispatch and (on this rig) the tunnel RPC; the
+  deployment-topology number.
+* ``device_ms_per_step`` / ``tokens_per_sec_chip`` / ``hbm_util_pct``
+  -- from the XLA device trace (jax.profiler): what the CHIP actually
+  ran per decode step, and the fraction of peak HBM bandwidth the
+  step's mandatory traffic (weights + full KV cache read) achieved.
+  Decode is bandwidth-bound, so hbm_util_pct is the decode analogue of
+  the vision bench's mxu_util_pct. Falls back to wall-minus-dispatch
+  when the profiler cannot capture device tracks (some remote
+  runtimes).
 
-Prints one JSON line per (form, quant, kv_dtype) with tokens/sec.
-Results are recorded in BENCH_HISTORY.md.
+``--large`` switches to the WEIGHT-BOUND regime (hidden 2048, 16 heads,
+12 layers, vocab 8192: ~0.6 GB of f32 linear weights, read once per
+step): only the kv rows, float vs W8 vs W4-grouped, where sub-byte
+weight storage must show its decode win (VERDICT.md round-3 item 4).
+
+    python extras/generate_benchmark.py [--tiny|--large] [--only FORM]
+                                        [--json OUT.json]
+
+Prints one JSON line per (form, quant) with both time bases. Results
+are recorded in BENCH_HISTORY.md.
 """
 import json
 import os
@@ -29,33 +47,43 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-TINY = "--tiny" in sys.argv  # CPU smoke mode (tests/test_gpt.py)
+TINY = "--tiny" in sys.argv   # CPU smoke mode (tests/test_gpt.py)
+LARGE = "--large" in sys.argv  # weight-bound decode regime
 BATCH = 2 if TINY else 8
 PROMPT = 4 if TINY else 16
 NEW = 8 if TINY else 48          # decoded tokens per run
 SEQ = PROMPT + NEW
+PEAK_HBM_GBPS = float(os.environ.get("NQ_TPU_PEAK_HBM_GBPS", "819"))
+TRACE_DIR = os.environ.get("NQ_TPU_TRACE_DIR", "/tmp/nq_tpu_decode_trace")
+
+
+def gpt_cfg():
+    from transformers import GPT2Config
+    if TINY:
+        return GPT2Config(vocab_size=96, n_positions=SEQ, n_embd=32,
+                          n_layer=2, n_head=2, activation_function="gelu")
+    if LARGE:
+        # ~0.6 GB of f32 linear weights: a decode step is weight-read
+        # bound (0.6 GB / 819 GB/s = 0.8 ms floor at f32), so storage
+        # width IS step time and W8/W4 must win proportionally
+        return GPT2Config(vocab_size=8192, n_positions=SEQ, n_embd=2048,
+                          n_layer=12, n_head=16,
+                          activation_function="gelu")
+    return GPT2Config(n_positions=SEQ, n_embd=768, n_layer=12,
+                      n_head=12, activation_function="gelu")
 
 
 def build():
     import numpy_quant_tpu as nq
     from numpy_quant_tpu.models.gpt import gpt_causal_lm, gpt_decode_step
-    from transformers import GPT2Config
 
-    def cfg():
-        if TINY:
-            return GPT2Config(vocab_size=96, n_positions=SEQ, n_embd=32,
-                              n_layer=2, n_head=2,
-                              activation_function="gelu")
-        return GPT2Config(n_positions=SEQ, n_embd=768, n_layer=12,
-                          n_head=12, activation_function="gelu")
-
-    full_p = gpt_causal_lm(config=cfg(), batch_size=BATCH, seq_len=SEQ,
-                           seed=0)
-    step_p = gpt_decode_step(config=cfg(), batch_size=BATCH, max_len=SEQ,
-                             seed=0)
+    full_p = gpt_causal_lm(config=gpt_cfg(), batch_size=BATCH,
+                           seq_len=SEQ, seed=0)
+    step_p = gpt_decode_step(config=gpt_cfg(), batch_size=BATCH,
+                             max_len=SEQ, seed=0)
     # weight-only (W8, float compute): the memory-bound decode config
     wstep = nq.Model.from_onnx(
-        gpt_decode_step(config=cfg(), batch_size=BATCH, max_len=SEQ,
+        gpt_decode_step(config=gpt_cfg(), batch_size=BATCH, max_len=SEQ,
                         seed=0))
     wstep.quantize_weights(bit_width=8)
     return nq.Model.from_onnx(full_p), full_p, \
@@ -86,6 +114,76 @@ def timed(fn, repeats=3):
         fn()
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def measure_dispatch_overhead():
+    """Wall time of a trivial dispatched program: the per-call floor
+    (RPC round trip on a remote-attached chip) that device compute
+    never sees. Used as the fallback device-time correction."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.float32(0.0)
+    np.asarray(f(x))  # compile
+    best = np.inf
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def device_seconds(fn):
+    """One run under the jax profiler -> device-busy seconds, or None
+    when the runtime yields no device tracks."""
+    import shutil
+
+    from numpy_quant_tpu.utils.profiling import (device_busy_seconds,
+                                                 device_trace)
+    shutil.rmtree(TRACE_DIR, ignore_errors=True)
+    try:
+        device_trace(lambda: fn(), trace_dir=TRACE_DIR)
+        sec = device_busy_seconds(TRACE_DIR)
+        return sec if sec > 0 else None
+    except Exception as exc:  # noqa: BLE001 -- report, fall back
+        print(f"# device trace unavailable ({type(exc).__name__}: {exc})",
+              file=sys.stderr)
+        return None
+
+
+def model_weight_bytes(model) -> int:
+    """HBM bytes the executor's parameter dict occupies (what a decode
+    step must read): narrowed int8 payloads, packed sub-byte planes,
+    f32 floats -- as placed, not as stored in the graph."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(model._device_params())
+    return int(sum(getattr(a, "nbytes", 0) for a in leaves))
+
+
+def kv_read_bytes(step_model, cache_dtype_bytes=4) -> int:
+    """Bytes of KV cache a decode step reads: the step graph scores
+    against the FULL static-length cache every step."""
+    from numpy_quant_tpu.utils.generate import _kv_layout
+    n_layer, b, nh, length, hd = _kv_layout(step_model)
+    return int(2 * n_layer * b * nh * length * hd * cache_dtype_bytes)
+
+
+def decode_device_metrics(rec, dev_sec, n_steps, model=None,
+                          cache_bytes=0):
+    """Fill the device-time columns of a result row."""
+    if dev_sec is None:
+        return rec
+    step_s = dev_sec / n_steps
+    rec["device_ms_per_step"] = round(step_s * 1e3, 3)
+    rec["tokens_per_sec_chip"] = round(BATCH / step_s, 1)
+    if model is not None:
+        bytes_per_step = model_weight_bytes(model) + cache_bytes
+        gbps = bytes_per_step / step_s / 1e9
+        rec["hbm_gbps"] = round(gbps, 1)
+        rec["hbm_util_pct"] = round(100 * gbps / PEAK_HBM_GBPS, 1)
+    return rec
 
 
 def build_search_models():
@@ -129,8 +227,8 @@ def build_search_models():
 
 
 def main(json_path=None):
-    from numpy_quant_tpu.utils import (beam_search, generate, generate_kv,
-                                       generate_speculative)
+    import numpy_quant_tpu as nq
+    from numpy_quant_tpu.utils import generate_kv
 
     only = None
     if "--only" in sys.argv:
@@ -140,28 +238,77 @@ def main(json_path=None):
     rng = np.random.default_rng(7)
     prompt = rng.integers(0, full_p._wte.shape[0],
                           size=(BATCH, PROMPT)).astype(np.int32)
+    kv_steps = PROMPT + NEW - 1  # fori_loop executes total-1 forwards
+    kv_bytes_f32 = kv_read_bytes(step)
+
+    if LARGE:
+        # weight-bound regime: only the kv decode forms, float vs W8 vs
+        # W4-grouped (packed split-K storage, unpacked-int8 execution)
+        from numpy_quant_tpu.models.gpt import gpt_decode_step
+        w4step = nq.Model.from_onnx(gpt_decode_step(
+            config=gpt_cfg(), batch_size=BATCH, max_len=SEQ, seed=0))
+        w4step.quantize_weights(bit_width=4, group_size=128)
+        runs = [
+            ("kv", "float", step, lambda: generate_kv(
+                step, prompt, step_p._wte, step_p._wpe, NEW)),
+            ("kv", "w8-weight-only", wstep, lambda: generate_kv(
+                wstep, prompt, step_p._wte, step_p._wpe, NEW)),
+            ("kv", "w4-grouped-weight-only", w4step, lambda: generate_kv(
+                w4step, prompt, step_p._wte, step_p._wpe, NEW)),
+        ]
+        results = []
+        dispatch = measure_dispatch_overhead()
+        print(f"# dispatch overhead {dispatch * 1e3:.1f} ms", flush=True)
+        for form, quant, model, fn in runs:
+            if only and not form.startswith(only):
+                continue
+            sec = timed(fn)
+            dev = device_seconds(fn)
+            if dev is None:
+                dev = max(sec - dispatch, 1e-9)  # wall minus dispatch
+            rec = {"form": form, "quant": quant,
+                   "tokens_per_sec": round(BATCH * NEW / sec, 1),
+                   "sec_per_run": round(sec, 4),
+                   "weight_mb": round(model_weight_bytes(model) / 1e6, 1)}
+            decode_device_metrics(rec, dev, kv_steps, model, kv_bytes_f32)
+            print(json.dumps(rec), flush=True)
+            results.append(rec)
+        if json_path:
+            with open(json_path, "w") as f:
+                json.dump({"mode": "large", "batch": BATCH,
+                           "prompt": PROMPT, "new": NEW,
+                           "runs": results}, f, indent=1)
+        return
+
+    from numpy_quant_tpu.utils import (beam_search, generate,
+                                       generate_speculative)
+
     if only is None or not only.startswith("cb"):
         qfull, qstep = quantize_models(full, step, full_p, step_p, prompt)
         beam, beam_p, tgt, tgt_p, drf, drf_p, k = build_search_models()
 
+    # (form, quant, model-for-device-metrics (kv rows), cache bytes, fn)
     runs = [] if only is not None and only.startswith("cb") else [
-        ("full", "float", lambda: generate(
+        ("full", "float", None, 0, lambda: generate(
             full, prompt, full_p._wte, NEW)),
-        ("full", "int8", lambda: generate(
+        ("full", "int8", None, 0, lambda: generate(
             qfull, prompt, full_p._wte, NEW)),
-        ("kv", "float", lambda: generate_kv(
+        ("kv", "float", step, kv_bytes_f32, lambda: generate_kv(
             step, prompt, step_p._wte, step_p._wpe, NEW)),
-        ("kv", "int8", lambda: generate_kv(
+        ("kv", "int8", qstep, kv_bytes_f32, lambda: generate_kv(
             qstep, prompt, step_p._wte, step_p._wpe, NEW)),
-        ("kv-int8cache", "int8", lambda: generate_kv(
-            qstep, prompt, step_p._wte, step_p._wpe, NEW,
-            kv_cache_dtype="int8")),
-        ("kv", "w8-weight-only", lambda: generate_kv(
-            wstep, prompt, step_p._wte, step_p._wpe, NEW)),
-        ("beam2", "float", lambda: beam_search(
+        ("kv-int8cache", "int8", qstep, kv_bytes_f32 // 4,
+         lambda: generate_kv(
+             qstep, prompt, step_p._wte, step_p._wpe, NEW,
+             kv_cache_dtype="int8")),
+        ("kv", "w8-weight-only", wstep, kv_bytes_f32,
+         lambda: generate_kv(
+             wstep, prompt, step_p._wte, step_p._wpe, NEW)),
+        ("beam2", "float", None, 0, lambda: beam_search(
             beam, prompt, beam_p._wte, NEW, num_beams=2)),
-        ("speculative-k4", "float", lambda: generate_speculative(
-            tgt, drf, prompt, tgt_p._wte, drf_p._wte, NEW, k=k)),
+        ("speculative-k4", "float", None, 0,
+         lambda: generate_speculative(
+             tgt, drf, prompt, tgt_p._wte, drf_p._wte, NEW, k=k)),
     ]
 
     # continuous batching: 2x oversubscribed ragged workload through
@@ -178,7 +325,6 @@ def main(json_path=None):
         for i in range(2 * BATCH)]
     cb_tokens = sum(n for _, n in workload)
     if run_cb_rows:
-        import numpy_quant_tpu as nq
         pre = nq.Model.from_onnx(gpt_prefill(
             prefill_len=PROMPT, module=step_p._torch_module))
         cb_plain = ContinuousBatcher(step, step_p._wte, step_p._wpe)
@@ -189,11 +335,13 @@ def main(json_path=None):
             b.reset()
             return b.run(workload)
 
-        runs.append(("cb-2x", "float", lambda: run_cb(cb_plain)))
-        runs.append(("cb-2x-prefill", "float",
+        runs.append(("cb-2x", "float", None, 0, lambda: run_cb(cb_plain)))
+        runs.append(("cb-2x-prefill", "float", None, 0,
                      lambda: run_cb(cb_pre)))
     results = []
-    for form, quant, fn in runs:
+    dispatch = measure_dispatch_overhead()
+    print(f"# dispatch overhead {dispatch * 1e3:.1f} ms", flush=True)
+    for form, quant, model, cache_bytes, fn in runs:
         if only and not form.startswith(only):
             continue
         sec = timed(fn)
@@ -201,6 +349,11 @@ def main(json_path=None):
         rec = {"form": form, "quant": quant,
                "tokens_per_sec": round(toks, 1),
                "sec_per_run": round(sec, 4)}
+        if model is not None:  # kv rows: device-time attribution
+            dev = device_seconds(fn)
+            if dev is None:
+                dev = max(sec - dispatch, 1e-9)
+            decode_device_metrics(rec, dev, kv_steps, model, cache_bytes)
         print(json.dumps(rec), flush=True)
         results.append(rec)
     if json_path:

@@ -44,13 +44,22 @@ def _ring_supported() -> bool:
     if forced is not None:
         return forced == "1"
     import subprocess
+    # the probe mirrors serve_ring's REAL shape -- ordered io_callbacks
+    # INSIDE a lax.while_loop body -- not a bare callback: a runtime
+    # could complete the bare form yet hang on the loop-embedded one,
+    # which would defeat the watchdog and hang the ring row
     probe = (
         "import jax, numpy as np, jax.numpy as jnp\n"
         "from jax.experimental import io_callback\n"
-        "f = jax.jit(lambda x: io_callback("
-        "lambda y: np.float32(1.0), "
-        "jax.ShapeDtypeStruct((), jnp.float32), x, ordered=True))\n"
-        "jax.block_until_ready(f(jnp.ones(())))\n")
+        "spec = jax.ShapeDtypeStruct((), jnp.float32)\n"
+        "def pull(y):\n"
+        "    return np.float32(y) + np.float32(1.0)\n"
+        "def body(c):\n"
+        "    return io_callback(pull, spec, c, ordered=True)\n"
+        "f = jax.jit(lambda x: jax.lax.while_loop("
+        "lambda c: c < 2.0, body, x))\n"
+        "out = jax.block_until_ready(f(jnp.zeros(())))\n"
+        "assert float(out) == 2.0, float(out)\n")
     try:
         r = subprocess.run([sys.executable, "-c", probe], timeout=120,
                            capture_output=True)

@@ -144,23 +144,30 @@ class Model:
 
         from .quantization import x64_enabled
         from .tensor import PackedQTensor
+        from .config import host_eager
         narrow = not x64_enabled()
         cached = getattr(self, "_dp_cache", None)
         if cached is not None and self._dp_cache_key == narrow:
             return cached
         params = {}
-        for value in self.values:
-            if isinstance(value, Constant):
-                if isinstance(value.data, QTensor) and narrow \
-                        and value.data.bit_width <= 8:
-                    params[value.name] = value.data.data.astype(jnp.int8)
-                elif isinstance(value.data, (FTensor, QTensor)):
-                    params[value.name] = value.data.data
-                elif isinstance(value.data, PackedQTensor):
-                    params[value.name] = (value.data.planes, value.data.colsum)
-                cs = self._weight_colsum(value)
-                if cs is not None:
-                    params[value.name + ".colsum"] = cs
+        with host_eager():
+            # the narrowing astype is an eager per-weight op: run it on
+            # the host backend (one RPC per weight over a tunnel
+            # otherwise); _placed_params ships the finished dict in one
+            # batched transfer
+            for value in self.values:
+                if isinstance(value, Constant):
+                    if isinstance(value.data, QTensor) and narrow \
+                            and value.data.bit_width <= 8:
+                        params[value.name] = value.data.data.astype(jnp.int8)
+                    elif isinstance(value.data, (FTensor, QTensor)):
+                        params[value.name] = value.data.data
+                    elif isinstance(value.data, PackedQTensor):
+                        params[value.name] = (value.data.planes,
+                                              value.data.colsum)
+                    cs = self._weight_colsum(value)
+                    if cs is not None:
+                        params[value.name + ".colsum"] = cs
         self._dp_cache = params
         self._dp_cache_key = narrow
         return params
@@ -194,15 +201,26 @@ class Model:
         return cs.astype(np.int32)
 
     def _placed_params(self) -> dict[str, Any]:
-        """Device params, placed per parameter_shardings when a mesh is
-        attached (cached: placement happens once)."""
-        if self.mesh is None or self.parameter_shardings is None:
-            return self._device_params()
-        if self._sharded_param_cache is None:
-            self._sharded_param_cache = {
+        """Device params, placed ONCE (cached): per parameter_shardings
+        when a mesh is attached, else one batched transfer of the whole
+        dict to the default device. Payloads are built on the host CPU
+        backend (config.host_eager), so without the explicit placement
+        every jit call would re-upload them."""
+        from .quantization import x64_enabled
+        narrow = not x64_enabled()
+        if self._sharded_param_cache is not None \
+                and getattr(self, "_placed_cache_key", None) == narrow:
+            return self._sharded_param_cache
+        params = self._device_params()
+        if self.mesh is not None and self.parameter_shardings is not None:
+            placed = {
                 name: jax.device_put(arr, self.parameter_shardings[name])
-                for name, arr in self._device_params().items()}
-        return self._sharded_param_cache
+                for name, arr in params.items()}
+        else:
+            placed = jax.device_put(params, jax.devices()[0])
+        self._sharded_param_cache = placed
+        self._placed_cache_key = narrow
+        return placed
 
     def _place_input(self, array: np.ndarray):
         """Batch-shard a float input over the mesh data axis."""
@@ -782,201 +800,209 @@ class Model:
             stats = self.calibration_stats(calibration_inputs,
                                            mode=calibration_mode,
                                            percentile=percentile)
-        node_dict = {node.name: node for node in self.nodes}
-        value_dict = {value.name: value for value in self.values}
+        # Weight quantization is many small EAGER ops; keep them on
+        # the host CPU backend (config.host_eager): on a remote-
+        # attached chip each eager op is an RPC round trip. The
+        # finished payloads move to the device in ONE batched
+        # transfer at _placed_params time. Bit-identical: quantize
+        # is IEEE-exact f32 divide/rint/clip on either backend.
+        from .config import host_eager
+        with host_eager():
+            node_dict = {node.name: node for node in self.nodes}
+            value_dict = {value.name: value for value in self.values}
 
-        wbw_map = weight_bit_width if isinstance(weight_bit_width, dict) \
-            else None
-        wbw = weight_bit_width \
-            if isinstance(weight_bit_width, int) else bit_width
+            wbw_map = weight_bit_width if isinstance(weight_bit_width, dict) \
+                else None
+            wbw = weight_bit_width \
+                if isinstance(weight_bit_width, int) else bit_width
 
-        def qparams_for(name: str, asymmetric: bool,
-                        bits: int = None) -> QuantizationParams:
-            mn, mx = stats[name]
-            scale, zero_point = quant_parameters(
-                mn, mx, bit_width=bits if bits is not None else bit_width,
-                asymmetric=asymmetric)
-            return QuantizationParams(scale, zero_point)
+            def qparams_for(name: str, asymmetric: bool,
+                            bits: int = None) -> QuantizationParams:
+                mn, mx = stats[name]
+                scale, zero_point = quant_parameters(
+                    mn, mx, bit_width=bits if bits is not None else bit_width,
+                    asymmetric=asymmetric)
+                return QuantizationParams(scale, zero_point)
 
-        qnodes_dict: dict[str, Node] = {}
-        qvalues_dict: dict[str, Value] = {}
-        qparams_per_value: dict[str, QuantizationParams] = {}
+            qnodes_dict: dict[str, Node] = {}
+            qvalues_dict: dict[str, Value] = {}
+            qparams_per_value: dict[str, QuantizationParams] = {}
 
-        # Graph inputs: asymmetric (reference: model.py:349-355).
-        for value in self.inputs:
-            qvar = Variable(value.name, [], [], None)
-            # shape-dependent passes (narrow_gather) re-trace from these
-            qvar.shape_hint = getattr(value, "shape_hint", None)
-            qvar.dtype_hint = getattr(value, "dtype_hint", None)
-            qvalues_dict[value.name] = qvar
-            qparams_per_value[value.name] = qparams_for(
-                value.name, isinstance(value, Variable))
+            # Graph inputs: asymmetric (reference: model.py:349-355).
+            for value in self.inputs:
+                qvar = Variable(value.name, [], [], None)
+                # shape-dependent passes (narrow_gather) re-trace from these
+                qvar.shape_hint = getattr(value, "shape_hint", None)
+                qvar.dtype_hint = getattr(value, "dtype_hint", None)
+                qvalues_dict[value.name] = qvar
+                qparams_per_value[value.name] = qparams_for(
+                    value.name, isinstance(value, Variable))
 
-        # Constants: symmetric per-tensor (reference: model.py:357-365),
-        # or per-output-channel for 2-D matmul weights when requested.
-        from .quantization import per_channel_scales
+            # Constants: symmetric per-tensor (reference: model.py:357-365),
+            # or per-output-channel for 2-D matmul weights when requested.
+            from .quantization import per_channel_scales
 
-        def _weight_channel_axis(value) -> int | None:
-            """Output-channel axis if this constant is used exclusively
-            as the weight (input 1) of MatMul/Gemm nodes; else None."""
-            if not value.outputs:
-                return None
-            axes = set()
-            for n in value.outputs:
-                if len(n.inputs) < 2 or n.inputs[1] is not value:
+            def _weight_channel_axis(value) -> int | None:
+                """Output-channel axis if this constant is used exclusively
+                as the weight (input 1) of MatMul/Gemm nodes; else None."""
+                if not value.outputs:
                     return None
-                if n.op == "MatMul":
-                    axes.add(1)          # [K, N] -> channels last
-                elif n.op == "Gemm":
-                    axes.add(0 if n.attrs.get("transB") else 1)
-                else:
-                    return None
-            return axes.pop() if len(axes) == 1 else None
+                axes = set()
+                for n in value.outputs:
+                    if len(n.inputs) < 2 or n.inputs[1] is not value:
+                        return None
+                    if n.op == "MatMul":
+                        axes.add(1)          # [K, N] -> channels last
+                    elif n.op == "Gemm":
+                        axes.add(0 if n.attrs.get("transB") else 1)
+                    else:
+                        return None
+                return axes.pop() if len(axes) == 1 else None
 
-        # Float constants feeding only SHAPE-DOMAIN op positions carry
-        # graph structure, not data (Resize scales/roi, Pad values):
-        # quantizing them would corrupt semantics (and the reference has
-        # no such ops). They stay float verbatim.
-        def _is_shape_domain_const(value) -> bool:
-            return bool(value.outputs) and all(
-                n.op in ("Resize", "Pad") and value is not n.inputs[0]
-                for n in value.outputs)
+            # Float constants feeding only SHAPE-DOMAIN op positions carry
+            # graph structure, not data (Resize scales/roi, Pad values):
+            # quantizing them would corrupt semantics (and the reference has
+            # no such ops). They stay float verbatim.
+            def _is_shape_domain_const(value) -> bool:
+                return bool(value.outputs) and all(
+                    n.op in ("Resize", "Pad") and value is not n.inputs[0]
+                    for n in value.outputs)
 
-        for value in self.values:
-            if isinstance(value, Constant):
-                if isinstance(value.data, ITensor):
-                    qvalues_dict[value.name] = Constant(value.name, [],
-                                                        value.data.copy())
-                    continue
-                if _is_shape_domain_const(value):
-                    qvalues_dict[value.name] = Constant(value.name, [],
-                                                        value.data.copy())
-                    continue
-                # weight_bit_width applies only to actual matmul weights
-                # (consumed as MatMul/Gemm rhs); other float constants
-                # keep the activation bit width
-                is_weight = bool(value.outputs) and all(
-                    n.op in ("MatMul", "Gemm") and len(n.inputs) > 1
-                    and n.inputs[1] is value for n in value.outputs)
-                if is_weight:
-                    cbw = wbw_map.get(value.name, bit_width) \
-                        if wbw_map is not None else wbw
-                else:
-                    cbw = bit_width
-                ch_axis = _weight_channel_axis(value) if per_channel_weights \
-                    else None
-                if ch_axis is not None and np.asarray(value.data.data).ndim == 2:
-                    scale = per_channel_scales(np.asarray(value.data.data),
-                                               cbw, ch_axis)
-                    qp = QuantizationParams(scale, None)
-                else:
-                    qp = qparams_for(value.name, asymmetric=False, bits=cbw)
-                qvalues_dict[value.name] = Constant(
-                    value.name, [],
-                    quantize_tensor(value.data, cbw, qp.scale, qp.zero_point))
-                qparams_per_value[value.name] = qp
+            for value in self.values:
+                if isinstance(value, Constant):
+                    if isinstance(value.data, ITensor):
+                        qvalues_dict[value.name] = Constant(value.name, [],
+                                                            value.data.copy())
+                        continue
+                    if _is_shape_domain_const(value):
+                        qvalues_dict[value.name] = Constant(value.name, [],
+                                                            value.data.copy())
+                        continue
+                    # weight_bit_width applies only to actual matmul weights
+                    # (consumed as MatMul/Gemm rhs); other float constants
+                    # keep the activation bit width
+                    is_weight = bool(value.outputs) and all(
+                        n.op in ("MatMul", "Gemm") and len(n.inputs) > 1
+                        and n.inputs[1] is value for n in value.outputs)
+                    if is_weight:
+                        cbw = wbw_map.get(value.name, bit_width) \
+                            if wbw_map is not None else wbw
+                    else:
+                        cbw = bit_width
+                    ch_axis = _weight_channel_axis(value) if per_channel_weights \
+                        else None
+                    if ch_axis is not None and np.asarray(value.data.data).ndim == 2:
+                        scale = per_channel_scales(np.asarray(value.data.data),
+                                                   cbw, ch_axis)
+                        qp = QuantizationParams(scale, None)
+                    else:
+                        qp = qparams_for(value.name, asymmetric=False, bits=cbw)
+                    qvalues_dict[value.name] = Constant(
+                        value.name, [],
+                        quantize_tensor(value.data, cbw, qp.scale, qp.zero_point))
+                    qparams_per_value[value.name] = qp
 
-        # Per-node strategy (reference: model.py:367-425).
-        for node in self.nodes:
-            def register_out_asym():
-                out_val = node.outputs[0]
-                qvalues_dict[out_val.name] = Variable(out_val.name, [], [], None)
-                qparams_per_value[out_val.name] = qparams_for(out_val.name, True)
-                qnodes_dict[node.name] = Node(node.name, node.op, node.attrs, [], [])
-
-            if node.op == "MatMul":
-                register_out_asym()
-            elif node.op == "Gemm":
-                for input_value in node.inputs[:2]:
-                    if isinstance(input_value, Variable):
-                        qvalues_dict[input_value.name] = Variable(
-                            input_value.name, [], [], None)
-                        qparams_per_value[input_value.name] = qparams_for(
-                            input_value.name, isinstance(input_value, Variable))
-                # Bias: symmetric at scale s1*s2, 4x bit width
-                # (int32 accumulator modelling; reference: model.py:383-389).
-                if len(node.inputs) > 2 and node.inputs[2] is not None:
-                    bias = node.inputs[2]
-                    qparams1 = qparams_per_value[node.inputs[0].name]
-                    qparams2 = qparams_per_value[node.inputs[1].name]
-                    bias_scale = qparams1.scale * qparams2.scale
-                    # alpha/beta support on the int path (the reference
-                    # ignores them, model.py:122-131): alpha folds into
-                    # the accumulator scale at runtime (ops/registry.py
-                    # Gemm), so the bias -- which is added IN accumulator
-                    # units -- quantizes at scale alpha*s1*s2/beta so its
-                    # dequantized contribution equals beta*bias.
-                    alpha = np.float32(node.attrs.get("alpha", 1.0))
-                    beta = np.float32(node.attrs.get("beta", 1.0))
-                    if float(beta) != 0.0 and (float(alpha) != 1.0
-                                               or float(beta) != 1.0):
-                        bias_scale = bias_scale * alpha / beta
-                    if getattr(bias_scale, "ndim", 0) > 0:
-                        bias_scale = np.asarray(bias_scale,
-                                                np.float32).reshape(-1)
-                    qparams_per_value[bias.name] = QuantizationParams(bias_scale, None)
-                    qbias = quantize_tensor(value_dict[bias.name].data,
-                                            4 * bit_width, bias_scale, None)
-                    qvalues_dict[bias.name] = Constant(bias.name, [], qbias)
-                register_out_asym()
-            elif node.op == "Conv" and quantize_conv:
-                # Integer conv (parity-plus): bias at s_x*s_w and 4x bit
-                # width, output requantized -- mirrors the Gemm strategy.
-                if len(node.inputs) > 2 and node.inputs[2] is not None:
-                    bias = node.inputs[2]
-                    qparams1 = qparams_per_value[node.inputs[0].name]
-                    qparams2 = qparams_per_value[node.inputs[1].name]
-                    bias_scale = qparams1.scale * qparams2.scale
-                    qparams_per_value[bias.name] = QuantizationParams(bias_scale, None)
-                    qbias = quantize_tensor(value_dict[bias.name].data,
-                                            4 * bit_width, bias_scale, None)
-                    qvalues_dict[bias.name] = Constant(bias.name, [], qbias)
-                register_out_asym()
-            elif node.op == "Add" and (isinstance(node.inputs[0], Constant)
-                                       or isinstance(node.inputs[1], Constant)):
-                bias_ind = 0 if isinstance(node.inputs[0], Constant) else 1
-                x_ind = 1 - bias_ind
-                x_name = node.inputs[x_ind].name
-                bias_name = node.inputs[bias_ind].name
-                bias_data = value_dict[bias_name].data
-                bias_scale = qparams_per_value[x_name].scale
-                qbias = quantize_tensor(bias_data, 4 * bit_width, bias_scale, None)
-                qvalues_dict[bias_name] = Constant(bias_name, [], qbias)
-                qparams_per_value[bias_name] = QuantizationParams(bias_scale, None)
-                register_out_asym()
-            elif node.op in ("Identity", "Relu"):
-                out_val = node.outputs[0]
-                qvalues_dict[out_val.name] = Variable(out_val.name, [], [], None)
-                qparams_per_value[out_val.name] = \
-                    qparams_per_value[node.inputs[0].name]
-                qnodes_dict[node.name] = Node(node.name, node.op, node.attrs, [], [])
-            else:
-                # every output registered (the reference's single-output
-                # TODO at model.py:422, implemented for real)
-                for out_val in node.outputs:
+            # Per-node strategy (reference: model.py:367-425).
+            for node in self.nodes:
+                def register_out_asym():
+                    out_val = node.outputs[0]
                     qvalues_dict[out_val.name] = Variable(out_val.name, [], [], None)
-                    if out_val.name in stats:
-                        qparams_per_value[out_val.name] = qparams_for(out_val.name, True)
-                qnodes_dict[node.name] = Node(node.name, node.op, node.attrs, [], [])
+                    qparams_per_value[out_val.name] = qparams_for(out_val.name, True)
+                    qnodes_dict[node.name] = Node(node.name, node.op, node.attrs, [], [])
 
-        # Re-link the cloned graph (reference: model.py:427-436).
-        for name, qnode in qnodes_dict.items():
-            qnode.inputs = [None if i is None else qvalues_dict[i.name]
-                            for i in node_dict[name].inputs]
-            qnode.outputs = [qvalues_dict[o.name] for o in node_dict[name].outputs]
-        for name, qvalue in qvalues_dict.items():
-            if isinstance(qvalue, Variable):
-                qvalue.inputs = [qnodes_dict[i.name] for i in value_dict[name].inputs]
-            qvalue.outputs = [qnodes_dict[o.name] for o in value_dict[name].outputs]
+                if node.op == "MatMul":
+                    register_out_asym()
+                elif node.op == "Gemm":
+                    for input_value in node.inputs[:2]:
+                        if isinstance(input_value, Variable):
+                            qvalues_dict[input_value.name] = Variable(
+                                input_value.name, [], [], None)
+                            qparams_per_value[input_value.name] = qparams_for(
+                                input_value.name, isinstance(input_value, Variable))
+                    # Bias: symmetric at scale s1*s2, 4x bit width
+                    # (int32 accumulator modelling; reference: model.py:383-389).
+                    if len(node.inputs) > 2 and node.inputs[2] is not None:
+                        bias = node.inputs[2]
+                        qparams1 = qparams_per_value[node.inputs[0].name]
+                        qparams2 = qparams_per_value[node.inputs[1].name]
+                        bias_scale = qparams1.scale * qparams2.scale
+                        # alpha/beta support on the int path (the reference
+                        # ignores them, model.py:122-131): alpha folds into
+                        # the accumulator scale at runtime (ops/registry.py
+                        # Gemm), so the bias -- which is added IN accumulator
+                        # units -- quantizes at scale alpha*s1*s2/beta so its
+                        # dequantized contribution equals beta*bias.
+                        alpha = np.float32(node.attrs.get("alpha", 1.0))
+                        beta = np.float32(node.attrs.get("beta", 1.0))
+                        if float(beta) != 0.0 and (float(alpha) != 1.0
+                                                   or float(beta) != 1.0):
+                            bias_scale = bias_scale * alpha / beta
+                        if getattr(bias_scale, "ndim", 0) > 0:
+                            bias_scale = np.asarray(bias_scale,
+                                                    np.float32).reshape(-1)
+                        qparams_per_value[bias.name] = QuantizationParams(bias_scale, None)
+                        qbias = quantize_tensor(value_dict[bias.name].data,
+                                                4 * bit_width, bias_scale, None)
+                        qvalues_dict[bias.name] = Constant(bias.name, [], qbias)
+                    register_out_asym()
+                elif node.op == "Conv" and quantize_conv:
+                    # Integer conv (parity-plus): bias at s_x*s_w and 4x bit
+                    # width, output requantized -- mirrors the Gemm strategy.
+                    if len(node.inputs) > 2 and node.inputs[2] is not None:
+                        bias = node.inputs[2]
+                        qparams1 = qparams_per_value[node.inputs[0].name]
+                        qparams2 = qparams_per_value[node.inputs[1].name]
+                        bias_scale = qparams1.scale * qparams2.scale
+                        qparams_per_value[bias.name] = QuantizationParams(bias_scale, None)
+                        qbias = quantize_tensor(value_dict[bias.name].data,
+                                                4 * bit_width, bias_scale, None)
+                        qvalues_dict[bias.name] = Constant(bias.name, [], qbias)
+                    register_out_asym()
+                elif node.op == "Add" and (isinstance(node.inputs[0], Constant)
+                                           or isinstance(node.inputs[1], Constant)):
+                    bias_ind = 0 if isinstance(node.inputs[0], Constant) else 1
+                    x_ind = 1 - bias_ind
+                    x_name = node.inputs[x_ind].name
+                    bias_name = node.inputs[bias_ind].name
+                    bias_data = value_dict[bias_name].data
+                    bias_scale = qparams_per_value[x_name].scale
+                    qbias = quantize_tensor(bias_data, 4 * bit_width, bias_scale, None)
+                    qvalues_dict[bias_name] = Constant(bias_name, [], qbias)
+                    qparams_per_value[bias_name] = QuantizationParams(bias_scale, None)
+                    register_out_asym()
+                elif node.op in ("Identity", "Relu"):
+                    out_val = node.outputs[0]
+                    qvalues_dict[out_val.name] = Variable(out_val.name, [], [], None)
+                    qparams_per_value[out_val.name] = \
+                        qparams_per_value[node.inputs[0].name]
+                    qnodes_dict[node.name] = Node(node.name, node.op, node.attrs, [], [])
+                else:
+                    # every output registered (the reference's single-output
+                    # TODO at model.py:422, implemented for real)
+                    for out_val in node.outputs:
+                        qvalues_dict[out_val.name] = Variable(out_val.name, [], [], None)
+                        if out_val.name in stats:
+                            qparams_per_value[out_val.name] = qparams_for(out_val.name, True)
+                    qnodes_dict[node.name] = Node(node.name, node.op, node.attrs, [], [])
 
-        qoutputs = [qvalues_dict[o.name] for o in self.outputs]
-        qinputs = [qvalues_dict[i.name] for i in self.inputs]
+            # Re-link the cloned graph (reference: model.py:427-436).
+            for name, qnode in qnodes_dict.items():
+                qnode.inputs = [None if i is None else qvalues_dict[i.name]
+                                for i in node_dict[name].inputs]
+                qnode.outputs = [qvalues_dict[o.name] for o in node_dict[name].outputs]
+            for name, qvalue in qvalues_dict.items():
+                if isinstance(qvalue, Variable):
+                    qvalue.inputs = [qnodes_dict[i.name] for i in value_dict[name].inputs]
+                qvalue.outputs = [qnodes_dict[o.name] for o in value_dict[name].outputs]
 
-        quantized_ops = ("MatMul", "Gemm", "Conv") if quantize_conv \
-            else ("MatMul", "Gemm")
-        return QModel(list(qnodes_dict.values()), list(qvalues_dict.values()),
-                      qinputs, qoutputs, bit_width, qparams_per_value,
-                      quantized_ops=quantized_ops)
+            qoutputs = [qvalues_dict[o.name] for o in self.outputs]
+            qinputs = [qvalues_dict[i.name] for i in self.inputs]
+
+            quantized_ops = ("MatMul", "Gemm", "Conv") if quantize_conv \
+                else ("MatMul", "Gemm")
+            return QModel(list(qnodes_dict.values()), list(qvalues_dict.values()),
+                          qinputs, qoutputs, bit_width, qparams_per_value,
+                          quantized_ops=quantized_ops)
 
     def quantize_dynamic(self, bit_width: int = 8, **kw):
         """Dynamic quantization: integer matmuls whose activation scales
@@ -1018,57 +1044,59 @@ class Model:
             raise ValueError(
                 "quantize_weights is a FLOAT-executor mode; this model "
                 "is already integer-quantized (use pack_weights there)")
-        from .quantization import per_channel_scales, qrange
-        from .tensor import pack_qtensor, quantize_tensor
+        from .config import host_eager
+        with host_eager():
+            from .quantization import per_channel_scales, qrange
+            from .tensor import pack_qtensor, quantize_tensor
 
-        if pack is None:
-            pack = bit_width < 8
+            if pack is None:
+                pack = bit_width < 8
 
-        def _channel_axis(value):
-            """Output-channel axis if this constant is consumed only as
-            MatMul/Gemm weight (input 1), else None."""
-            axes = set()
-            for nd in value.outputs:
-                if len(nd.inputs) < 2 or nd.inputs[1] is not value:
-                    return None
-                if nd.op == "MatMul":
-                    axes.add(1)
-                elif nd.op == "Gemm":
-                    axes.add(0 if nd.attrs.get("transB") else 1)
-                else:
-                    return None
-            return axes.pop() if len(axes) == 1 else None
+            def _channel_axis(value):
+                """Output-channel axis if this constant is consumed only as
+                MatMul/Gemm weight (input 1), else None."""
+                axes = set()
+                for nd in value.outputs:
+                    if len(nd.inputs) < 2 or nd.inputs[1] is not value:
+                        return None
+                    if nd.op == "MatMul":
+                        axes.add(1)
+                    elif nd.op == "Gemm":
+                        axes.add(0 if nd.attrs.get("transB") else 1)
+                    else:
+                        return None
+                return axes.pop() if len(axes) == 1 else None
 
-        converted = 0
-        for value in self.values:
-            if not isinstance(value, Constant) \
-                    or not isinstance(value.data, FTensor):
-                continue
-            arr = np.asarray(value.data.data)
-            if arr.ndim != 2 or not value.outputs:
-                continue
-            ch_axis = _channel_axis(value)
-            if ch_axis is None:
-                continue
-            # grouped scales assume the MatMul [K, N] orientation
-            groupable = bool(group_size) and ch_axis == 1 \
-                and all(nd.op == "MatMul" for nd in value.outputs)
-            from .quantization import weight_only_scales
-            scale, store_scale = weight_only_scales(
-                arr, bit_width, ch_axis, per_channel=per_channel,
-                group_size=group_size, groupable=groupable)
-            qt = quantize_tensor(value.data, bit_width, scale, None)
-            qt = QTensor(np.asarray(qt.data), bit_width,
-                         scale if store_scale is None else store_scale,
-                         None)
-            if pack and bit_width <= 8:
-                qt = pack_qtensor(qt)
-            value.data = qt
-            converted += 1
-        self._jit_cache.clear()
-        self._sharded_param_cache = None
-        self._dp_cache = None
-        return converted
+            converted = 0
+            for value in self.values:
+                if not isinstance(value, Constant) \
+                        or not isinstance(value.data, FTensor):
+                    continue
+                arr = np.asarray(value.data.data)
+                if arr.ndim != 2 or not value.outputs:
+                    continue
+                ch_axis = _channel_axis(value)
+                if ch_axis is None:
+                    continue
+                # grouped scales assume the MatMul [K, N] orientation
+                groupable = bool(group_size) and ch_axis == 1 \
+                    and all(nd.op == "MatMul" for nd in value.outputs)
+                from .quantization import weight_only_scales
+                scale, store_scale = weight_only_scales(
+                    arr, bit_width, ch_axis, per_channel=per_channel,
+                    group_size=group_size, groupable=groupable)
+                qt = quantize_tensor(value.data, bit_width, scale, None)
+                qt = QTensor(np.asarray(qt.data), bit_width,
+                             scale if store_scale is None else store_scale,
+                             None)
+                if pack and bit_width <= 8:
+                    qt = pack_qtensor(qt)
+                value.data = qt
+                converted += 1
+            self._jit_cache.clear()
+            self._sharded_param_cache = None
+            self._dp_cache = None
+            return converted
 
     def qat_quantize(self, inputs: list[np.ndarray], **kw) -> "QModel":
         """Quantization-aware training: fine-tune the weights end-to-end
@@ -1278,31 +1306,35 @@ class QModel(Model):
         failures (node name, reason) so a pattern miss on a foreign
         exporter's graph is visible, not a silent perf cliff.
         ``verbose=True`` prints the failures."""
-        fused = self.fuse_attention()
-        # merge_parallel_matmuls is regime-gated on measured evidence
-        # (BENCH_HISTORY.md round 3 experiment): at full single-chip
-        # width (N=768) the wide dot is 1.66x SLOWER (XLA materializes
-        # the int32 accumulator for the 3-consumer split), but at the
-        # per-device widths TP produces it WINS (0.97x at N/tp=384,
-        # 0.89x at N/tp=96 -- narrow dots underfeed the 128-wide MXU).
-        # Auto-enable under a tensor-parallel mesh; `_opt_merge_matmuls`
-        # (True/False) still forces either way.
-        flag = getattr(self, "_opt_merge_matmuls", None)
-        m_ax = getattr(self, "model_axis", "model")
-        tp = self.mesh.shape[m_ax] if self.mesh is not None \
-            and m_ax in getattr(self.mesh, "axis_names", ()) else 1
-        do_merge = flag if flag is not None else tp >= 2
-        merged = self.merge_parallel_matmuls() if do_merge else 0
-        gelu = self.fuse_gelu()
-        narrowed = self.narrow_gather()
-        planned = self.int8_dataflow()
-        failures = list(self.fusion_report["failures"])
-        if verbose:
-            for name, reason in failures:
-                print(f"optimize: Softmax {name!r} not fused: {reason}")
-        return {"fuse_attention": fused, "merge_parallel_matmuls": merged,
-                "fuse_gelu": gelu, "narrow_gather": narrowed,
-                "int8_dataflow": planned, "fusion_failures": failures}
+        # the passes read constant payloads eagerly (np.asarray /
+        # dequantize of scalars): keep those reads off the tunnel
+        from .config import host_eager
+        with host_eager():
+            fused = self.fuse_attention()
+            # merge_parallel_matmuls is regime-gated on measured evidence
+            # (BENCH_HISTORY.md round 3 experiment): at full single-chip
+            # width (N=768) the wide dot is 1.66x SLOWER (XLA materializes
+            # the int32 accumulator for the 3-consumer split), but at the
+            # per-device widths TP produces it WINS (0.97x at N/tp=384,
+            # 0.89x at N/tp=96 -- narrow dots underfeed the 128-wide MXU).
+            # Auto-enable under a tensor-parallel mesh; `_opt_merge_matmuls`
+            # (True/False) still forces either way.
+            flag = getattr(self, "_opt_merge_matmuls", None)
+            m_ax = getattr(self, "model_axis", "model")
+            tp = self.mesh.shape[m_ax] if self.mesh is not None \
+                and m_ax in getattr(self.mesh, "axis_names", ()) else 1
+            do_merge = flag if flag is not None else tp >= 2
+            merged = self.merge_parallel_matmuls() if do_merge else 0
+            gelu = self.fuse_gelu()
+            narrowed = self.narrow_gather()
+            planned = self.int8_dataflow()
+            failures = list(self.fusion_report["failures"])
+            if verbose:
+                for name, reason in failures:
+                    print(f"optimize: Softmax {name!r} not fused: {reason}")
+            return {"fuse_attention": fused, "merge_parallel_matmuls": merged,
+                    "fuse_gelu": gelu, "narrow_gather": narrowed,
+                    "int8_dataflow": planned, "fusion_failures": failures}
 
     def pack_weights(self) -> int:
         """Switch 2-D symmetric MatMul weights to packed storage

@@ -104,24 +104,27 @@ def _gpt_block(e: _ViTEmitter, x: str, block, seq_len: int,
 
 
 def gpt_causal_lm(config=None, batch_size: int = 2, seq_len: int = 16,
-                  seed: int = 0):
+                  seed: int = 0, module=None):
     """GPT2LMHeadModel over float ``inputs_embeds`` [batch, seq, hidden]
     -> ``logits`` [batch, seq, vocab]. Position embeddings add inside
     the graph; token embedding happens OUTSIDE (the ``_wte`` table rides
     on the returned proto for utils.generate). ``_torch_module`` is the
-    live float oracle."""
+    live float oracle. Pass ``module=`` to lower existing weights (the
+    trained text fixture, models/text_fixture.py)."""
     import torch
     from transformers import GPT2Config
     from transformers.models.gpt2.modeling_gpt2 import GPT2LMHeadModel
 
-    torch.manual_seed(seed)
-    if config is None:
-        config = GPT2Config(vocab_size=96, n_positions=seq_len, n_embd=32,
-                            n_layer=2, n_head=2,
-                            activation_function="gelu")
-    config.attn_implementation = "eager"
+    if module is None:
+        torch.manual_seed(seed)
+        if config is None:
+            config = GPT2Config(vocab_size=96, n_positions=seq_len,
+                                n_embd=32, n_layer=2, n_head=2,
+                                activation_function="gelu")
+        config.attn_implementation = "eager"
+        module = GPT2LMHeadModel(config).eval()
+    config = module.config
     assert config.activation_function == "gelu", config.activation_function
-    module = GPT2LMHeadModel(config).eval()
 
     g = GraphBuilder("gpt_causal_lm")
     e = _ViTEmitter(g)

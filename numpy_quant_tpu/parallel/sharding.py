@@ -161,7 +161,9 @@ def shard_model(model, mesh: Mesh, data_axis: str | None = "data",
     model._shard_rules = rules
     model.parameter_shardings = param_shardings(model, mesh, rules)
     # a model executed before sharding holds compiled unsharded
-    # programs and placed parameters -- drop them so every later call
-    # recompiles against the new mesh
+    # programs, placed parameters and device-resident embedding tables
+    # (utils.generate._placed_table) -- drop them so every later call
+    # recompiles/replaces against the new mesh
     model._jit_cache.clear()
     model._sharded_param_cache = None
+    model.__dict__.pop("_table_cache", None)

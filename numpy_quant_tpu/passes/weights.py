@@ -9,6 +9,15 @@ from ..tensor import QTensor
 
 
 def pack_weights(model) -> int:
+    """Host-eager wrapper: packing reads every payload eagerly (RPC per
+    weight on a remote-attached chip otherwise). See
+    :func:`_pack_weights_impl`."""
+    from ..config import host_eager
+    with host_eager():
+        return _pack_weights_impl(model)
+
+
+def _pack_weights_impl(model) -> int:
     """Switch 2-D symmetric MatMul weights to packed storage
     (kernels/pack.py; split-K layout for bits 1/2/4/8, bit-planes for
     odd widths): exactly bit_width bits per value in HBM. Returns the

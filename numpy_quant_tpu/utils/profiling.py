@@ -42,6 +42,19 @@ def device_trace(fn, *args, trace_dir: str = "/tmp/nq_tpu_trace"):
     return out
 
 
+def device_busy_seconds(trace_dir: str) -> float:
+    """Total device-side kernel seconds in the LAST capture under
+    ``trace_dir`` -- the sum of complete events on accelerator tracks,
+    excluding executable wrappers (``jit_*``, ``while``) so nested
+    region events do not double-count their kernels.
+
+    This is the decode benchmark's device-time source: wall-clock
+    through a remote-attached chip includes RPC and transfer time the
+    chip never sees; the trace knows what the chip actually ran."""
+    rows = summarize_device_trace(trace_dir, top=None, group_stems=False)
+    return float(sum(sec for _, sec, _ in rows))
+
+
 def summarize_device_trace(trace_dir: str, top: int = 20,
                            group_stems: bool = True) -> list[tuple]:
     """Aggregate device-side kernel times from a ``device_trace`` /

@@ -140,15 +140,19 @@ class ContinuousBatcher:
             b, nh, length, hd = step_model.inputs[cache_start].shape_hint
             self.n_slots, self.max_len = int(b), int(length)
             self._layout = (n_layer, int(nh), int(hd))
-        self._wte = jnp.asarray(wte, jnp.float32)
-        self._wpe = None if wpe is None else jnp.asarray(wpe, jnp.float32)
+        # device-resident tables, placed once (replicated onto the mesh
+        # for a sharded step model -- generate._placed_table)
+        from .generate import _placed_table
+        self._wte = _placed_table(step_model, "wte", wte)
+        self._wpe = _placed_table(step_model, "wpe", wpe)
         if rope is not None:
-            self._cos = jnp.asarray(rope[0], jnp.float32)  # [1,1,L,D]
-            self._sin = jnp.asarray(rope[1], jnp.float32)
+            self._cos = _placed_table(step_model, "rope_cos",
+                                      rope[0])  # [1,1,L,D]
+            self._sin = _placed_table(step_model, "rope_sin", rope[1])
         else:
             self._cos = self._sin = None
-        self._bias = (None if score_bias is None
-                      else jnp.asarray(score_bias, jnp.float32))  # [L,H,L+1]
+        self._bias = _placed_table(step_model, "score_bias",
+                                   score_bias)  # [L,H,L+1]
         if has_memory:
             mem_hint = step_model.inputs[cache_start - 1].shape_hint
             self._memory = jnp.zeros(tuple(int(d) for d in mem_hint),

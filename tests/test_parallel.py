@@ -420,3 +420,72 @@ def test_weight_only_dp_tp():
                                atol=1e-5)
     np.testing.assert_array_equal(
         generate(model, prompt, proto._wte, max_new_tokens=5), seq)
+
+
+@requires_8_devices
+def test_tp_kv_decode_matches_single_device():
+    """TP-over-heads KV-cache DECODE: generate_kv over a DP x TP mesh
+    -- the [B, heads, L, D] cache carries ride the one-program decode
+    loop with column-sharded QKV / row-sharded projections -- produces
+    the SAME tokens as the single-device decode, float and int8-carry
+    (VERDICT.md round-3 item 9: the serving path's multi-device
+    correctness)."""
+    from numpy_quant_tpu.models.gpt import gpt_decode_step
+    from numpy_quant_tpu.utils import (decode_calibration, generate_kv,
+                                       merge_calibration_stats)
+
+    proto = gpt_decode_step(batch_size=4, max_len=12, seed=2)
+    model = nq.Model.from_onnx(proto)
+    prompt = RNG.integers(0, 96, size=(4, 4)).astype(np.int32)
+    f_seq = generate_kv(model, prompt, proto._wte, proto._wpe,
+                        max_new_tokens=6)
+
+    mesh = par.make_dp_tp_mesh(8, tp=2)
+    par.shard_model(model, mesh, data_axis="data", rules=par.gpt_tp_rules)
+    np.testing.assert_array_equal(
+        generate_kv(model, prompt, proto._wte, proto._wpe,
+                    max_new_tokens=6), f_seq)
+
+    # quantized step model: float carry AND int8 cache carry
+    q = nq.Model.from_onnx(proto)
+    batches = decode_calibration(q, prompt, proto._wte, proto._wpe)
+    stats = merge_calibration_stats(
+        *[q.calibration_stats(b) for b in batches])
+    qm = q.quantize(stats=stats, bit_width=8)
+    q_seq = generate_kv(qm, prompt, proto._wte, proto._wpe,
+                        max_new_tokens=6)
+    par.shard_model(qm, mesh, data_axis="data", rules=par.gpt_tp_rules)
+    np.testing.assert_array_equal(
+        generate_kv(qm, prompt, proto._wte, proto._wpe,
+                    max_new_tokens=6), q_seq)
+    np.testing.assert_array_equal(
+        generate_kv(qm, prompt, proto._wte, proto._wpe,
+                    max_new_tokens=6, kv_cache_dtype="int8"), q_seq)
+
+
+@requires_8_devices
+def test_tp_continuous_batcher_matches_single_device():
+    """ContinuousBatcher over a TP-sharded step model: a ragged
+    2x-oversubscribed workload produces the same per-request token rows
+    as the unsharded engine (slot caches and block tables live on the
+    mesh; the per-step program runs under GSPMD)."""
+    from numpy_quant_tpu.models.gpt import gpt_decode_step
+    from numpy_quant_tpu.utils import ContinuousBatcher
+
+    proto = gpt_decode_step(batch_size=4, max_len=12, seed=2)
+    workload = [(RNG.integers(0, 96, size=(1 + i % 4,)).astype(np.int32), 5)
+                for i in range(8)]
+
+    model = nq.Model.from_onnx(proto)
+    cb = ContinuousBatcher(model, proto._wte, proto._wpe)
+    expected = [np.asarray(r) for r in cb.run(workload)]
+
+    sharded = nq.Model.from_onnx(proto)
+    mesh = par.make_dp_tp_mesh(8, tp=2)
+    par.shard_model(sharded, mesh, data_axis="data",
+                    rules=par.gpt_tp_rules)
+    cb2 = ContinuousBatcher(sharded, proto._wte, proto._wpe)
+    got = [np.asarray(r) for r in cb2.run(workload)]
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        np.testing.assert_array_equal(g, e)
