@@ -22,12 +22,10 @@ driver timeout, VERDICT.md):
   ~/.cache/nq_tpu_jaxcache -- outside /tmp so it survives cleanups);
   the cache key is the HLO hash, so code revisions invalidate exactly
   what they change;
-* quantize/optimize/pack run on the host CPU backend
+* import/quantize/optimize/pack run on the host CPU backend
   (config.host_eager): measured 596 s of per-op tunnel round trips
-  before, ~5 s after;
-* a cold compilation cache auto-selects fewer scan iters/reps
-  (NQ_TPU_BENCH_ITERS/_REPS override) so the first-ever run still lands
-  inside the budget.
+  before, ~5 s after (NQ_TPU_BENCH_ITERS/_REPS override the
+  measurement length).
 """
 import json
 import os
@@ -102,13 +100,6 @@ def run_supervisor():
     sys.exit(rc if rc != 0 and not saw_json else 0)
 
 
-def _cache_is_cold(cache_dir: str) -> bool:
-    try:
-        return len(os.listdir(cache_dir)) < 10
-    except OSError:
-        return True
-
-
 def run_measurement():
     import jax
     cache_dir = os.environ.get(
@@ -116,11 +107,11 @@ def run_measurement():
         os.path.join(os.path.expanduser("~"), ".cache", "nq_tpu_jaxcache"))
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    # cache every program, however small/fast to compile: the tunnel's
-    # remote compile dominates, not local codegen
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    cold = _cache_is_cold(cache_dir)
+    # keep jax's DEFAULT cache thresholds (min_compile_time ~1 s): the
+    # big TPU programs all qualify, while the host_eager CPU eager ops
+    # do not -- caching those poisons the cache with XLA:CPU AOT
+    # entries whose machine features don't match on reload
+    # (cpu_aot_loader SIGILL warnings, and the reload path hangs)
 
     import numpy_quant_tpu as nq
     from numpy_quant_tpu import config as nq_config
@@ -195,11 +186,12 @@ def run_measurement():
     x = jax.device_put(x)
     params = qmodel._placed_params()
     fwd = qmodel.lowered_fn()
-    # cold-start mode: a cold compilation cache means the big program
-    # compiles remotely from scratch; spend the remaining budget on
-    # fewer, shorter reps so at least one JSON line lands
-    iters = int(os.environ.get("NQ_TPU_BENCH_ITERS", "32" if cold else "64"))
-    reps = int(os.environ.get("NQ_TPU_BENCH_REPS", "2" if cold else "3"))
+    # full scan length always: a shorter scan under-amortizes the fixed
+    # per-dispatch overhead (measured: iters=32 reads 3% low), and the
+    # budget watchdog -- not a shorter measurement -- is what protects a
+    # cold-cache run (reps cost ~1 s each; compile dominates)
+    iters = int(os.environ.get("NQ_TPU_BENCH_ITERS", "64"))
+    reps = int(os.environ.get("NQ_TPU_BENCH_REPS", "3"))
 
     # Sustained device throughput: scan `iters` forwards inside ONE
     # program. Each step sees a distinct (ppm-perturbed) input, so no

@@ -117,7 +117,16 @@ class Model:
 
     @classmethod
     def from_onnx(cls, onnx_model: onnx_lib.ModelProto) -> "Model":
-        nodes, values, inputs, outputs = import_onnx(onnx_model)
+        # Import on the host CPU backend: initializer payloads become
+        # HOST-committed arrays, so quantize/optimize/pack (also
+        # host_eager) never touch the accelerator, and _placed_params
+        # ships the finished payloads in one batched transfer. On a
+        # remote-attached chip, TPU-committed payloads made every later
+        # eager pass op a synchronous RPC (measured: the round-3 bench
+        # spent 596 s in optimize()).
+        from .config import host_eager
+        with host_eager():
+            nodes, values, inputs, outputs = import_onnx(onnx_model)
         return cls(nodes, values, inputs, outputs)
 
     # ------------------------------------------------------------------
@@ -469,7 +478,10 @@ class Model:
             input_tensors = {v.name: self._wrap_input(a, v)
                              for a, v in zip(arrays, self.inputs)}
             timings = self._profile_buckets() if profile else None
-            data = self._forward(input_tensors, self._device_params(),
+            # placed (not raw) params: payloads are HOST-committed after
+            # from_onnx/quantize (host_eager); placing them keeps every
+            # eager op on ONE device alongside the wrapped inputs
+            data = self._forward(input_tensors, self._placed_params(),
                                  timings=timings, record=record)
             outs = [np.asarray(self._finalize_output(data[o.name]))
                     for o in self.outputs]

@@ -179,7 +179,7 @@ def fake_quant_forward(model: Model, qref: QModel,
     arrays = [np.asarray(a) for a in inputs]
     input_tensors = {v.name: fqm._wrap_input(a, v)
                      for a, v in zip(arrays, fqm.inputs)}
-    data = fqm._forward(input_tensors, fqm._device_params())
+    data = fqm._forward(input_tensors, fqm._placed_params())
     return [np.asarray(fqm._finalize_output(data[o.name]))
             for o in fqm.outputs]
 
