@@ -135,8 +135,7 @@ def generate(model, prompt_ids: np.ndarray, wte: np.ndarray,
     # closure constants: closed-over arrays embed into the HLO as
     # literals, which bloats the program body by the whole model size
     # (and overflows remote-compile request limits at real scale)
-    @jax.jit
-    def run(prompt, params, wte_j):
+    def run(prompt, params, wte_j, key):
         def body(i, carry):
             embeds, ids, key = carry
             t = t0 - 1 + i  # position whose logits predict token t+1
@@ -171,8 +170,19 @@ def generate(model, prompt_ids: np.ndarray, wte: np.ndarray,
             0, max_new_tokens, body, (embeds, ids, key))
         return ids
 
-    out = run(jnp.asarray(prompt_ids, jnp.int32), model._placed_params(),
-              _placed_table(model, "wte", wte))
+    # the jitted loop caches on the model: defining run() fresh per
+    # call is free, but jitting it fresh per call re-traces and
+    # re-lowers the whole unrolled step graph every time (~6.6 s per
+    # GPT-Small decode over a remote-compile tunnel, BENCH_HISTORY.md
+    # round 4). Every closure-baked value is in the key; mutation
+    # invalidates via model._jit_cache.clear().
+    ck = ("generate", batch, t0, int(max_new_tokens), length,
+          temperature, top_k, top_p, min_p, repetition_penalty,
+          bool(jax.config.jax_enable_x64))
+    run_jit = model._jit_cache.setdefault(ck, jax.jit(run))
+    out = run_jit(jnp.asarray(prompt_ids, jnp.int32),
+                  model._placed_params(),
+                  _placed_table(model, "wte", wte), key)
     return np.asarray(out)[:, : t0 + max_new_tokens]
 
 
@@ -245,7 +255,6 @@ def beam_search(model, prompt_ids: np.ndarray, wte: np.ndarray,
             done = done[b_idx, beam_idx] | (tok == eos_id)
         return embeds, ids, top_scores, done
 
-    @jax.jit
     def run(prompt, params, wte_j):
         pe = jnp.take(wte_j, prompt, axis=0)    # [B, T0, H]
         embeds = jnp.zeros((batch, w, length, hidden), jnp.float32)
@@ -262,9 +271,12 @@ def beam_search(model, prompt_ids: np.ndarray, wte: np.ndarray,
             (embeds, ids, scores, done))
         return ids, scores
 
-    ids, scores = run(jnp.asarray(prompt_ids, jnp.int32),
-                      model._placed_params(),
-                      _placed_table(model, "wte", wte))
+    ck = ("beam_search", batch, t0, w, int(max_new_tokens), length,
+          eos_id, bool(jax.config.jax_enable_x64))
+    run_jit = model._jit_cache.setdefault(ck, jax.jit(run))
+    ids, scores = run_jit(jnp.asarray(prompt_ids, jnp.int32),
+                          model._placed_params(),
+                          _placed_table(model, "wte", wte))
     return (np.asarray(ids)[:, :, : t0 + max_new_tokens],
             np.asarray(scores))
 
@@ -366,7 +378,6 @@ def generate_speculative(target_model, draft_model, prompt_ids: np.ndarray,
         t = jnp.minimum(t + n + 1, total).astype(jnp.int32)
         return ids, emb_t, emb_d, t, rounds + jnp.int32(1)
 
-    @jax.jit
     def run(prompt, params_t, params_d, wte_t, wte_d):
         ids = jnp.zeros((batch, total), jnp.int32).at[:, :t0].set(prompt)
         emb_t = jnp.zeros((batch, lt, wte_t.shape[1]), jnp.float32) \
@@ -380,11 +391,18 @@ def generate_speculative(target_model, draft_model, prompt_ids: np.ndarray,
             lambda c: body(c, params_t, params_d, wte_t, wte_d), carry)
         return ids, rounds
 
-    ids, rounds = run(jnp.asarray(prompt_ids, jnp.int32),
-                      target_model._placed_params(),
-                      draft_model._placed_params(),
-                      _placed_table(target_model, "wte", wte_target),
-                      _placed_table(draft_model, "wte", wte_draft))
+    # cached on the TARGET model; the value holds a strong draft ref
+    # so the id() key can never alias a different (collected) draft
+    ck = ("generate_speculative", batch, t0, int(max_new_tokens), k,
+          lt, ld, id(draft_model), bool(jax.config.jax_enable_x64))
+    if ck not in target_model._jit_cache:
+        target_model._jit_cache[ck] = (jax.jit(run), draft_model)
+    run_jit = target_model._jit_cache[ck][0]
+    ids, rounds = run_jit(jnp.asarray(prompt_ids, jnp.int32),
+                          target_model._placed_params(),
+                          draft_model._placed_params(),
+                          _placed_table(target_model, "wte", wte_target),
+                          _placed_table(draft_model, "wte", wte_draft))
     return np.asarray(ids), int(rounds)
 
 
@@ -445,8 +463,7 @@ def generate_seq2seq(enc_model, dec_model, src_ids: np.ndarray,
             ids, nxt[:, None], i + 1, axis=1)
         return embeds, ids, memory, key
 
-    @jax.jit
-    def run(src, enc_params, dec_params, wte_j):
+    def run(src, enc_params, dec_params, wte_j, key):
         enc_in = src if jnp.issubdtype(src.dtype, jnp.floating) \
             else jnp.take(wte_j, src, axis=0)
         memory = enc_fwd([enc_in], enc_params)[0]
@@ -462,9 +479,15 @@ def generate_seq2seq(enc_model, dec_model, src_ids: np.ndarray,
 
     src = jnp.asarray(src_ids) if np.issubdtype(src_ids.dtype, np.floating) \
         else jnp.asarray(src_ids, jnp.int32)
-    out = run(src,
-              enc_model._placed_params(), dec_model._placed_params(),
-              _placed_table(dec_model, "wte", wte))
+    ck = ("generate_seq2seq", batch, length, int(max_new_tokens),
+          decoder_start_id, temperature, top_k, top_p, id(enc_model),
+          bool(jax.config.jax_enable_x64))
+    if ck not in dec_model._jit_cache:
+        # strong encoder ref rides with the entry (id() stability)
+        dec_model._jit_cache[ck] = (jax.jit(run), enc_model)
+    out = dec_model._jit_cache[ck][0](
+        src, enc_model._placed_params(), dec_model._placed_params(),
+        _placed_table(dec_model, "wte", wte), key)
     return np.asarray(out)[:, : 1 + max_new_tokens]
 
 
@@ -582,8 +605,8 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
 
     # params and the embedding/RoPE tables enter as jit ARGUMENTS, not
     # closure constants (closed-over arrays embed into the HLO body)
-    @jax.jit
-    def run(prompt, params, wte_j, wpe_j, cos_j, sin_j, bias_j, mem_j):
+    def run(prompt, params, wte_j, wpe_j, cos_j, sin_j, bias_j, mem_j,
+            key):
         def body(t, carry):
             ids, caches, key = carry
             tok = jnp.take(ids, t, axis=1)
@@ -644,9 +667,13 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
                                       (ids, caches, key))
         return ids
 
-    return np.asarray(run(jnp.asarray(prompt_ids, jnp.int32),
-                          step_model._placed_params(), wte_j, wpe_j,
-                          cos_j, sin_j, bias_j, mem_j))
+    ck = ("generate_kv", batch, t0, int(max_new_tokens), kv_cache_dtype,
+          rope is None, temperature, top_k, top_p, min_p,
+          repetition_penalty, bool(jax.config.jax_enable_x64))
+    run_jit = step_model._jit_cache.setdefault(ck, jax.jit(run))
+    return np.asarray(run_jit(jnp.asarray(prompt_ids, jnp.int32),
+                              step_model._placed_params(), wte_j, wpe_j,
+                              cos_j, sin_j, bias_j, mem_j, key))
 
 
 def decode_calibration(step_model, prompt_ids: np.ndarray,
@@ -721,8 +748,7 @@ def generate_mamba(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
     sampling = (temperature is not None or top_k is not None
                 or top_p is not None or min_p is not None)
 
-    @jax.jit
-    def run(prompt, params, wte_j):
+    def run(prompt, params, wte_j, key):
         def body(t, carry):
             ids, states, key = carry
             tok = jnp.take(ids, t, axis=1)
@@ -756,8 +782,12 @@ def generate_mamba(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
                                       (ids, states, key))
         return ids
 
-    return np.asarray(run(jnp.asarray(prompt_ids, jnp.int32),
-                          step_model._placed_params(), wte_j))
+    ck = ("generate_mamba", batch, t0, int(max_new_tokens),
+          temperature, top_k, top_p, min_p, repetition_penalty,
+          bool(jax.config.jax_enable_x64))
+    run_jit = step_model._jit_cache.setdefault(ck, jax.jit(run))
+    return np.asarray(run_jit(jnp.asarray(prompt_ids, jnp.int32),
+                              step_model._placed_params(), wte_j, key))
 
 
 def mamba_decode_calibration(step_model, prompt_ids: np.ndarray,
