@@ -526,15 +526,31 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
             s = w.scale
             if getattr(s, "ndim", 0) == 2 and s.shape[0] > 1:
                 # grouped scales (quantize_weights group_size=): stored
-                # compactly [K/g, N], expanded here inside the operand
-                # fusion -- HBM holds int payload + the small scale grid
+                # compactly [K/g, N]. The dot runs GROUP-BATCHED --
+                # y = sum_g (x_g @ W_g) * s[g] -- instead of expanding
+                # the scales to a full [K, N] dequantized weight: the
+                # reshape-multiply-reshape expansion cannot fuse into
+                # the dot's operand load, so XLA materializes (and, in
+                # a decode loop, HOISTS) a full f32 weight copy whose
+                # per-step HBM read erases the narrow-weight win
+                # (measured: w4-grouped == float at 3.65 ms/step vs
+                # w8's 2.51, BENCH_HISTORY round 4). The group-batched
+                # form reads the int payload + the small scale grid;
+                # the [..., K/g, N] partial sums scale in registers.
+                from .. import config as _config
                 kdim, ncol = w.data.shape
-                gsz = kdim // int(s.shape[0])
-                deq = (jnp.asarray(w.data).astype(jnp.float32)
-                       .reshape(int(s.shape[0]), gsz, ncol)
-                       * jnp.asarray(s, jnp.float32)[:, None, :]) \
-                    .reshape(kdim, ncol)
-                return [a.matmul(FTensor(deq))]
+                g = int(s.shape[0])
+                gsz = kdim // g
+                xd = a.data
+                x3 = xd.reshape(*xd.shape[:-1], g, gsz)
+                wq = jnp.asarray(w.data).reshape(g, gsz, ncol) \
+                    .astype(xd.dtype)
+                part = jnp.einsum(
+                    "...gk,gkn->...gn", x3, wq,
+                    precision=_config.float_matmul_precision)
+                sg = jnp.asarray(s, jnp.float32).astype(xd.dtype)
+                y = jnp.sum(part * sg, axis=-2)
+                return [FTensor(y)]
             return [a.matmul(w.dequantize())]
         if isinstance(b, PackedQTensor):
             from .. import config as _config
