@@ -57,6 +57,24 @@ PEAK_HBM_GBPS = float(os.environ.get("NQ_TPU_PEAK_HBM_GBPS", "819"))
 TRACE_DIR = os.environ.get("NQ_TPU_TRACE_DIR", "/tmp/nq_tpu_decode_trace")
 
 
+def apply_serving_precision():
+    """NQ_TPU_DECODE_PRECISION=default switches float matmuls off
+    Precision.HIGHEST (the parity default: 6-pass bf16 emulation per
+    f32 dot) onto the serving precision; NQ_TPU_DECODE_BF16=1
+    additionally runs the float data plane in bfloat16. Decode rows are
+    weight-read bound, but the dot passes still pay the HIGHEST
+    multiplier; these knobs measure the serving configs."""
+    import jax
+
+    from numpy_quant_tpu import config as nq_config
+    if os.environ.get("NQ_TPU_DECODE_PRECISION") == "default":
+        nq_config.float_matmul_precision = jax.lax.Precision.DEFAULT
+    if os.environ.get("NQ_TPU_DECODE_BF16") == "1":
+        import jax.numpy as jnp
+        nq_config.float_dtype = jnp.bfloat16
+        nq_config.float_matmul_precision = jax.lax.Precision.DEFAULT
+
+
 def gpt_cfg():
     from transformers import GPT2Config
     if TINY:
@@ -230,6 +248,8 @@ def main(json_path=None):
     import numpy_quant_tpu as nq
     from numpy_quant_tpu.utils import generate_kv
 
+    apply_serving_precision()
+
     only = None
     if "--only" in sys.argv:
         only = sys.argv[sys.argv.index("--only") + 1]
@@ -335,9 +355,16 @@ def main(json_path=None):
             b.reset()
             return b.run(workload)
 
+        cb_chunk = ContinuousBatcher(step, step_p._wte, step_p._wpe,
+                                     steps_per_sync=8)
         runs.append(("cb-2x", "float", None, 0, lambda: run_cb(cb_plain)))
         runs.append(("cb-2x-prefill", "float", None, 0,
                      lambda: run_cb(cb_pre)))
+        # chunked engine: 8 inner decode steps per dispatched program,
+        # amortizing the per-step host sync (the online-serving tax on
+        # a remote-attached chip) -- bit-identical tokens
+        runs.append(("cb-2x-sync8", "float", None, 0,
+                     lambda: run_cb(cb_chunk)))
     results = []
     dispatch = measure_dispatch_overhead()
     print(f"# dispatch overhead {dispatch * 1e3:.1f} ms", flush=True)

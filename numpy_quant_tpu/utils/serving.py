@@ -106,9 +106,22 @@ class ContinuousBatcher:
                  has_memory: bool = False, eos_id: int = None,
                  kv_cache_dtype: str = None, prefill_model=None,
                  state_carry: bool = False, max_len: int = None,
-                 paged_kv: tuple = None, key=None):
+                 paged_kv: tuple = None, key=None,
+                 steps_per_sync: int = 1):
         self.model = step_model
         self.eos_id = eos_id
+        # steps_per_sync > 1 amortizes the per-step host round trip
+        # (the online-admission price: one dispatch + done-mask pull per
+        # token) over k inner decode steps compiled into ONE program:
+        # a slot that finishes mid-chunk freezes (its inner active mask
+        # drops), so tokens are identical to lockstep stepping; the
+        # tradeoffs are admission latency (free slots refill only at
+        # chunk boundaries) and up to k-1 wasted masked steps per
+        # retirement. On a remote-attached chip the sync costs ~26 ms
+        # per step, so k=8 is ~8x engine throughput (BENCH_HISTORY
+        # round 4); on a locally-attached host the sync is ~0.1 ms and
+        # k=1 keeps admission latency minimal.
+        self._chunk = max(1, int(steps_per_sync))
         self._base_key = (jax.random.PRNGKey(0) if key is None else key)
         self._state_carry = bool(state_carry)
         if state_carry:
@@ -383,7 +396,34 @@ class ContinuousBatcher:
                 done = done | (active & ~in_prompt & (emitted == eos))
             return ids, new_pos, done, caches
 
-        return step
+        if self._chunk == 1:
+            return step
+        chunk = self._chunk
+
+        def chunked(ids, pos, plen, tmax, active, caches, table, params,
+                    wte, wpe, cos, sin, bias, mem, temp, key):
+            """k inner decode steps in ONE program: a slot drops out
+            of the inner active mask the step it finishes, so its
+            ids/pos freeze exactly as they would under lockstep
+            stepping (bit-identical results, fewer host syncs)."""
+            def body(i, carry):
+                ids, pos, act, done_acc, caches, nact = carry
+                nact = nact + jnp.sum(act.astype(jnp.int32)) \
+                    .astype(jnp.int32)
+                ids, pos, done, caches = step(
+                    ids, pos, plen, tmax, act, caches, table, params,
+                    wte, wpe, cos, sin, bias, mem, temp,
+                    jax.random.fold_in(key, i))
+                return (ids, pos, act & ~done, done_acc | done, caches,
+                        nact)
+
+            done0 = jnp.zeros_like(active)
+            ids, pos, _, done, caches, nact = jax.lax.fori_loop(
+                0, chunk, body,
+                (ids, pos, active, done0, caches, jnp.int32(0)))
+            return ids, pos, done, caches, nact
+
+        return chunked
 
     # ------------------------------------------------- paged block pool
 
@@ -434,9 +474,10 @@ class ContinuousBatcher:
         self.stats["preemptions"] += 1
 
     def _ensure_blocks(self) -> None:
-        """Before a step, every active slot must own the block its
-        write position lands in; preempt the youngest request until the
-        pool covers the rest."""
+        """Before a step, every active slot must own the blocks its
+        next ``steps_per_sync`` write positions land in (the chunked
+        program advances without host allocation); preempt the youngest
+        request until the pool covers the rest."""
         blk = self._paged[0]
         while True:
             pos_h = np.asarray(self._pos)
@@ -444,7 +485,8 @@ class ContinuousBatcher:
             for slot in range(self.n_slots):
                 if self._slots[slot] is None:
                     continue
-                if not self._alloc_upto(slot, int(pos_h[slot]) // blk + 1):
+                last = int(pos_h[slot]) + self._chunk - 1
+                if not self._alloc_upto(slot, last // blk + 1):
                     ok = False
                     break
             if ok:
@@ -626,7 +668,7 @@ class ContinuousBatcher:
             return sorted(early, key=lambda t: t[0])
         if self._paged is not None:
             self._ensure_blocks()
-        ids, pos, done, caches = self._step_fn(
+        out = self._step_fn(
             self._ids, self._pos, self._plen, self._tmax, self._active,
             self._caches,
             self._table if self._paged is not None else None,
@@ -634,9 +676,15 @@ class ContinuousBatcher:
             self._wpe, self._cos, self._sin, self._bias, self._memory,
             self._temp,
             jax.random.fold_in(self._base_key, self.stats["steps"]))
+        if self._chunk == 1:
+            ids, pos, done, caches = out
+            n_slot_steps = self.n_active
+        else:
+            ids, pos, done, caches, nact = out
+            n_slot_steps = int(np.asarray(nact))
         self._ids, self._pos, self._caches = ids, pos, caches
-        self.stats["steps"] += 1
-        self.stats["slot_steps"] += self.n_active
+        self.stats["steps"] += self._chunk
+        self.stats["slot_steps"] += n_slot_steps
         finished = early
         done_h = np.asarray(done)
         if done_h.any():

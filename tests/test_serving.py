@@ -377,3 +377,48 @@ def test_per_request_temperature(gpt_steps):
     assert s3.shape == s1.shape  # a different key may (usually does)
     # change the continuation; the prompt prefix never changes
     np.testing.assert_array_equal(s3[:2], ps)
+
+
+def test_steps_per_sync_matches_lockstep(gpt_steps):
+    """steps_per_sync > 1 (k inner decode steps per dispatched program,
+    amortizing the per-step host sync) produces bit-identical tokens to
+    the k=1 engine: a slot finishing mid-chunk freezes via the inner
+    active mask. Covers ragged budgets, EOS retirement and paged KV."""
+    engine, oracle, proto = gpt_steps
+    reqs = [(RNG.integers(0, 96, size=(k,)).astype(np.int32), n)
+            for k, n in [(1, 6), (3, 4), (2, 8), (5, 3), (4, 5)]]
+
+    base = ContinuousBatcher(engine, proto._wte, proto._wpe)
+    want = base.run([(p, n) for p, n in reqs])
+    for k in (2, 4):
+        b = ContinuousBatcher(engine, proto._wte, proto._wpe,
+                              steps_per_sync=k)
+        got = b.run([(p, n) for p, n in reqs])
+        assert len(got) == len(want)
+        for rid in want:
+            np.testing.assert_array_equal(got[rid], want[rid],
+                                          err_msg=f"k={k} req {rid}")
+        # the host sync count really dropped
+        assert b.stats["steps"] <= base.stats["steps"] + k
+
+    # EOS retirement mid-chunk: the emitted row still ends at the EOS
+    eos = 7
+    b1 = ContinuousBatcher(engine, proto._wte, proto._wpe, eos_id=eos)
+    bk = ContinuousBatcher(engine, proto._wte, proto._wpe, eos_id=eos,
+                           steps_per_sync=4)
+    p = RNG.integers(0, 96, size=(2,)).astype(np.int32)
+    w = b1.run([(p, 8)])
+    g = bk.run([(p, 8)])
+    np.testing.assert_array_equal(g[0], w[0])
+
+    # paged KV: the chunk lookahead pre-allocates the blocks the inner
+    # steps will cross
+    bp1 = ContinuousBatcher(engine, proto._wte, proto._wpe,
+                            paged_kv=(4, 16))
+    bpk = ContinuousBatcher(engine, proto._wte, proto._wpe,
+                            paged_kv=(4, 16), steps_per_sync=4)
+    wp = bp1.run([(p2, n) for p2, n in reqs[:3]])
+    gp = bpk.run([(p2, n) for p2, n in reqs[:3]])
+    for rid in wp:
+        np.testing.assert_array_equal(gp[rid], wp[rid],
+                                      err_msg=f"paged k=4 req {rid}")
