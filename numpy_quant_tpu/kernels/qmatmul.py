@@ -178,8 +178,18 @@ def splitk_qmatmul(x, packed, colsum, bias=None, w_scale_vec=None, *,
 
     block_m = min(block_m, _round_up(m, 8))
     block_n = min(block_n, _round_up(n, 128))
-    mp, np_ = _round_up(m, block_m), _round_up(n, block_n)
     krp = _round_up(kr, 128)  # sub-dot contraction dim: MXU-tile aligned
+    # scoped-vmem cap: the unpack materializes an int32 [krp, block_n]
+    # intermediate per sub-dot (plus the x block and packed block); at
+    # large K the default block_n blows the ~16 MB scoped limit
+    # (measured: K=8192 -> 24.7 MB). Halve block_n until the dominant
+    # intermediates fit a conservative budget.
+    r_fields = 8 // bits
+    while block_n > 128 and (krp * block_n * 5          # i32 unpack + u8
+                             + block_m * r_fields * krp * 4   # x block
+                             + block_m * block_n * 8) > 12 * 1024 * 1024:
+        block_n //= 2
+    mp, np_ = _round_up(m, block_m), _round_up(n, block_n)
     if (kr, n) != (krp, np_):
         packed = jnp.pad(packed, ((0, krp - kr), (0, np_ - n)),
                          constant_values=_splitk_pad_byte(bits))

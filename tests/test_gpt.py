@@ -190,7 +190,7 @@ def test_generate_benchmark_tiny_smoke():
     assert r.returncode == 0, r.stderr[-2000:]
     recs = [json.loads(ln) for ln in r.stdout.splitlines()
             if ln.startswith("{")]
-    assert len(recs) == 10
+    assert len(recs) == 11  # incl. the steps_per_sync=8 engine row
     assert all(rec["tokens_per_sec"] > 0 for rec in recs)
 
 
