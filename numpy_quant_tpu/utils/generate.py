@@ -491,6 +491,16 @@ def generate_seq2seq(enc_model, dec_model, src_ids: np.ndarray,
     return np.asarray(out)[:, : 1 + max_new_tokens]
 
 
+def _kv_loop_key(batch, t0, max_new_tokens, kv_cache_dtype, rope,
+                 temperature, top_k, top_p, min_p, repetition_penalty):
+    """Cache key for generate_kv's jitted loop: every value the closure
+    bakes into the trace. utils/aot.py rebuilds it to export the cached
+    program (save_decode_loop)."""
+    return ("generate_kv", batch, t0, int(max_new_tokens),
+            kv_cache_dtype, rope is None, temperature, top_k, top_p,
+            min_p, repetition_penalty, bool(jax.config.jax_enable_x64))
+
+
 def _kv_layout(step_model, cache_start: int = 2):
     """(n_layer, batch, heads, max_len, head_dim) from the decode-step
     graph's input hints (models/gpt.py gpt_decode_step input order;
@@ -667,9 +677,9 @@ def generate_kv(step_model, prompt_ids: np.ndarray, wte: np.ndarray,
                                       (ids, caches, key))
         return ids
 
-    ck = ("generate_kv", batch, t0, int(max_new_tokens), kv_cache_dtype,
-          rope is None, temperature, top_k, top_p, min_p,
-          repetition_penalty, bool(jax.config.jax_enable_x64))
+    ck = _kv_loop_key(batch, t0, max_new_tokens, kv_cache_dtype,
+                      rope, temperature, top_k, top_p, min_p,
+                      repetition_penalty)
     run_jit = step_model._jit_cache.setdefault(ck, jax.jit(run))
     return np.asarray(run_jit(jnp.asarray(prompt_ids, jnp.int32),
                               step_model._placed_params(), wte_j, wpe_j,

@@ -414,3 +414,40 @@ def test_save_qmodel_external_data(tmp_path):
     assert os.path.exists(p + ".data")
     q2 = load_qmodel(p)
     np.testing.assert_array_equal(np.asarray(q2([x])[0]), want)
+
+
+def test_aot_decode_loop_roundtrip(tmp_path):
+    """save_decode_loop/load_decode_loop: the WHOLE decode loop
+    (teacher-forced prefill + generation) round-trips through a
+    StableHLO artifact -- reloaded with jax+numpy alone, token-equal to
+    generate_kv on the trained fixture, at full task accuracy."""
+    from numpy_quant_tpu.models import text_fixture as TF
+    from numpy_quant_tpu.utils import generate_kv
+    from numpy_quant_tpu.utils.aot import load_decode_loop, save_decode_loop
+
+    proto = TF.trained_gpt_decode_onnx(batch_size=4)
+    model = nq.Model.from_onnx(proto)
+    prompts, expected = TF.make_prompts(np.random.default_rng(9), 4)
+    prompts = prompts.astype(np.int32)
+    want = generate_kv(model, prompts, proto._wte, proto._wpe,
+                       max_new_tokens=TF.COPY_LEN)
+
+    path = str(tmp_path / "decode_loop.npz")
+    save_decode_loop(model, path, proto._wte, proto._wpe, prompts,
+                     max_new_tokens=TF.COPY_LEN)
+    fn = load_decode_loop(path)
+    got = fn(prompts)
+    np.testing.assert_array_equal(got, want)
+    assert TF.copy_accuracy(got[:, TF.COPY_LEN + 1:], expected) == 1.0
+    # a DIFFERENT prompt batch through the same artifact
+    p2, e2 = TF.make_prompts(np.random.default_rng(10), 4)
+    got2 = fn(p2.astype(np.int32))
+    np.testing.assert_array_equal(
+        got2, generate_kv(model, p2.astype(np.int32), proto._wte,
+                          proto._wpe, max_new_tokens=TF.COPY_LEN))
+
+    # wrong-artifact guard
+    import pytest
+    from numpy_quant_tpu.utils.aot import load_compiled
+    with pytest.raises(ValueError, match="decode"):
+        load_compiled(path)
