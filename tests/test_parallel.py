@@ -489,3 +489,57 @@ def test_tp_continuous_batcher_matches_single_device():
     assert len(got) == len(expected)
     for g, e in zip(got, expected):
         np.testing.assert_array_equal(g, e)
+
+
+@requires_8_devices
+def test_pipeline_parallel_gpipe_matches_single_device():
+    """GPipe pipeline parallelism (parallel/pipeline.py): the trained
+    GPT splits into 4 stages at residual cut points; the whole
+    schedule is ONE shard_map program over a 4-device 'pipe' axis with
+    ppermute moving microbatch activations between stages. Outputs
+    match the unpipelined model to f32 ulps (XLA tiles the dots
+    differently at microbatch size; the values are the same numbers up
+    to reduction-order rounding) with exact argmax. Weight-only stages
+    pipeline too; QModel stages are rejected (boundary re-quantization
+    would change numerics)."""
+    from numpy_quant_tpu.models import text_fixture as TF
+    from numpy_quant_tpu.parallel.mesh import make_mesh
+    from numpy_quant_tpu.parallel.pipeline import (pipeline_forward,
+                                                   split_stages)
+
+    B, M, S = 8, 4, 4
+    proto = TF.trained_gpt_onnx(batch_size=B)
+    model = nq.Model.from_onnx(proto)
+    ids = TF.make_copy_batch(np.random.default_rng(4), B)
+    x = np.take(proto._wte, ids, axis=0).astype(np.float32)
+    want = np.asarray(model([x])[0])
+
+    stages = split_stages(model, S)
+    assert len(stages) == S
+    mesh = make_mesh(S, axes=("pipe",), shape=(S,))
+    got = pipeline_forward(stages, mesh, x,
+                           (want.shape, want.dtype), n_microbatches=M)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+    # weight-only stages (int8 weights, float compute) pipeline exactly
+    wmodel = nq.Model.from_onnx(proto)
+    wmodel.quantize_weights(bit_width=8)
+    w_want = np.asarray(wmodel([x])[0])
+    w_stages = split_stages(wmodel, S)
+    w_got = pipeline_forward(w_stages, mesh, x,
+                             (w_want.shape, w_want.dtype),
+                             n_microbatches=M)
+    np.testing.assert_allclose(w_got, w_want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(w_got.argmax(-1), w_want.argmax(-1))
+
+    # 2-stage split on a 2-device pipe also exact (different balance)
+    mesh2 = make_mesh(2, axes=("pipe",), shape=(2,))
+    got2 = pipeline_forward(split_stages(model, 2), mesh2, x,
+                            (want.shape, want.dtype), n_microbatches=4)
+    np.testing.assert_allclose(got2, want, rtol=1e-4, atol=1e-5)
+
+    # QModel stages are rejected with a clear message
+    q = model.quantize([x], bit_width=8)
+    with pytest.raises(NotImplementedError, match="weight-only"):
+        split_stages(q, S)
