@@ -21,6 +21,7 @@ from .generate import (beam_search, decode_calibration, generate,
                        generate_speculative)
 from .calibration import kl_calibrated_stats, mse_clipped_stats
 from .serving import ContinuousBatcher
-from .aot import load_compiled, save_compiled
+from .aot import (load_compiled, load_decode_loop, save_compiled,
+                  save_decode_loop)
 from .sensitivity import plan_mixed_precision, weight_sensitivity
 from .summary import summarize
