@@ -53,8 +53,14 @@ def run_supervisor():
 
     budget = float(os.environ.get("NQ_TPU_BENCH_BUDGET", DEFAULT_BUDGET))
     env = dict(os.environ, NQ_TPU_BENCH_CHILD="1")
-    child = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
-                             env=env, stdout=subprocess.PIPE, text=True)
+    # test hook: substitute the measurement child with an arbitrary
+    # command (tests/test_utils.py exercises the budget-kill /
+    # best-so-far / no-measurement paths without a chip)
+    cmd_override = os.environ.get("NQ_TPU_BENCH_CHILD_CMD")
+    cmd = ([sys.executable, "-c", cmd_override] if cmd_override
+           else [sys.executable, os.path.abspath(__file__)])
+    child = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
+                             text=True)
     deadline = time.time() + budget
     saw_json = False
     import selectors
