@@ -422,3 +422,25 @@ def test_steps_per_sync_matches_lockstep(gpt_steps):
     for rid in wp:
         np.testing.assert_array_equal(gp[rid], wp[rid],
                                       err_msg=f"paged k=4 req {rid}")
+
+
+def test_steps_per_sync_with_prefill_admission(gpt_steps):
+    """steps_per_sync composes with the one-call prefill fast path:
+    admission fills the slot's cache via gpt_prefill, then chunks of 4
+    decode steps run per dispatch -- tokens equal the k=1 engine."""
+    from numpy_quant_tpu.models.gpt import gpt_prefill
+
+    engine, oracle, proto = gpt_steps
+    pre = nq.Model.from_onnx(gpt_prefill(prefill_len=6,
+                                         module=proto._torch_module))
+    reqs = [(RNG.integers(0, 96, size=(k,)).astype(np.int32), n)
+            for k, n in [(4, 5), (2, 7), (6, 4), (3, 6)]]
+    base = ContinuousBatcher(engine, proto._wte, proto._wpe,
+                             prefill_model=pre)
+    want = base.run([(p, n) for p, n in reqs])
+    bk = ContinuousBatcher(engine, proto._wte, proto._wpe,
+                           prefill_model=pre, steps_per_sync=4)
+    got = bk.run([(p, n) for p, n in reqs])
+    for rid in want:
+        np.testing.assert_array_equal(got[rid], want[rid],
+                                      err_msg=f"req {rid}")
