@@ -85,6 +85,14 @@ def run_supervisor():
                     saw_json = True
         if child.poll() is not None and not events:
             break
+    if buf:
+        # flush a partial final line (output without a trailing newline,
+        # e.g. the child was killed mid-write): it may hold the last
+        # best-so-far JSON measurement
+        print(buf, flush=True)
+        if buf.startswith("{") and '"value"' in buf:
+            saw_json = True
+        buf = ""
     if child.poll() is None:
         # budget exhausted: kill the child (it may be stuck in a C++
         # compile call where SIGALRM can't be delivered) and keep

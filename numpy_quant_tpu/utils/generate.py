@@ -37,12 +37,17 @@ def _placed_table(model, name: str, arr, dtype=None):
     if arr is None:
         return None
     cache = model.__dict__.setdefault("_table_cache", {})
+    mesh = getattr(model, "mesh", None)
     hit = cache.get(name)
-    if hit is not None and hit[0] is arr:
-        return hit[1]
+    # a cache hit also requires the model's mesh to be the one the
+    # table was placed for: shard_model() after placement would
+    # otherwise leave a stale single-device-committed table that
+    # errors when mixed with mesh-sharded params in one jit call
+    if hit is not None and hit[0] is arr and hit[1] is mesh:
+        return hit[2]
     host = np.asarray(arr, np.dtype(dtype) if dtype is not None
                       else np.float32)
-    if getattr(model, "mesh", None) is not None:
+    if mesh is not None:
         # sharded model: replicate the table onto the mesh (mixing a
         # single-device-committed array with mesh-sharded params in one
         # jit call is an error)
@@ -51,7 +56,7 @@ def _placed_table(model, name: str, arr, dtype=None):
                                                  PartitionSpec()))
     else:
         dev = jax.device_put(host, jax.devices()[0])
-    cache[name] = (arr, dev)
+    cache[name] = (arr, mesh, dev)
     return dev
 
 

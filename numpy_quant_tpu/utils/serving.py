@@ -153,19 +153,13 @@ class ContinuousBatcher:
             b, nh, length, hd = step_model.inputs[cache_start].shape_hint
             self.n_slots, self.max_len = int(b), int(length)
             self._layout = (n_layer, int(nh), int(hd))
-        # device-resident tables, placed once (replicated onto the mesh
-        # for a sharded step model -- generate._placed_table)
-        from .generate import _placed_table
-        self._wte = _placed_table(step_model, "wte", wte)
-        self._wpe = _placed_table(step_model, "wpe", wpe)
-        if rope is not None:
-            self._cos = _placed_table(step_model, "rope_cos",
-                                      rope[0])  # [1,1,L,D]
-            self._sin = _placed_table(step_model, "rope_sin", rope[1])
-        else:
-            self._cos = self._sin = None
-        self._bias = _placed_table(step_model, "score_bias",
-                                   score_bias)  # [L,H,L+1]
+        # device-resident tables, re-resolved through the model's
+        # _placed_table cache before every dispatch: a resolve is an
+        # ``is`` check when nothing changed, and shard_model() (which
+        # pops the cache) after construction re-places them onto the
+        # mesh instead of leaving stale single-device-committed arrays
+        self._table_srcs = (wte, wpe, rope, score_bias)
+        self._resolve_tables()
         if has_memory:
             mem_hint = step_model.inputs[cache_start - 1].shape_hint
             self._memory = jnp.zeros(tuple(int(d) for d in mem_hint),
@@ -273,6 +267,24 @@ class ContinuousBatcher:
         self._step_fn = jax.jit(self._build_step())
 
     # ---------------------------------------------------------- step fn
+
+    def _resolve_tables(self) -> None:
+        """(Re-)place the embedding/RoPE/bias tables through the step
+        model's ``_placed_table`` cache -- an ``is`` check per table
+        when nothing changed, a fresh mesh-replicated placement after
+        ``shard_model`` popped the cache."""
+        from .generate import _placed_table
+        wte, wpe, rope, score_bias = self._table_srcs
+        self._wte = _placed_table(self.model, "wte", wte)
+        self._wpe = _placed_table(self.model, "wpe", wpe)
+        if rope is not None:
+            self._cos = _placed_table(self.model, "rope_cos",
+                                      rope[0])  # [1,1,L,D]
+            self._sin = _placed_table(self.model, "rope_sin", rope[1])
+        else:
+            self._cos = self._sin = None
+        self._bias = _placed_table(self.model, "score_bias",
+                                   score_bias)  # [L,H,L+1]
 
     def _q_cache(self, x, idx: int):
         qp = self._cache_qps[idx]
@@ -405,7 +417,15 @@ class ContinuousBatcher:
             """k inner decode steps in ONE program: a slot drops out
             of the inner active mask the step it finishes, so its
             ids/pos freeze exactly as they would under lockstep
-            stepping (bit-identical results, fewer host syncs)."""
+            stepping (bit-identical results, fewer host syncs).
+
+            ``key`` is ``(base_key, step0)``: inner step ``i`` folds
+            the ABSOLUTE step index ``step0 + i`` into the base key --
+            the same ``fold_in(base, global_step)`` the k=1 engine
+            uses -- so temperature-sampled tokens are bit-identical to
+            lockstep stepping too, not just greedy ones."""
+            base_key, step0 = key
+
             def body(i, carry):
                 ids, pos, act, done_acc, caches, nact = carry
                 nact = nact + jnp.sum(act.astype(jnp.int32)) \
@@ -413,7 +433,7 @@ class ContinuousBatcher:
                 ids, pos, done, caches = step(
                     ids, pos, plen, tmax, act, caches, table, params,
                     wte, wpe, cos, sin, bias, mem, temp,
-                    jax.random.fold_in(key, i))
+                    jax.random.fold_in(base_key, step0 + i))
                 return (ids, pos, act & ~done, done_acc | done, caches,
                         nact)
 
@@ -668,6 +688,7 @@ class ContinuousBatcher:
             return sorted(early, key=lambda t: t[0])
         if self._paged is not None:
             self._ensure_blocks()
+        self._resolve_tables()
         out = self._step_fn(
             self._ids, self._pos, self._plen, self._tmax, self._active,
             self._caches,
@@ -675,7 +696,9 @@ class ContinuousBatcher:
             self.model._placed_params(), self._wte,
             self._wpe, self._cos, self._sin, self._bias, self._memory,
             self._temp,
-            jax.random.fold_in(self._base_key, self.stats["steps"]))
+            jax.random.fold_in(self._base_key, self.stats["steps"])
+            if self._chunk == 1 else
+            (self._base_key, jnp.int32(self.stats["steps"])))
         if self._chunk == 1:
             ids, pos, done, caches = out
             n_slot_steps = self.n_active

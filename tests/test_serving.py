@@ -444,3 +444,36 @@ def test_steps_per_sync_with_prefill_admission(gpt_steps):
     for rid in want:
         np.testing.assert_array_equal(got[rid], want[rid],
                                       err_msg=f"req {rid}")
+
+def test_steps_per_sync_sampled_matches_lockstep(gpt_steps):
+    """Temperature sampling under steps_per_sync>1 is bit-identical to
+    the k=1 engine: the chunked program folds the ABSOLUTE global step
+    index into the base PRNG key (fold_in(base, step0 + i)), exactly
+    the fold_in(base, step) the lockstep engine uses. (Round-4 advisor
+    finding: the old fold_in(fold_in(base, c*k), i) derivation gave
+    sampled requests different tokens.)"""
+    import jax
+
+    engine, oracle, proto = gpt_steps
+    prompts = [RNG.integers(0, 96, size=(n,)).astype(np.int32)
+               for n in (2, 3, 1)]   # <= 3 slots: same slots, same steps
+
+    def run(k):
+        b = ContinuousBatcher(engine, proto._wte, proto._wpe,
+                              key=jax.random.PRNGKey(11),
+                              steps_per_sync=k)
+        rids = [b.submit(p, 5 + i, temperature=0.0 if i == 0 else 4.0)
+                for i, p in enumerate(prompts)]
+        out = {}
+        while b.n_active or b.n_queued:
+            for rid, toks in b.step():
+                out[rid] = toks
+        return [out[r] for r in rids]
+
+    want = run(1)
+    assert len(want) == 3
+    for k in (2, 4):
+        got = run(k)
+        for i, (w, g) in enumerate(zip(want, got)):
+            np.testing.assert_array_equal(
+                g, w, err_msg=f"k={k} request {i} (sampled)")
