@@ -649,6 +649,18 @@ class Model:
         from .bnfold import fold_batchnorm
         return fold_batchnorm(self)
 
+    def fuse_decode_attention(self) -> int:
+        """Fuse KV-cache decode-step attention chains ([B,1,H] query,
+        scores over [cache | current], slice/context) into single
+        DecodeAttention nodes -- float dots with the cache dequantize
+        fused into the operands, eliminating the per-step
+        zero-point-correction reduces over the whole cache and the
+        per-dot kernel zoo at M=1. Works on float models and QModels;
+        on QModels, ulp-equal (not bit-identical: the dots run f32).
+        Returns the number fused. See passes/decode_attention.py."""
+        from .passes.decode_attention import fuse_decode_attention
+        return fuse_decode_attention(self)
+
     def map_batches(self, inputs: List[np.ndarray], as_numpy: bool = True):
         """Throughput inference over a leading STEPS axis: all steps in
         ONE device program (``lax.scan``), a single host sync -- the
@@ -662,15 +674,16 @@ class Model:
         from .serving import serve_stream
         return serve_stream(self, batches, depth=depth, as_numpy=as_numpy)
 
-    def serve_ring(self, batches):
-        """EXPERIMENTAL persistent device serving loop (ONE dispatched
-        program pulling batches through host callbacks). CPU-validated
-        only: requires working host callbacks, which remote-attached
-        chips (this rig's tunnel) do not provide -- deploy with
-        ``map_batches``/``serve_stream``. See serving.py and
-        docs/DEPLOYMENT.md."""
+    def serve_ring(self, batches, probe: bool = True):
+        """Persistent device serving loop (ONE dispatched program
+        pulling batches through host callbacks), GATED behind the
+        ``serving.ring_supported()`` runtime probe: runtimes that
+        cannot complete loop-embedded callbacks (remote-attached
+        chips) get a RuntimeError instead of a hang. Niche shape --
+        on most deployments ``map_batches``/``serve_stream`` measure
+        faster. See serving.py and docs/DEPLOYMENT.md."""
         from .serving import serve_ring
-        return serve_ring(self, batches)
+        return serve_ring(self, batches, probe=probe)
 
     def _place_batched_input(self, array):
         """Shard a [steps, batch, ...] input over the mesh data axis
@@ -1141,8 +1154,18 @@ class QModel(Model):
                                      if op in ("Gemm", "Conv"))
         # values planned for early quantization (int8_dataflow pass)
         self._int8_values: set = set()
+        # pipeline-stage boundary passthrough (parallel/pipeline.py):
+        # interior stages carry the float residual activation verbatim
+        # -- no entry quantize (_passthrough_wrap) and no exit
+        # dequantize/f32-upcast (_passthrough_finalize) -- so a
+        # pipelined QModel runs the exact op sequence of the
+        # unpipelined one.
+        self._passthrough_wrap = False
+        self._passthrough_finalize = False
 
     def _wrap_input(self, array: np.ndarray, variable: Variable) -> Tensor:
+        if self._passthrough_wrap and array.dtype != np.int64:
+            return FTensor(jax.numpy.asarray(array))
         if array.dtype == np.float32:
             qp = self.quant_params[variable.name]
             return quantize_tensor(FTensor(jax.numpy.asarray(array)),
@@ -1168,6 +1191,13 @@ class QModel(Model):
     def _node_inputs(self, node: Node, data: dict[str, Tensor],
                      timings) -> list[Tensor]:
         ins = []
+        if node.op == "DecodeAttention":
+            # fused decode attention consumes RAW tensors: the op
+            # replays the unfused chain's quantize/dequantize itself
+            # (registry impl; passes/decode_attention.py), so int8
+            # caches stream in untouched and nothing dequantizes here
+            return [None if v is None else data[v.name]
+                    for v in node.inputs]
         if node.op in self.quantized_ops:
             # Quantize any float inputs on the fly ("TinyqQuant",
             # reference: model.py:503-527).
@@ -1263,6 +1293,8 @@ class QModel(Model):
     def _finalize_output(self, tensor: Tensor):
         if isinstance(tensor, FTensor):
             data = tensor.data
+            if self._passthrough_finalize:
+                return data  # pipeline carry: keep the working dtype
             if data.dtype == jax.numpy.bfloat16:
                 return data.astype(jax.numpy.float32)
             return data
@@ -1323,6 +1355,13 @@ class QModel(Model):
         from .config import host_eager
         with host_eager():
             fused = self.fuse_attention()
+            # decode-step graphs: the [B,1,H] KV-cache attention chain
+            # (which fuse_attention's full-sequence patterns reject)
+            # fuses into DecodeAttention -- float dots on operand-fused
+            # dequantized caches, no per-step zero-point-correction
+            # reduces over the cache. Ulp-equal, not bit-identical
+            # (see passes/decode_attention.py).
+            dec = self.fuse_decode_attention()
             # merge_parallel_matmuls is regime-gated on measured evidence
             # (BENCH_HISTORY.md round 3 experiment): at full single-chip
             # width (N=768) the wide dot is 1.66x SLOWER (XLA materializes
@@ -1344,7 +1383,9 @@ class QModel(Model):
             if verbose:
                 for name, reason in failures:
                     print(f"optimize: Softmax {name!r} not fused: {reason}")
-            return {"fuse_attention": fused, "merge_parallel_matmuls": merged,
+            return {"fuse_attention": fused,
+                    "fuse_decode_attention": dec,
+                    "merge_parallel_matmuls": merged,
                     "fuse_gelu": gelu, "narrow_gather": narrowed,
                     "int8_dataflow": planned, "fusion_failures": failures}
 

@@ -17,7 +17,13 @@ disposition: PIPELINE parallel inference, the TPU-native way --
 * results match the unpipelined model to f32 ulps (each microbatch
   row sees the same op sequence on the same values; XLA may tile the
   dots differently at the microbatch size, so reduction-order rounding
-  can differ by ulps), asserted in tests/test_parallel.py.
+  can differ by ulps), asserted in tests/test_parallel.py;
+* QModel stages pipeline too: cuts are restricted to values that
+  execute as FLOAT in the quantized graph (the residual stream -- not
+  a quantized-op accumulator, not an int8_dataflow-planned value) and
+  interior stages carry that activation verbatim (boundary
+  passthrough: no entry quantize / exit dequantize), so the pipelined
+  int8 model runs the exact op sequence of the unpipelined one.
 
 Memory note: this general-graph form passes every stage's params
 replicated (device s only READS stage s's -- correct, but each device
@@ -78,17 +84,9 @@ def split_stages(model, n_stages: int) -> list:
     exactly one input and one output (the pipelined executor carries
     one activation between stages). Returns the list of stage Models.
     """
-    from ..model import Model
+    from ..model import Model, QModel
 
-    if getattr(model, "quant_params", None) is not None:
-        # a QModel stage would QUANTIZE its boundary input on entry
-        # (QModel._wrap_input), adding one quantization round trip per
-        # stage the unpipelined executor does not have -- not
-        # bit-identical. Float and weight-only models pipeline exactly.
-        raise NotImplementedError(
-            "pipeline stages currently support float / weight-only "
-            "models (a QModel stage would re-quantize the boundary "
-            "activation; boundary-passthrough wrapping is future work)")
+    is_q = getattr(model, "quant_params", None) is not None
     if len(model.inputs) != 1 or len(model.outputs) != 1:
         raise ValueError("pipeline stages carry ONE activation; the "
                          "model must have a single input and output "
@@ -109,7 +107,18 @@ def split_stages(model, n_stages: int) -> list:
                 and last_use.get(v.name, -1) > i]
         live = list({id(v): v for v in live}.values())
         if len(live) == 1:
-            cuts.append((i, live[0]))
+            v = live[0]
+            if is_q:
+                # QModel stages carry the boundary activation as a raw
+                # FLOAT tensor (passthrough -- no entry quantize / exit
+                # dequantize round trip), so cuts are restricted to
+                # values that execute as float in the quantized graph:
+                # not a quantized-op accumulator, not planned int8.
+                prod = v.inputs[0] if v.inputs else None
+                if ((prod is not None and prod.op in model.quantized_ops)
+                        or v.name in model._int8_values):
+                    continue
+            cuts.append((i, v))
     if not cuts:
         raise ValueError("no single-value cut points (the graph is not "
                          "a chain at any node boundary)")
@@ -117,8 +126,13 @@ def split_stages(model, n_stages: int) -> list:
     # (the residual stream): the schedule's carry has ONE static shape
     shape_of = {c[1].name: shapes.get(c[1].name) for c in cuts}
     from collections import Counter
-    dominant, _ = Counter(s for s in shape_of.values()
-                          if s is not None).most_common(1)[0]
+    known = Counter(s for s in shape_of.values() if s is not None)
+    if not known:
+        raise ValueError(
+            "no cut-point shapes could be inferred (the model inputs "
+            "need float shape hints for _infer_shapes; see "
+            "Model._infer_shapes) -- cannot pick a pipeline carry shape")
+    dominant, _ = known.most_common(1)[0]
     cuts = [c for c in cuts if shape_of[c[1].name] == dominant]
     if len(cuts) < n_stages - 1:
         raise ValueError(f"only {len(cuts)} same-shape cut points for "
@@ -154,7 +168,21 @@ def split_stages(model, n_stages: int) -> list:
         # the inferred shape
         if getattr(vin, "shape_hint", None) is None:
             vin.shape_hint = shapes.get(prev_val.name)
-        sub = Model(new_nodes, values, [vin], [vout])
+            vin.dtype_hint = 1  # FLOAT boundary carry
+        if is_q:
+            sub = QModel(new_nodes, values, [vin], [vout],
+                         model.bit_width, model.quant_params,
+                         model.quantized_ops)
+            sub.requantized_ops = model.requantized_ops
+            sub._int8_values = set(model._int8_values)
+            # boundary passthrough: interior stages receive/emit the
+            # float residual activation EXACTLY as it flows in the
+            # unpipelined executor -- no entry quantize, no exit
+            # dequantize, no f32 upcast of a bf16 carry
+            sub._passthrough_wrap = s > 0
+            sub._passthrough_finalize = s < n_stages - 1
+        else:
+            sub = Model(new_nodes, values, [vin], [vout])
         stage_models.append(sub)
         prev_val = out_val
     return stage_models
@@ -241,12 +269,25 @@ def pipeline_forward(stage_models: list, mesh, x, out_shape_dtype,
             jnp.where(s == S - 1, outs, jnp.zeros_like(outs)),
             pipe_axis)
 
-    run = shard_map(
-        spmd, mesh=mesh,
-        in_specs=(P(), jax.tree_util.tree_map(lambda _: P(), params)),
-        out_specs=P(),
-        check_rep=False)
+    # cache the jitted schedule on the first stage: re-jitting a fresh
+    # closure per call would recompile the whole shard_map program
+    # every invocation (the exact per-call re-trace cost the cached
+    # generate loops eliminated, BENCH_HISTORY round 4)
+    key = (mesh, pipe_axis, M, mb, tuple(x.shape[1:]),
+           np.dtype(np.asarray(x).dtype if not hasattr(x, "dtype")
+                    else x.dtype).name,
+           bshape, oshape, np.dtype(odtype).name,
+           jax.tree_util.tree_structure(params))
+    cache = stage_models[0].__dict__.setdefault("_pipe_jit_cache", {})
+    jfn = cache.get(key)
+    if jfn is None:
+        run = shard_map(
+            spmd, mesh=mesh,
+            in_specs=(P(), jax.tree_util.tree_map(lambda _: P(), params)),
+            out_specs=P(),
+            check_rep=False)
+        jfn = cache[key] = jax.jit(run)
     xr = jnp.asarray(x).reshape((M, mb) + tuple(x.shape[1:]))
-    out = jax.jit(run)(xr, params)
+    out = jfn(xr, params)
     out = out.reshape((B,) + tuple(out.shape[2:]))
     return np.asarray(out) if as_numpy else out

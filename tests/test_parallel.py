@@ -500,8 +500,10 @@ def test_pipeline_parallel_gpipe_matches_single_device():
     match the unpipelined model to f32 ulps (XLA tiles the dots
     differently at microbatch size; the values are the same numbers up
     to reduction-order rounding) with exact argmax. Weight-only stages
-    pipeline too; QModel stages are rejected (boundary re-quantization
-    would change numerics)."""
+    pipeline too, and QModel stages pipeline via float boundary
+    passthrough (cuts restricted to float-executing residual values;
+    interior stages neither quantize their input nor dequantize their
+    output, so the op sequence is the unpipelined one's)."""
     from numpy_quant_tpu.models import text_fixture as TF
     from numpy_quant_tpu.parallel.mesh import make_mesh
     from numpy_quant_tpu.parallel.pipeline import (pipeline_forward,
@@ -539,7 +541,29 @@ def test_pipeline_parallel_gpipe_matches_single_device():
                             (want.shape, want.dtype), n_microbatches=4)
     np.testing.assert_allclose(got2, want, rtol=1e-4, atol=1e-5)
 
-    # QModel stages are rejected with a clear message
+    # QModel (full-int8) stages: float boundary passthrough keeps the
+    # pipelined op sequence identical to the unpipelined executor; the
+    # int matmuls are exact under any tiling, so only the float ops
+    # contribute microbatch-tiling ulps
     q = model.quantize([x], bit_width=8)
-    with pytest.raises(NotImplementedError, match="weight-only"):
-        split_stages(q, S)
+    q_want = np.asarray(q([x])[0])
+    q_stages = split_stages(q, S)
+    assert all(getattr(sm, "quant_params", None) is not None
+               for sm in q_stages)
+    q_got = pipeline_forward(q_stages, mesh, x,
+                             (q_want.shape, q_want.dtype),
+                             n_microbatches=M)
+    np.testing.assert_allclose(q_got, q_want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(q_got.argmax(-1), q_want.argmax(-1))
+
+    # ... and after optimize() (fused attention + int8_dataflow
+    # planning): cut selection must avoid planned-int8 and
+    # accumulator values
+    q2 = model.quantize([x], bit_width=8)
+    q2.optimize()
+    q2_want = np.asarray(q2([x])[0])
+    q2_got = pipeline_forward(split_stages(q2, 2), mesh2, x,
+                              (q2_want.shape, q2_want.dtype),
+                              n_microbatches=M)
+    np.testing.assert_allclose(q2_got, q2_want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(q2_got.argmax(-1), q2_want.argmax(-1))
