@@ -336,6 +336,62 @@ def main(json_path=None):
 
     record("causal_plain_attention", causal_plain_check)
 
+    # ---- weight-only split-K kernel (grouped-scale fused dequant) vs
+    # the dequantize-then-dot oracle -- round-5 kernel, f32 and bf16
+    def splitk_wo_check(bits, g, dtype):
+        from numpy_quant_tpu.kernels.qmatmul import splitk_wo_matmul
+
+        def run():
+            M, K, N = 64, 512, 300   # N unaligned: exercises padding
+            lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+            w = rng.integers(lo, hi + 1, size=(K, N)).astype(np.int8)
+            s = np.abs(rng.normal(size=(g, N))).astype(np.float32) * 0.1
+            x = rng.normal(size=(M, K)).astype(np.float32)
+            want = x @ (w.astype(np.float32)
+                        * np.repeat(s, K // g, axis=0))
+            packed = jnp.asarray(w) if bits == 8 \
+                else jnp.asarray(pack_splitk(w, bits))
+            got = np.asarray(splitk_wo_matmul(
+                jnp.asarray(x, dtype), packed, jnp.asarray(s),
+                bits=bits), np.float32)
+            tol = 2e-2 if dtype == jnp.float32 else 2.0
+            np.testing.assert_allclose(got, want, rtol=tol / 10,
+                                       atol=tol)
+        return run
+
+    record("splitk_wo_w4_grouped_f32", splitk_wo_check(4, 8, jnp.float32))
+    record("splitk_wo_w4_grouped_bf16",
+           splitk_wo_check(4, 8, jnp.bfloat16))
+    record("splitk_wo_w8_perchan_f32", splitk_wo_check(8, 1, jnp.float32))
+
+    # ---- split-K integer kernel at the round-4 scoped-vmem auto-cap
+    # shape (K=8192 drove block_n halving; commit 863b24d)
+    def splitk_autocap_check():
+        M, K, N = 64, 8192, 1024
+        x = (rng.random((M, K)).astype(np.float32) - 0.4) * 3
+        w = (rng.random((K, N)).astype(np.float32) - 0.5) * 2
+
+        def mn(v):
+            return (np.minimum(v.min(), np.float32(0)),
+                    np.maximum(v.max(), np.float32(0)))
+
+        sx, zx = Q.quant_parameters(*mn(x), 8, True)
+        sw, _ = Q.quant_parameters(*mn(w), 8, False)
+        qx = np.asarray(Q.quantize(x, 8, sx, zx), np.int64)
+        qw = np.asarray(Q.quantize(w, 8, sw, None), np.int64)
+        acc = qx @ qw
+        zp_corr = qw.sum(axis=0, keepdims=True) * int(zx)
+        want = (acc - zp_corr).astype(np.float32) \
+            * (np.float32(sx) * np.float32(sw))
+        got = np.asarray(splitk_qmatmul(
+            jnp.asarray(x), jnp.asarray(qw, jnp.int8),
+            jnp.asarray(qw.sum(axis=0, keepdims=True), jnp.int32),
+            bits=8, bit_width=8, x_scale=float(sx), x_zp=int(zx),
+            w_scale=float(sw)))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-2)
+
+    record("splitk_autocap_k8192", splitk_autocap_check)
+
     print("ALL_OK", flush=True)
     if json_path:
         artifact = {

@@ -522,6 +522,32 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
             # bit_width bits while the MXU runs the float dot -- the
             # memory-bound serving regime (single-token decode) where
             # full integer execution loses to its quantize overhead.
+            if isinstance(b, PackedQTensor) and b.layout == "splitk":
+                from .. import config as _config
+                sc = b.scale
+                grouped_ok = True
+                if getattr(sc, "ndim", 0) == 2 and sc.shape[0] > 1 \
+                        and b.bit_width != 8:
+                    # groups must tile the split-K bit fields evenly
+                    kr_ = b.planes.shape[0]
+                    gszf = b.k // int(sc.shape[0])
+                    grouped_ok = gszf > 0 and (
+                        kr_ % gszf == 0 or gszf % kr_ == 0)
+                if _config.packed_execution == "kernel" and grouped_ok:
+                    # fused Pallas path: the PACKED payload streams
+                    # from HBM (bits/8 bytes/value -- the "unpack"
+                    # path's hoisted int8 copy reads 8 bits/value per
+                    # step) and dequantizes in VMEM, grouped scales
+                    # included (kernels/qmatmul.py::splitk_wo_matmul).
+                    # Dequantize-then-dot numerics.
+                    import jax as _jax
+                    from ..kernels.qmatmul import splitk_wo_matmul
+                    xd = a.data
+                    x2 = xd.reshape(-1, xd.shape[-1])
+                    y2 = splitk_wo_matmul(
+                        x2, b.planes, b.scale, bits=b.bit_width,
+                        interpret=_jax.default_backend() == "cpu")
+                    return [FTensor(y2.reshape(*xd.shape[:-1], b.n))]
             w = b.unpack() if isinstance(b, PackedQTensor) else b
             s = w.scale
             if getattr(s, "ndim", 0) == 2 and s.shape[0] > 1:
@@ -728,6 +754,72 @@ def onnx_operator_implementation(op: str, inputs: list[Tensor],
         return [x.expand_dims(axis=axes)]
     elif op == "Where":
         return [where(inputs[0], inputs[1], inputs[2])]
+    elif op == "DecodeAttention":
+        # Fused decode-step attention (passes/decode_attention.py):
+        # scores over [cache | current], scale/mask/bias epilogue,
+        # softmax, context -- computed in FLOAT with the int8 cache
+        # dequantize fused into the dot operands. Replays every
+        # quantization the unfused executor applies (fake-quant of q
+        # and the probabilities with the same calibrated params), but
+        # runs the M=1 dots in f32 -- no per-step zero-point-correction
+        # reduces over the whole cache, one multiply-reduce per dot.
+        from .. import config as _config
+        from ..quantization import dequantize as _dq, quantize as _qz
+
+        q, kc, kh, vc, vh = inputs[:5]
+        extras = list(inputs[5:])
+        L = int(attrs["cache_len"])
+        bw = attrs.get("bit_width")
+        prec = _config.float_matmul_precision
+
+        def as_float(t, qp_key, fake_quant):
+            """The value the unfused executor's dot would consume,
+            dequantized: int8 tensors dequantize (4x-bw accumulators
+            requantize first, the chained-matmul rule); float tensors
+            fake-quant with the recorded calibrated params when the
+            unfused chain would have quantized them."""
+            if isinstance(t, QTensor):
+                if bw is not None and t.bit_width != bw \
+                        and attrs.get(qp_key) is not None:
+                    s, z = attrs[qp_key]
+                    t = t.requantize(bw, np.float32(s), z)
+                return t.dequantize().data
+            x = t.data
+            if fake_quant and attrs.get(qp_key) is not None:
+                s, z = attrs[qp_key]
+                return _dq(_qz(x, bw, np.float32(s), z),
+                           np.float32(s), z)
+            return x
+
+        qf = as_float(q, "q_qp", True)        # [B,H,1,D]
+        kcf = as_float(kc, "ktc_qp", True)    # [B,H,L,D]
+        khf = as_float(kh, "kts_qp", True)    # [B,H,1,D]
+        s_past = jnp.einsum("bhqd,bhld->bhql", qf, kcf,
+                            precision=prec)
+        s_self = jnp.einsum("bhqd,bhsd->bhqs", qf, khf,
+                            precision=prec)
+        s = jnp.concatenate([s_past, s_self], axis=-1)
+        for kind, val in attrs["epilogue"]:
+            if kind == "mul":
+                s = s * np.float32(val)
+            else:
+                e = extras[int(val)]
+                s = s + (e.dequantize().data if isinstance(e, QTensor)
+                         else e.data)
+        probs = FTensor(s).softmax(axis=-1).data
+        p_past, p_self = probs[..., :L], probs[..., L:]
+        if bw is not None and attrs.get("p_qp") is not None:
+            sp, zp_ = attrs["p_qp"]
+            p_past = _dq(_qz(p_past, bw, np.float32(sp), zp_),
+                         np.float32(sp), zp_)
+        vcf = as_float(vc, "vc_qp", True)     # [B,H,L,D]
+        ctx = jnp.einsum("bhql,bhld->bhqd",
+                         p_past.astype(vcf.dtype), vcf,
+                         precision=prec)
+        vhf = vh.dequantize().data if isinstance(vh, QTensor) \
+            else vh.data
+        ctx = ctx + p_self.astype(vhf.dtype) * vhf
+        return [FTensor(ctx)]
     elif op == "FusedAttention":
         # Produced by QModel.fuse_attention(): the whole quantized
         # attention block in one VMEM-resident Pallas kernel

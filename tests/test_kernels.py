@@ -1162,3 +1162,80 @@ def test_blockwise_attention_plain_causal_long_sequence():
     # row 0 attends only to itself; a fully-masked-off column pattern
     # would show up as NaNs -- assert clean
     assert np.isfinite(out).all()
+
+@pytest.mark.parametrize("bits,K,N,M,g", [
+    (4, 256, 96, 7, 1), (4, 256, 96, 7, 4), (2, 128, 64, 5, 2),
+    (8, 200, 50, 3, 1), (1, 256, 64, 4, 2), (4, 384, 130, 9, 6),
+])
+def test_splitk_wo_matmul_matches_dequant_dot(bits, K, N, M, g):
+    """Weight-only split-K kernel (grouped-scale fused dequant): same
+    numbers as x @ (W * expand(scale)) -- the dequantize-then-dot
+    semantics -- for per-tensor/per-channel (g=1), per-field-tiling
+    groups, field-spanning groups (g < r), and padded K/N edges."""
+    from numpy_quant_tpu.kernels.pack import pack_splitk
+    from numpy_quant_tpu.kernels.qmatmul import splitk_wo_matmul
+
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    w = RNG.integers(lo, hi + 1, size=(K, N)).astype(np.int8)
+    s = np.abs(RNG.normal(size=(g, N))).astype(np.float32)
+    x = RNG.normal(size=(M, K)).astype(np.float32)
+    want = x @ (w.astype(np.float32) * np.repeat(s, K // g, axis=0))
+    packed = jnp.asarray(w) if bits == 8 \
+        else jnp.asarray(pack_splitk(w, bits))
+    got = np.asarray(splitk_wo_matmul(
+        jnp.asarray(x), packed, jnp.asarray(s), bits=bits,
+        interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_splitk_wo_matmul_bf16_and_infeasible_groups():
+    from numpy_quant_tpu.kernels.pack import pack_splitk
+    from numpy_quant_tpu.kernels.qmatmul import splitk_wo_matmul
+
+    w = RNG.integers(-8, 8, size=(256, 128)).astype(np.int8)
+    s = np.abs(RNG.normal(size=(2, 128))).astype(np.float32)
+    x = RNG.normal(size=(16, 256)).astype(np.float32)
+    got = splitk_wo_matmul(jnp.asarray(x, jnp.bfloat16),
+                           jnp.asarray(pack_splitk(w, 4)),
+                           jnp.asarray(s), bits=4, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    want = x @ (w.astype(np.float32) * np.repeat(s, 128, axis=0))
+    # bf16 dot: ~0.4% relative precision, sums near zero need the atol
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               rtol=0.05, atol=1.5)
+
+    # groups that tile neither within nor across fields are rejected
+    w3 = RNG.integers(-8, 8, size=(384, 128)).astype(np.int8)
+    s3 = np.abs(RNG.normal(size=(3, 128))).astype(np.float32)  # gsz 128, kr 192
+    with pytest.raises(ValueError, match="group_size"):
+        splitk_wo_matmul(jnp.asarray(x[:, :384].copy()) if x.shape[1] >= 384
+                         else jnp.asarray(RNG.normal(size=(16, 384)),
+                                          jnp.float32),
+                         jnp.asarray(pack_splitk(w3, 4)),
+                         jnp.asarray(s3), bits=4, interpret=True)
+
+
+def test_weight_only_kernel_mode_end_to_end():
+    """config.packed_execution='kernel' routes packed weight-only
+    MatMuls through splitk_wo_matmul (ops/registry.py): same tokens as
+    the hoisted-unpack execution on a packed+grouped GPT."""
+    from numpy_quant_tpu import config as nq_config
+    from numpy_quant_tpu.models.gpt import gpt_causal_lm
+    import numpy_quant_tpu as nq
+
+    proto = gpt_causal_lm(batch_size=2, seq_len=12, seed=0)
+    model = nq.Model.from_onnx(proto)
+    n = model.quantize_weights(bit_width=4, group_size=8)  # packed
+    assert n > 0
+    embeds = RNG.normal(size=(2, 12, 32)).astype(np.float32)
+    base = np.asarray(model([embeds])[0])
+
+    prev = nq_config.packed_execution
+    nq_config.packed_execution = "kernel"
+    try:
+        model._jit_cache.clear()
+        got = np.asarray(model([embeds])[0])
+    finally:
+        nq_config.packed_execution = prev
+        model._jit_cache.clear()
+    np.testing.assert_allclose(got, base, rtol=1e-4, atol=1e-5)
