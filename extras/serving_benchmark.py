@@ -36,36 +36,13 @@ sys.path.insert(0, REPO)
 
 
 def _ring_supported() -> bool:
-    """serve_ring needs host-callback support in the device runtime;
-    a REMOTE-attached chip (tunneled device plugin) never completes an
-    io_callback, so probe in a watchdogged subprocess instead of
-    hanging the benchmark. Override with NQ_TPU_RING=0/1."""
-    forced = os.environ.get("NQ_TPU_RING")
-    if forced is not None:
-        return forced == "1"
-    import subprocess
-    # the probe mirrors serve_ring's REAL shape -- ordered io_callbacks
-    # INSIDE a lax.while_loop body -- not a bare callback: a runtime
-    # could complete the bare form yet hang on the loop-embedded one,
-    # which would defeat the watchdog and hang the ring row
-    probe = (
-        "import jax, numpy as np, jax.numpy as jnp\n"
-        "from jax.experimental import io_callback\n"
-        "spec = jax.ShapeDtypeStruct((), jnp.float32)\n"
-        "def pull(y):\n"
-        "    return np.float32(y) + np.float32(1.0)\n"
-        "def body(c):\n"
-        "    return io_callback(pull, spec, c, ordered=True)\n"
-        "f = jax.jit(lambda x: jax.lax.while_loop("
-        "lambda c: c < 2.0, body, x))\n"
-        "out = jax.block_until_ready(f(jnp.zeros(())))\n"
-        "assert float(out) == 2.0, float(out)\n")
-    try:
-        r = subprocess.run([sys.executable, "-c", probe], timeout=120,
-                           capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    """Library probe (numpy_quant_tpu.serving.ring_supported): a
+    watchdogged subprocess runs serve_ring's REAL program shape --
+    ordered io_callbacks INSIDE a lax.while_loop body -- so a runtime
+    that completes bare callbacks but hangs on the loop-embedded form
+    still gates correctly. Override with NQ_TPU_RING=0/1."""
+    from numpy_quant_tpu.serving import ring_supported
+    return ring_supported()
 
 
 def main():

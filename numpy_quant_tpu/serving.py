@@ -8,13 +8,14 @@ Three shapes, in order of support maturity (docs/DEPLOYMENT.md):
   headline benchmark path (bench.py).
 * :func:`serve_stream` -- online pipelined stream: up to ``depth``
   forwards in flight hide per-dispatch round trips behind compute.
-* :func:`serve_ring` -- EXPERIMENTAL persistent device loop: one
-  dispatched program owns the chip and pulls batches through host
-  callbacks. Requires a runtime with working host callbacks (a
-  locally-attached device or CPU); on the remote-attached chip this
-  rig deploys to, io_callback never completes and the session hangs
-  (BENCH_HISTORY.md round-3 ring measurement) -- so this shape is
-  validated on CPU only and is NOT the supported production shape.
+* :func:`serve_ring` -- persistent device loop: one dispatched
+  program owns the chip and pulls batches through host callbacks.
+  GATED behind :func:`ring_supported`, a watchdogged subprocess probe
+  of the exact loop-embedded-callback program shape: runtimes that
+  cannot complete it (remote-attached chips -- the io_callback hangs,
+  BENCH_HISTORY.md round-3 ring measurement) raise a RuntimeError up
+  front instead of hanging the session. Even where supported, measure
+  before deploying it: on CPU it loses to plain ``__call__``.
 
 ``Model`` exposes these as methods; the reference has no serving layer
 at all (its executor is a per-call interpreter loop, reference
@@ -104,7 +105,52 @@ def serve_stream(model, batches, depth: int = 2, as_numpy: bool = True):
         yield _finish(inflight.popleft())
 
 
-def serve_ring(model, batches):
+_RING_PROBE_CACHE: dict = {}
+
+
+def ring_supported(timeout: float = 120.0) -> bool:
+    """Whether this runtime completes serve_ring's program shape --
+    ordered ``io_callback``s INSIDE a ``lax.while_loop`` body.
+
+    A remote-attached chip (tunneled device plugin) never completes
+    that shape, and the failure mode is a HANG, not an error -- so the
+    probe runs the real loop-embedded form (not a bare callback, which
+    some runtimes complete anyway) in a watchdogged subprocess.
+    Cached per process; override with ``NQ_TPU_RING=0/1``.
+    """
+    import os
+    import subprocess
+    import sys
+
+    forced = os.environ.get("NQ_TPU_RING")
+    if forced is not None:
+        return forced == "1"
+    hit = _RING_PROBE_CACHE.get("ok")
+    if hit is not None:
+        return hit
+    probe = (
+        "import jax, numpy as np, jax.numpy as jnp\n"
+        "from jax.experimental import io_callback\n"
+        "spec = jax.ShapeDtypeStruct((), jnp.float32)\n"
+        "def pull(y):\n"
+        "    return np.float32(y) + np.float32(1.0)\n"
+        "def body(c):\n"
+        "    return io_callback(pull, spec, c, ordered=True)\n"
+        "f = jax.jit(lambda x: jax.lax.while_loop("
+        "lambda c: c < 2.0, body, x))\n"
+        "out = jax.block_until_ready(f(jnp.zeros(())))\n"
+        "assert float(out) == 2.0, float(out)\n")
+    try:
+        r = subprocess.run([sys.executable, "-c", probe],
+                           timeout=timeout, capture_output=True)
+        ok = r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        ok = False
+    _RING_PROBE_CACHE["ok"] = ok
+    return ok
+
+
+def serve_ring(model, batches, probe: bool = True):
     """EXPERIMENTAL persistent device serving loop: ONE dispatched XLA
     program owns the chip for the whole session. The compiled program
     is a ``lax.while_loop`` whose body delivers the previous outputs
@@ -123,17 +169,24 @@ def serve_ring(model, batches):
     only when per-call dispatch overhead exceeds that callback trip
     (locally-attached accelerators with non-trivial per-step compute);
     measured on the CPU backend it LOSES to plain ``__call__`` (288 us
-    vs 180 us/step, BENCH_HISTORY.md round 3), and on this rig's
-    remote-attached chip host callbacks never complete, so the session
-    would hang (extras/serving_benchmark.py probes for this and gates
-    the ring row behind a watchdogged subprocess). Status:
-    EXPERIMENTAL, CPU-validated only -- deploy with ``map_batches`` /
-    ``serve_stream`` (docs/DEPLOYMENT.md).
+    vs 180 us/step, BENCH_HISTORY.md round 3), and on a remote-
+    attached chip host callbacks never complete -- which is why the
+    entry point is gated behind :func:`ring_supported` (below). Deploy
+    with ``map_batches`` / ``serve_stream`` unless a local-chip
+    measurement shows the ring winning (docs/DEPLOYMENT.md).
 
     All batches must share the first batch's shape/dtype signature
     (one compiled program). Float inputs only (int64 inputs are
     shape-domain, static under jit); unsupported on a sharded model
     (callbacks are single-host).
+
+    ``probe=True`` (default) first checks :func:`ring_supported` --
+    the watchdogged subprocess probe of the loop-embedded callback
+    shape -- and raises ``RuntimeError`` when the runtime would hang
+    instead of hanging the session. Pass ``probe=False`` only when
+    the runtime is already known-good (e.g. the probe ran earlier in
+    this process: the result is cached, so the default costs nothing
+    after the first call).
     """
     import itertools
     import weakref
@@ -145,6 +198,12 @@ def serve_ring(model, batches):
         raise ValueError("serve_ring runs single-device (host "
                          "callbacks); use map_batches on a sharded "
                          "model")
+    if probe and not ring_supported():
+        raise RuntimeError(
+            "serve_ring: this runtime does not complete ordered "
+            "io_callbacks inside a while_loop (remote-attached chips "
+            "hang here); deploy with map_batches or serve_stream "
+            "instead (docs/DEPLOYMENT.md)")
     it = iter(batches)
     try:
         first_batch = [np.asarray(a) for a in next(it)]

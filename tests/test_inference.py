@@ -273,14 +273,18 @@ def test_serve_stream_bounds_inflight_to_depth():
             Model.__call__ = orig_call
         assert len(seen) == len(xs)
 
-def test_serve_ring_matches_per_call():
+def test_serve_ring_matches_per_call(monkeypatch):
     """serve_ring (ONE persistent device program pulling each batch
     from the host through an input-ring io_callback) returns, in
     order, exactly what blocking per-batch __call__ returns -- float
     and quantized -- and the feed generator is consumed device-paced
-    (one pull per step, inside the session)."""
+    (one pull per step, inside the session). The runtime gate
+    (serving.ring_supported) is forced on: this process runs the CPU
+    backend in-process, where loop-embedded callbacks work, but the
+    subprocess probe would inherit the tunnel env."""
     import numpy_quant_tpu as nq
 
+    monkeypatch.setenv("NQ_TPU_RING", "1")
     mlp = nq.onnx.load("numpy_quant_tpu/models/mlp.onnx")
     model = Model.from_onnx(mlp)
     xs = RNG.normal(size=(6, 16, 2)).astype(np.float32)
@@ -313,3 +317,11 @@ def test_serve_ring_matches_per_call():
     bad = [[xs[0]], [xs[1][:4]]]
     with pytest.raises(Exception, match="signature"):
         model.serve_ring(iter(bad))
+
+    # an unsupported runtime raises up front instead of hanging
+    monkeypatch.setenv("NQ_TPU_RING", "0")
+    with pytest.raises(RuntimeError, match="map_batches"):
+        model.serve_ring([x] for x in xs)
+    # probe=False bypasses the gate (caller-asserted known-good runtime)
+    bypass = model.serve_ring(([x] for x in xs[:1]), probe=False)
+    assert len(bypass) == 1
