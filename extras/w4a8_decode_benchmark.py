@@ -37,6 +37,12 @@ SEQ = PROMPT + NEW
 def main():
     import jax
 
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("NQ_TPU_JAX_CACHE",
+                       os.path.join(os.path.expanduser("~"), ".cache",
+                                    "nq_tpu_jaxcache")))
+
     import numpy_quant_tpu as nq
     from numpy_quant_tpu import config as nq_config
     from numpy_quant_tpu.models.gpt import gpt_decode_step
@@ -74,14 +80,15 @@ def main():
         except Exception:  # noqa: BLE001
             return None
 
-    def emit(name, model, mode=None):
+    def emit(name, model, mode=None, kv=None):
         prev = nq_config.packed_execution
         if mode is not None:
             nq_config.packed_execution = mode
             model._jit_cache.clear()
         try:
             fn = lambda: generate_kv(model, prompt, proto._wte,  # noqa: E731
-                                     proto._wpe, NEW)
+                                     proto._wpe, NEW,
+                                     kv_cache_dtype=kv)
             sec = timed(fn)
             rec = {"config": name, "batch": BATCH,
                    "tokens_per_sec": round(BATCH * NEW / sec, 1),
@@ -91,28 +98,40 @@ def main():
         finally:
             nq_config.packed_execution = prev
 
-    # w8 weight-only under bf16 serving mode
+    # every row under the bf16 serving mode (docs/DEPLOYMENT.md): the
+    # float segments between integer ops carry bf16, halving their HBM
+    # traffic -- the honest like-for-like comparison
     with nq_config.low_precision_floats():
         w8 = nq.Model.from_onnx(proto)
         w8.quantize_weights(bit_width=8)
         emit("w8-weight-only-bf16", w8)
 
-    # full int8 execution: calibrate the step graph once, share stats
-    fcal = nq.Model.from_onnx(proto)
-    batches = decode_calibration(fcal, prompt[:, :4], proto._wte,
-                                 proto._wpe)
-    stats = merge_calibration_stats(
-        *[fcal.calibration_stats(b) for b in batches])
+        # full int8 execution: calibrate once on the FLOAT graph (f32
+        # stats; bf16 execution quantizes against the same params),
+        # share stats across the integer rows
+        fcal = nq.Model.from_onnx(proto)
+        batches = decode_calibration(fcal, prompt[:, :4], proto._wte,
+                                     proto._wpe)
+        stats = merge_calibration_stats(
+            *[fcal.calibration_stats(b) for b in batches])
 
-    q8 = nq.Model.from_onnx(proto).quantize(stats=stats, bit_width=8)
-    emit("int8", q8)
+        q8 = nq.Model.from_onnx(proto).quantize(stats=stats, bit_width=8)
+        q8.optimize()
+        emit("int8-float-kv", q8)
+        # int8 KV cache: the cache CARRIES int8, so the per-step
+        # TinyqQuant over the whole [B,H,L,hd] cache -- ~500 MB/step at
+        # these dims, the round-4 2.1x loss -- never runs; attention
+        # reads the cache at 1/4 the f32 bytes. Token-identical
+        # (quantize is idempotent; tests/test_generate.py).
+        emit("int8-int8-kv", q8, kv="int8")
 
-    w4a8 = nq.Model.from_onnx(proto).quantize(
-        stats=stats, bit_width=8, weight_bit_width=4,
-        per_channel_weights=True)
-    w4a8.pack_weights()
-    emit("w4a8-packed-unpack", w4a8, mode="unpack")
-    emit("w4a8-packed-kernel", w4a8, mode="kernel")
+        w4a8 = nq.Model.from_onnx(proto).quantize(
+            stats=stats, bit_width=8, weight_bit_width=4,
+            per_channel_weights=True)
+        w4a8.optimize()
+        w4a8.pack_weights()
+        emit("w4a8-packed-kernel", w4a8, mode="kernel")
+        emit("w4a8-packed-kernel-int8-kv", w4a8, mode="kernel", kv="int8")
 
 
 if __name__ == "__main__":

@@ -6,6 +6,7 @@ executor numerics bit-exactly (tests/test_kernels.py pins this), and
 share ONE matching toolkit (:mod:`.toolkit`).
 """
 from .attention import fuse_attention
+from .decode_attention import fuse_decode_attention
 from .gelu import fuse_gelu
 from .int8_dataflow import int8_dataflow
 from .matmul_merge import merge_parallel_matmuls
@@ -14,7 +15,8 @@ from .toolkit import PASSTHROUGH_OPS
 from .weights import pack_weights, shift_q_bias
 
 __all__ = [
-    "PASSTHROUGH_OPS", "fuse_attention", "fuse_gelu", "int8_dataflow",
+    "PASSTHROUGH_OPS", "fuse_attention", "fuse_decode_attention",
+    "fuse_gelu", "int8_dataflow",
     "merge_parallel_matmuls", "narrow_gather", "pack_weights",
     "shift_q_bias",
 ]
