@@ -120,6 +120,120 @@ def _build_vectors():
     vectors.append(("dynamic_mlp", gb.model(), {"x": x_dyn}, 1e-4,
                     "DynamicQuantizeLinear + MatMulInteger (the "
                     "onnxruntime quantize_dynamic node pattern)"))
+
+    def named_inputs(src_proto, *arrays):
+        names = [v.name for v in nq.Model.from_onnx(src_proto).inputs]
+        assert len(names) == len(arrays), (names, len(arrays))
+        return dict(zip(names, arrays))
+
+    # -- 6: ViT self-attention subgraph, int8 QDQ ----------------------
+    from numpy_quant_tpu.models import vit as V
+    attn_src = V.vit_self_attention(2, 13, 32, 4, seed=5)
+    x_attn = rng.normal(size=(2, 13, 32)).astype(np.float32) * 0.5
+    qa = nq.Model.from_onnx(attn_src).quantize([x_attn], bit_width=8)
+    vectors.append(("vit_self_attention_int8_qdq",
+                    export_qdq(qa, attn_src),
+                    named_inputs(attn_src, x_attn), 1e-4,
+                    "multi-head self-attention (QKV matmuls int8 QDQ, "
+                    "softmax float) -- the reference's "
+                    "vit_self_attention piece"))
+
+    # -- 7: full small ViT, int8 QDQ -----------------------------------
+    vit_src = V.vit(2, 32, 8, 24, 16, 2, num_hidden_layers=2, seed=6)
+    x_vit = rng.normal(size=(2, 3, 32, 32)).astype(np.float32) * 0.5
+    qv = nq.Model.from_onnx(vit_src).quantize([x_vit], bit_width=8)
+    vectors.append(("vit_small_int8_qdq", export_qdq(qv, vit_src),
+                    named_inputs(vit_src, x_vit), 2e-3,
+                    "full 2-layer ViT encoder int8 QDQ (conv patch "
+                    "embed + LN/GELU float, matmuls int8) -- the "
+                    "reference's end-to-end small-ViT oracle shape"))
+
+    # -- 8: broadcast-batched MatMul, int8 QDQ -------------------------
+    bm_src = testgen.matmul((2, 3, 6, 8), (1, 1, 8, 5))
+    a_bm = rng.normal(size=(2, 3, 6, 8)).astype(np.float32)
+    b_bm = rng.normal(size=(1, 1, 8, 5)).astype(np.float32)
+    qb = nq.Model.from_onnx(bm_src).quantize([a_bm, b_bm], bit_width=8)
+    vectors.append(("matmul_batched_int8_qdq", export_qdq(qb, bm_src),
+                    {"input_a": a_bm, "input_b": b_bm}, 1e-4,
+                    "broadcast-batched MatMul with both operands "
+                    "quantized (reference models/test.py:60-96 shape)"))
+
+    # -- 9: grouped + dilated Conv (float semantics) -------------------
+    gc = GraphBuilder("grouped_conv")
+    gc.input("input", [2, 4, 9, 9])
+    wg = gc.init("weight",
+                 rng.normal(size=(6, 2, 3, 3)).astype(np.float32))
+    bg = gc.init("bias", rng.normal(size=6).astype(np.float32))
+    gc.node("Conv", ["input", "weight", "bias"], out="output",
+            name="conv", kernel_shape=[3, 3], pads=[1, 0, 0, 1],
+            strides=[2, 1], dilations=[2, 2], group=2)
+    gc.output("output", [2, 6, 3, 6])
+    x_gc = rng.normal(size=(2, 4, 9, 9)).astype(np.float32)
+    vectors.append(("conv_grouped_dilated", gc.model(),
+                    {"input": x_gc}, 1e-4,
+                    "grouped (g=2) dilated conv with asymmetric pads "
+                    "and mixed strides -- the exact-im2col edge cases"))
+
+    # -- 10/11: LSTM and GRU recurrences (float semantics) -------------
+    def rnn_graph(op, gates, bgates, extra_attrs=None):
+        g2 = GraphBuilder(f"{op.lower()}_vector")
+        g2.input("input", [5, 3, 8])
+        bound = 1.0 / np.sqrt(12)
+        g2.init(f"{op}.W", rng.uniform(
+            -bound, bound, size=(1, gates * 12, 8)).astype(np.float32))
+        g2.init(f"{op}.R", rng.uniform(
+            -bound, bound, size=(1, gates * 12, 12)).astype(np.float32))
+        g2.init(f"{op}.B", rng.uniform(
+            -bound, bound, size=(1, bgates * 12)).astype(np.float32))
+        outs = g2.node(op, ["input", f"{op}.W", f"{op}.R", f"{op}.B"],
+                       out="/rnn", n_outputs=3, hidden_size=12,
+                       **(extra_attrs or {}))
+        g2.node("Identity", [outs[0]], out="y_all", name="all_id")
+        g2.node("Identity", [outs[1]], out="y_h", name="h_id")
+        g2.output("y_all", [5, 1, 3, 12])
+        g2.output("y_h", [1, 3, 12])
+        return g2.model()
+
+    x_rnn = rng.normal(size=(5, 3, 8)).astype(np.float32)
+    vectors.append(("lstm_float", rnn_graph("LSTM", 4, 8),
+                    {"input": x_rnn}, 1e-4,
+                    "ONNX LSTM (iofc gates), full sequence + final "
+                    "state outputs"))
+    vectors.append(("gru_float",
+                    rnn_graph("GRU", 3, 6,
+                              {"linear_before_reset": 1}),
+                    {"input": x_rnn}, 1e-4,
+                    "ONNX GRU (zrh gates, linear_before_reset=1, the "
+                    "torch export form)"))
+
+    # -- 12: Gemm with alpha/beta (spec-correct vs reference quirk) ----
+    gemm_src = testgen.gemm(6, 10, 4, 7, alpha=0.5, beta=1.5)
+    x_gm = rng.normal(size=(6, 10)).astype(np.float32)
+    vectors.append(("gemm_alpha_beta_float", gemm_src, {"input": x_gm},
+                    1e-5,
+                    "Gemm honoring alpha/beta attributes (the "
+                    "reference ignores them, reference "
+                    "model.py:122-131; spec-correct here)"))
+
+    # -- 13: GPT KV-decode step graph (float semantics) ----------------
+    from numpy_quant_tpu.models.gpt import gpt_decode_step
+    dec = gpt_decode_step(batch_size=2, max_len=6, seed=3)
+    dec_inputs = {"x_step": rng.normal(size=(2, 1, 32))
+                  .astype(np.float32) * 0.3,
+                  "attn_mask": np.concatenate(
+                      [np.zeros((1, 1, 1, 3), np.float32),
+                       np.full((1, 1, 1, 3), -1e9, np.float32),
+                       np.zeros((1, 1, 1, 1), np.float32)], axis=-1)}
+    for i in range(2):
+        dec_inputs[f"past_k.{i}"] = rng.normal(
+            size=(2, 2, 6, 16)).astype(np.float32) * 0.3
+        dec_inputs[f"past_v.{i}"] = rng.normal(
+            size=(2, 2, 6, 16)).astype(np.float32) * 0.3
+    vectors.append(("gpt_decode_step_float", dec, dec_inputs,
+                    1e-4,
+                    "one KV-cache decode step (Concat-score attention "
+                    "over [cache|current], Slice/context) -- the exact "
+                    "subgraph DecodeAttention fuses"))
     return vectors
 
 

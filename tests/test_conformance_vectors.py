@@ -36,7 +36,7 @@ def test_vectors_replay_on_executor():
     vectors were generated under, so bit-equality is checked by the
     subprocess test below, not here)."""
     entries = RUN.load_manifest()
-    assert len(entries) >= 5
+    assert len(entries) >= 13
     for entry in entries:
         rec = RUN.replay(entry, RUN._run_self)
         assert rec["ok"], rec
