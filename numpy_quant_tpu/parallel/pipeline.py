@@ -214,6 +214,14 @@ def pipeline_forward(stage_models: list, mesh, x, out_shape_dtype,
         raise ValueError(f"batch {B} not divisible by {M} microbatches")
     mb = B // M
 
+    # NOTE on PP x TP in ONE program: a partial-manual shard_map
+    # (manual over `pipe`, GSPMD over `model`) DEADLOCKS -- the
+    # lax.switch branches are per-stage graphs whose GSPMD-inserted TP
+    # collectives differ, so devices of different stages block in
+    # mismatched rendezvous (measured: collective-permute timeout,
+    # 4 of 8 arrive). PP x TP therefore composes as per-stage TP
+    # programs on disjoint device rows (:func:`pipeline_forward_stagewise`);
+    # this one-program schedule is for UNSHARDED stages.
     fwds = [sm.lowered_fn() for sm in stage_models]
     params = tuple(sm._device_params() for sm in stage_models)
     # boundary shape: stage 1..S-1 inputs (= every stage's output except
@@ -291,3 +299,73 @@ def pipeline_forward(stage_models: list, mesh, x, out_shape_dtype,
     out = jfn(xr, params)
     out = out.reshape((B,) + tuple(out.shape[2:]))
     return np.asarray(out) if as_numpy else out
+
+
+def pipeline_forward_stagewise(stage_models: list, mesh, x,
+                               n_microbatches: int,
+                               pipe_axis: str = "pipe",
+                               model_axis: str = "model",
+                               rules=None, as_numpy: bool = True):
+    """PP x TP: run ``x`` through the stages as a microbatched
+    pipeline where stage ``s`` is its OWN tensor-parallel GSPMD
+    program on the mesh's pipe-row ``s`` (a ("model",)-submesh of
+    ``mesh[pipe_axis] x mesh[model_axis]``).
+
+    Composition rationale: a single shard_map program (manual over
+    pipe, GSPMD over model) deadlocks -- each lax.switch branch
+    carries a DIFFERENT stage graph whose TP collectives then meet at
+    mismatched rendezvous points across stages. Per-stage programs
+    have no cross-stage collective at all: activations hop between
+    device rows as explicit transfers (ICI on hardware), TP
+    psum/all-gather stay INSIDE a row, and JAX's async dispatch keeps
+    all rows busy GPipe-style (stage s works on microbatch t while
+    stage s+1 works on t-1 -- the calls are queued without host
+    syncs, so the fill-drain schedule emerges from data dependencies).
+
+    ``rules(name, ndim) -> PartitionSpec`` applies TP over
+    ``model_axis`` inside each stage (e.g. ``gpt_tp_rules``). Returns
+    the stacked [B, ...] float output.
+    """
+    import jax
+    from jax.sharding import Mesh as _Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P_
+
+    from .sharding import shard_model
+
+    S = mesh.shape[pipe_axis]
+    if len(stage_models) != S:
+        raise ValueError(f"{len(stage_models)} stages != mesh "
+                         f"{pipe_axis} size {S}")
+    M = int(n_microbatches)
+    B = x.shape[0]
+    if B % M:
+        raise ValueError(f"batch {B} not divisible by {M} microbatches")
+
+    axis_idx = mesh.axis_names.index(pipe_axis)
+    dev_rows = np.moveaxis(np.asarray(mesh.devices), axis_idx, 0)
+    for s, sm in enumerate(stage_models):
+        row = dev_rows[s].reshape(-1)
+        if getattr(sm, "mesh", None) is None \
+                or tuple(getattr(sm.mesh, "axis_names", ())) \
+                != (model_axis,) \
+                or list(np.asarray(sm.mesh.devices).reshape(-1)) \
+                != list(row):
+            submesh = _Mesh(row, (model_axis,))
+            shard_model(sm, submesh, data_axis=None, rules=rules)
+
+    mbs = np.split(np.asarray(x), M, axis=0)
+    outs = [None] * M
+    # issue every call without host syncs: as_numpy=False returns
+    # device futures, so stage s+1's call on microbatch t queues
+    # behind stage s's -- rows overlap on different microbatches
+    for t, xmb in enumerate(mbs):
+        h = xmb
+        for sm in stage_models:
+            # explicit async device-to-device hop onto the next row
+            # (ICI transfer on hardware; no host sync)
+            h = jax.device_put(h, NamedSharding(sm.mesh, P_()))
+            h = sm([h], as_numpy=False)[0]
+        outs[t] = h
+    out = np.concatenate([np.asarray(o) for o in outs], axis=0) \
+        if as_numpy else outs
+    return out

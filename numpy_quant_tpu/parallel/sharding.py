@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -116,6 +117,19 @@ def param_shardings(model, mesh: Mesh, rules=None) -> dict:
         if isinstance(v, Constant) and isinstance(v.data, PackedQTensor):
             packed[v.name] = v.data
 
+    def fits(spec, shape):
+        """A spec only applies when every sharded dim divides evenly;
+        otherwise the parameter replicates (e.g. a vocab-50 lm_head
+        under tp=4 -- GSPMD would reject the placement outright)."""
+        for dim, ax in zip(shape, tuple(spec)):
+            if ax is None:
+                continue
+            axes = (ax,) if isinstance(ax, str) else tuple(ax)
+            size = int(np.prod([mesh.shape[a] for a in axes]))
+            if dim % size:
+                return False
+        return True
+
     out = {}
     for name, arr in model._device_params().items():
         if isinstance(arr, tuple):  # (planes, colsum) packed payload
@@ -146,6 +160,8 @@ def param_shardings(model, mesh: Mesh, rules=None) -> dict:
                              NamedSharding(mesh, P()))
             continue
         spec = rules(name, arr.ndim) if rules is not None else P()
+        if not fits(spec, arr.shape):
+            spec = P()
         out[name] = NamedSharding(mesh, spec)
     return out
 

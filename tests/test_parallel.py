@@ -567,3 +567,43 @@ def test_pipeline_parallel_gpipe_matches_single_device():
                               n_microbatches=M)
     np.testing.assert_allclose(q2_got, q2_want, rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(q2_got.argmax(-1), q2_want.argmax(-1))
+
+@requires_8_devices
+def test_pipeline_tp_composition_matches_single_device():
+    """PP x TP: 2 pipeline stages over mesh ('pipe', 'model') = (2, 4)
+    with tensor parallelism INSIDE each stage -- each stage is its own
+    GSPMD TP program on a disjoint 4-device row, microbatch
+    activations hop rows as async device transfers, and JAX's async
+    dispatch overlaps the rows GPipe-style. (The one-shard_map-program
+    form deadlocks: divergent switch branches carry different TP
+    collectives -- see parallel/pipeline.py.) Microbatched prefill on
+    the trained GPT: argmax-equal and ulp-close vs single device,
+    with every stage's TP sharding actually placed."""
+    from jax.sharding import PartitionSpec as P
+    from numpy_quant_tpu.models import text_fixture as TF
+    from numpy_quant_tpu.parallel.mesh import make_mesh
+    from numpy_quant_tpu.parallel.pipeline import (
+        pipeline_forward_stagewise, split_stages)
+
+    B, M, S, TP = 8, 4, 2, 4
+    proto = TF.trained_gpt_onnx(batch_size=B)
+    model = nq.Model.from_onnx(proto)
+    ids = TF.make_copy_batch(np.random.default_rng(9), B)
+    x = np.take(proto._wte, ids, axis=0).astype(np.float32)
+    want = np.asarray(model([x])[0])
+
+    stages = split_stages(model, S)
+    mesh = make_mesh(S * TP, axes=("pipe", "model"), shape=(S, TP))
+    got = pipeline_forward_stagewise(stages, mesh, x, n_microbatches=M,
+                                     rules=par.gpt_tp_rules)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+    # stage weights really TP-shard over their own 4-device row
+    for s, sm in enumerate(stages):
+        assert tuple(sm.mesh.axis_names) == ("model",)
+        placed = sm._placed_params()
+        sharded = [n for n, a in placed.items()
+                   if not isinstance(a, tuple)
+                   and a.sharding.spec == P(None, "model")]
+        assert sharded, f"stage {s} has no TP-sharded weights"
