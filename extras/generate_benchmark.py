@@ -244,6 +244,20 @@ def build_search_models():
             nq.Model.from_onnx(drf_p), drf_p, k)
 
 
+def _kernel_mode(model, fn):
+    """Run ``fn`` under config.packed_execution='kernel'. Sticky (no
+    restore): the kernel row is measured LAST and timed()/
+    device_seconds() re-invoke the callable -- clearing the model's
+    loop cache on every invocation would re-trace per call (the exact
+    bug the cached generate loops fixed, BENCH_HISTORY round 4)."""
+    from numpy_quant_tpu import config as nq_config
+
+    if nq_config.packed_execution != "kernel":
+        nq_config.packed_execution = "kernel"
+        model._jit_cache.clear()
+    return fn()
+
+
 def main(json_path=None):
     import numpy_quant_tpu as nq
     from numpy_quant_tpu.utils import generate_kv
@@ -275,6 +289,12 @@ def main(json_path=None):
                 wstep, prompt, step_p._wte, step_p._wpe, NEW)),
             ("kv", "w4-grouped-weight-only", w4step, lambda: generate_kv(
                 w4step, prompt, step_p._wte, step_p._wpe, NEW)),
+            # same model through the fused weight-only kernel: the
+            # PACKED payload streams per step (half the weight reads of
+            # the hoisted-int8 form; kernels/qmatmul.splitk_wo_matmul)
+            ("kv", "w4-grouped-kernel", w4step,
+             lambda: _kernel_mode(w4step, lambda: generate_kv(
+                 w4step, prompt, step_p._wte, step_p._wpe, NEW))),
         ]
         results = []
         dispatch = measure_dispatch_overhead()
