@@ -293,8 +293,16 @@ def _splitk_wo_kernel(x_ref, packed_ref, scale_ref, o_ref, *, bits, kr,
             sj[:, None, :], (gpf, gsz, sj.shape[-1])).reshape(kr, -1)
         wf = (w * sexp).astype(x.dtype)
         xs = jax.lax.slice_in_dim(x, j * kr, (j + 1) * kr, axis=1)
+        # f32 operands: HIGHEST, or the TPU dot demotes them to bf16
+        # passes (~1e-2 relative error vs the dequantize-then-dot
+        # oracle). bf16 operands keep the default -- their products
+        # are already exact in the f32 accumulator, and HIGHEST on
+        # bf16 inputs crashes the remote Mosaic compile helper.
+        prec = jax.lax.Precision.HIGHEST \
+            if x.dtype == jnp.float32 else None
         d = jax.lax.dot_general(xs, wf, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
         acc = d if acc is None else acc + d
     o_ref[:] = acc.astype(o_ref.dtype)
 
