@@ -268,13 +268,25 @@ def run_measurement():
 
     # distinct `base` per call: repeated invocations are never identical,
     # so content-addressed runtimes cannot serve cached results
+    t0 = time.time()
     sync(many(x, params, jnp.float32(1.0)))  # compile + warm
-    best = float("inf")
+    # provisional line from the warm-up scan itself (its time includes
+    # any compile wait, so it UNDER-reports; later reps only improve
+    # it): a budget-starved run still records a parseable lower bound
+    best = (time.time() - t0) / iters
+    emit(best)
     for rep in range(reps):
         t0 = time.time()
         sync(many(x, params, jnp.float32(1.0 + 1e-3 * (rep + 1))))
         best = min(best, (time.time() - t0) / iters)
         emit(best)  # best-so-far after EVERY rep: partial runs parse
+    # measurement done: exit WITHOUT the interpreter/JAX teardown --
+    # on the tunneled runtime teardown hangs for minutes, which is
+    # what exhausted every previous round's budget AFTER all reps had
+    # already printed (the supervisor then killed the child and relied
+    # on best-so-far salvage)
+    sys.stdout.flush()
+    os._exit(0)
 
 
 def _vit_macs(cfg, narrowed: bool = False) -> float:
